@@ -1,0 +1,29 @@
+"""Scalar feature functions — all native Catalyst expressions.
+
+The reference computes these with row-at-a-time Python UDFs / pandas apply
+(SURVEY.md §2.10); here every function returns a ``Column`` built from
+``pyspark.sql.functions`` so the whole feature-derivation stage stays inside
+whole-stage codegen with zero Python-worker boundary.
+"""
+
+from aqi_featurestore_spark.functions.aqi import (
+    AQI_BREAKPOINTS,
+    aqi_from_pm25,
+    aqi_level_label,
+)
+from aqi_featurestore_spark.functions.time_features import (
+    entity_key,
+    next_hour_features,
+    reconstructed_datetime,
+    time_feature_columns,
+)
+
+__all__ = [
+    "AQI_BREAKPOINTS",
+    "aqi_from_pm25",
+    "aqi_level_label",
+    "entity_key",
+    "next_hour_features",
+    "reconstructed_datetime",
+    "time_feature_columns",
+]

@@ -1,0 +1,382 @@
+"""Query registry: every operator from SURVEY.md §2 as (a) a Spark
+DataFrame plan and (b) an equivalent ANSI-SQL string for the DuckDB oracle.
+
+Contract (driver, __spark_entry__.py): each callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle SQL runs on the
+same parquet registered as views. Column names and types are aliased
+identically on both sides; cross-engine float determinism is handled by
+(1) identical IEEE operation order for scalar math, (2) exact DECIMAL
+accumulation cast to DOUBLE for sums of products, (3) rank-before-round
+for similarity scores.
+
+Semantics pinned here (SURVEY.md §7 hard parts):
+- dayOfWeek = Spark ``dayofweek`` (1=Sunday); DuckDB oracle compensates
+  with ``dayofweek(ts)+1`` (DuckDB is 0=Sunday).
+- session timezone UTC; DuckDB timestamps are naive-UTC natively.
+- AQI default variant 8.5 (the offline Spark job's,
+  reference spark/code/write_to_bigquery.py:105).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark import pipeline
+from aqi_featurestore_spark.functions.aqi import aqi_case_sql
+from aqi_featurestore_spark.functions.time_features import entity_key
+from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
+from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+from aqi_featurestore_spark.sources.testdata import read_table as _read_table
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (oracle side). The feature CTE mirrors
+# pipeline.derive_features column-for-column; the spine CTE mirrors
+# pipeline.build_spine.
+# ---------------------------------------------------------------------------
+
+_FEAT_CTE = f"""
+feat AS (
+  SELECT CAST(user_id AS VARCHAR)            AS entity_id,
+         ts                                  AS feature_timestamp,
+         CAST(floor(epoch(ts)) AS BIGINT)    AS dt,
+         "value"                             AS "value",
+         {aqi_case_sql('"value"', default=8.5)} AS aqi,
+         CAST(hour(ts) AS INT)               AS hour,
+         CAST(day(ts) AS INT)                AS day,
+         CAST(dayofweek(ts) + 1 AS INT)      AS "dayOfWeek",
+         event_id
+  FROM events
+)"""
+
+_SPINE_CTE = """
+spine AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity_id,
+         ts + INTERVAL '30 minutes' AS event_timestamp
+  FROM events
+  WHERE event_id % 7 = 0
+)"""
+
+_PIT_CTES = f"""
+WITH {_FEAT_CTE},
+{_SPINE_CTE},
+cand AS (
+  SELECT s.entity_id, s.event_timestamp,
+         f.aqi, f.hour, f.day, f."dayOfWeek", f.feature_timestamp,
+         row_number() OVER (
+           PARTITION BY s.entity_id, s.event_timestamp
+           ORDER BY f.feature_timestamp DESC, f.event_id DESC) AS rn
+  FROM (SELECT DISTINCT entity_id, event_timestamp FROM spine) s
+  JOIN feat f
+    ON s.entity_id = f.entity_id
+   AND f.feature_timestamp <= s.event_timestamp
+   AND f.feature_timestamp >= s.event_timestamp - INTERVAL '7 days'
+),
+pit AS (
+  SELECT sp.entity_id, sp.event_timestamp,
+         c.aqi, c.hour, c.day, c."dayOfWeek", c.feature_timestamp
+  FROM spine sp
+  LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+    ON sp.entity_id = c.entity_id AND sp.event_timestamp = c.event_timestamp
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Feature-store parity queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "feature_derivation",
+    f"WITH {_FEAT_CTE} SELECT * FROM feat",
+)
+def q_feature_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F17/P1/U1: raw events -> typed feature rows, all native
+    expressions (no UDF; reference uses a row-at-a-time Python UDF)."""
+    return pipeline.derive_features(_read(spark, sf_dir, "events"))
+
+
+@_q(
+    "latest_per_key",
+    f"""WITH {_FEAT_CTE}
+SELECT entity_id, feature_timestamp, aqi, hour, day, "dayOfWeek" FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY entity_id
+      ORDER BY feature_timestamp DESC, event_id DESC) AS rn
+  FROM feat) t
+WHERE rn = 1""",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W2/O3: online-store materialization — most recent feature row per
+    entity (Redis keying semantics), deterministic tie-break."""
+    feat = pipeline.derive_features(_read(spark, sf_dir, "events"))
+    snap = latest_per_key(feat, ["entity_id"], ts="feature_timestamp", tie_break=["event_id"])
+    return snap.select("entity_id", "feature_timestamp", "aqi", "hour", "day", "dayOfWeek")
+
+
+@_q("pit_join", f"{_PIT_CTES} SELECT * FROM pit")
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 flagship: point-in-time as-of join with 7d TTL; spine rows with
+    no in-TTL history yield NULL features."""
+    events = _read(spark, sf_dir, "events")
+    feat = pipeline.derive_features(events)
+    spine = pipeline.build_spine(events)
+    return pipeline.historical_features(spine, feat, ttl=timedelta(days=7))
+
+
+@_q(
+    "training_set",
+    f"""{_PIT_CTES},
+valid AS (SELECT * FROM pit WHERE aqi IS NOT NULL),
+lagged AS (
+  SELECT entity_id, event_timestamp, aqi, hour, day, "dayOfWeek",
+         lag(aqi, 1) OVER (
+           PARTITION BY entity_id
+           ORDER BY floor(epoch(event_timestamp)) + hour * 3600,
+                    event_timestamp) AS last_hour_aqi
+  FROM valid)
+SELECT * FROM lagged WHERE last_hour_aqi IS NOT NULL""",
+)
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 full lifecycle: derive -> PIT join -> datetime reconstruction ->
+    lag feature -> drop incomplete. The model-ready frame."""
+    return pipeline.training_set(spark, sf_dir)
+
+
+@_q(
+    "lag_features",
+    """SELECT event_id, user_id, ts, "value",
+       lag("value", 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_value
+FROM events""",
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 in isolation: per-entity lag over event time."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", "ts", "value", F.lag("value", 1).over(w).alias("prev_value")
+    )
+
+
+@_q(
+    "dedup_gate",
+    """SELECT event_id, user_id, event_type FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s
+  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)""",
+)
+def q_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J3: the lineage existence gate as a left-anti join — keep rows
+    whose key is absent from the existing set (one shuffle, not one
+    COUNT(*) probe per row like the reference)."""
+    events = _read(spark, sf_dir, "events")
+    existing = events.where(F.col("event_type") == "signup")
+    return append_if_absent(events, existing, ["user_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@_q(
+    "online_lookup",
+    f"""WITH {_FEAT_CTE},
+snap AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY entity_id
+        ORDER BY feature_timestamp DESC, event_id DESC) AS rn
+    FROM feat) t WHERE rn = 1),
+keys AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS entity_id FROM events
+  UNION ALL SELECT '__missing__'),
+mx AS (SELECT max(feature_timestamp) AS as_of FROM feat)
+SELECT k.entity_id,
+       CASE WHEN s.feature_timestamp >= mx.as_of - INTERVAL '7 days'
+            THEN s.aqi END AS aqi,
+       CASE WHEN s.feature_timestamp >= mx.as_of - INTERVAL '7 days'
+            THEN s.hour END AS hour,
+       CASE WHEN s.feature_timestamp >= mx.as_of - INTERVAL '7 days'
+            THEN s."dayOfWeek" END AS "dayOfWeek",
+       CASE WHEN s.feature_timestamp >= mx.as_of - INTERVAL '7 days'
+            THEN s.feature_timestamp END AS feature_timestamp
+FROM keys k CROSS JOIN mx
+LEFT JOIN snap s ON k.entity_id = s.entity_id""",
+)
+def q_online_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S15: get_online_features — key lookup against the latest-per-key
+    snapshot; unknown keys -> NULLs; TTL(7d) enforced at read relative to
+    the newest feature timestamp (deterministic as_of)."""
+    events = _read(spark, sf_dir, "events")
+    feat = pipeline.derive_features(events)
+    snap = latest_per_key(feat, ["entity_id"], ts="feature_timestamp", tie_break=["event_id"])
+    snap = snap.select("entity_id", "feature_timestamp", "aqi", "hour", "dayOfWeek")
+    keys = (
+        events.select(entity_key("user_id").alias("entity_id"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("__missing__",)], "entity_id string"))
+    )
+    as_of = feat.agg(F.max("feature_timestamp").alias("__as_of"))
+    rows = keys.crossJoin(F.broadcast(as_of))
+    out = online_lookup(
+        rows, snap, ["entity_id"], ts="feature_timestamp",
+        ttl=timedelta(days=7), as_of=F.col("__as_of"),
+    )
+    return out.select("entity_id", "aqi", "hour", "dayOfWeek", "feature_timestamp")
+
+
+# ---------------------------------------------------------------------------
+# General analytics (bench headliners; TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT)                AS qty_i,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)     AS price_i,
+         CAST(round((1 - l_discount) * 10000, 0) AS BIGINT)  AS disc_i,
+         CAST(round((1 + l_tax) * 10000, 0) AS BIGINT)       AS tax_i,
+         CAST(round(l_discount * 10000, 0) AS BIGINT)        AS d_i
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(qty_i AS DECIMAL(38,0))) AS DOUBLE)                          AS sum_qty,
+  CAST(SUM(CAST(price_i AS DECIMAL(38,0))) AS DOUBLE) / 100.0                AS sum_base_price,
+  CAST(SUM(CAST(price_i * disc_i AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0   AS sum_disc_price,
+  CAST(SUM(CAST(price_i * disc_i * tax_i AS DECIMAL(38,0))) AS DOUBLE)
+    / 10000000000.0                                                          AS sum_charge,
+  CAST(SUM(CAST(qty_i AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)               AS avg_qty,
+  CAST(SUM(CAST(price_i AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / COUNT(*)     AS avg_price,
+  CAST(SUM(CAST(d_i AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 / COUNT(*)       AS avg_disc,
+  COUNT(*) AS count_order
+FROM t GROUP BY l_returnflag, l_linestatus"""
+
+
+@_q("q1_pricing_summary", _Q1_SQL)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with map-side partial aggregation.
+
+    Money columns are 2-4dp decimals stored as doubles; we accumulate in
+    exact integer space (scaled longs summed as DECIMAL(38,0) — per-row
+    products stay < 2^63, group sums don't) and convert to DOUBLE with the
+    same IEEE op sequence in both engines, so results are bit-identical
+    regardless of summation order/parallelism — no rounding-tie risk that
+    plain DECIMAL(scale 10)->DOUBLE casts have (engines disagree by 1 ulp
+    on wide-decimal narrowing)."""
+    l = _read(spark, sf_dir, "lineitem")
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    price_i = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_i = F.round((F.lit(1) - F.col("l_discount")) * 10000, 0).cast("long")
+    tax_i = F.round((F.lit(1) + F.col("l_tax")) * 10000, 0).cast("long")
+    d_i = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(big(qty_i)).cast("double").alias("sum_qty"),
+            (F.sum(big(price_i)).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(big(price_i * disc_i)).cast("double") / F.lit(1000000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(big(price_i * disc_i * tax_i)).cast("double") / F.lit(10000000000.0)).alias(
+                "sum_charge"
+            ),
+            (F.sum(big(qty_i)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(big(price_i)).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (F.sum(big(d_i)).cast("double") / F.lit(10000.0) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "top_k_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) t
+WHERE rk <= 3""",
+)
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per key via ranking window (the serving-layer 'top orders per
+    customer' shape); deterministic tie-break on the unique key."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact_docs",
+    """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) s
+  ON d.doc_id = s.doc_id""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup over documents: survivor = min doc_id per
+    distinct text (hash aggregation; see dedup_exact_by_hash for the
+    100 TB shuffle-by-hash variant)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_exact(d, ["text"], id_col="doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "text_stats",
+    """SELECT doc_id, lang,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct
+FROM documents""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: char/token/punctuation counts as native expressions
+    (whitespace tokenizer; regex semantics chosen to agree across engines)."""
+    d = _read(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+    )

