@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line with per-query and
+total wall seconds.
+
+Each query executes via the no-op sink (forces full plan execution,
+excludes driver-side result materialization) after a warm-up of the
+session on a trivial action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aqi_featurestore_spark.plans import QUERIES  # noqa: E402
+from aqi_featurestore_spark.session import get_spark  # noqa: E402
+
+# Headliners: the flagship feature-store path + representative scan/agg/
+# window/join/text shapes. Keys must exist in the query registry.
+BENCH_QUERIES = [
+    "feature_derivation",
+    "latest_per_key",
+    "pit_join",
+    "training_set",
+    "lag_features",
+    "dedup_gate",
+    "online_lookup",
+    "q1_pricing_summary",
+    "top_k_per_group",
+    "dedup_exact_docs",
+    "text_stats",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        run_once(spark, name, sf_dir)  # warm (code paths, file listing)
+        timings[name] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
