@@ -1,0 +1,168 @@
+"""Offline store (partitioned append, dedup gate, watermark incremental),
+registry, and streaming jobs."""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.registry import FeatureView, Registry
+from aqi_featurestore_spark.sources.offline_store import OfflineStore, Watermark
+from aqi_featurestore_spark.streaming.jobs import (
+    run_online_refresh_stream,
+    windowed_aqi_aggregate,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity_id string, feature_timestamp timestamp, aqi double"
+    )
+
+
+def test_offline_store_append_dedup_and_incremental_read(spark, tmp_path):
+    store = OfflineStore(spark, str(tmp_path / "offline"))
+    b1 = _batch(
+        spark,
+        [
+            ("a", ts("2024-01-01 10:00:00"), 1.0),
+            ("a", ts("2024-01-05 10:00:00"), 2.0),
+            ("b", ts("2024-01-05 11:00:00"), 3.0),
+        ],
+    )
+    store.append(b1)
+    assert store.read().count() == 3
+
+    # re-run the same batch -> idempotent (ST6 fix)
+    store.append(b1)
+    assert store.read().count() == 3
+
+    # overlapping batch: 1 duplicate + 1 new row -> only the new row lands
+    b2 = _batch(
+        spark,
+        [
+            ("a", ts("2024-01-05 10:00:00"), 2.0),
+            ("c", ts("2024-01-07 09:00:00"), 4.0),
+        ],
+    )
+    store.append(b2)
+    assert store.read().count() == 4
+
+    # partition-pruned incremental read
+    inc = store.read(since=date(2024, 1, 5))
+    assert inc.count() == 3
+    # partition pruning visible in the physical plan
+    plan = inc.explain if False else inc._jdf.queryExecution().executedPlan().toString()
+    assert "year" in plan
+
+    # partition layout on disk is Hive-style
+    assert (tmp_path / "offline" / "year=2024" / "month=1" / "day=5").exists()
+
+
+def test_watermark_protocol(tmp_path):
+    wm = Watermark(str(tmp_path / "wm.json"), default="2023-01-01")
+    assert wm.read() == "2023-01-01"
+    wm.advance("2024-01-06")
+    assert wm.read() == "2024-01-06"
+
+
+def test_registry_views_and_gated_lineage(spark, tmp_path):
+    reg = Registry(spark, str(tmp_path / "registry"))
+    v1 = FeatureView(
+        name="aqi_info_v1",
+        entities=("entity_id",),
+        ttl=timedelta(days=7),
+        features=(("hour", "int"), ("day", "int"), ("dayOfWeek", "int"), ("aqi", "double")),
+        source="offline/aqi",
+        tags=(("owner", "ml_team"),),
+    )
+    reg.apply(v1)
+    assert [v.name for v in reg.list_feature_views()] == ["aqi_info_v1"]
+    assert reg.feature_views_df().first()["ttl_seconds"] == 7 * 86400
+
+    assert reg.record_lineage("pm2_5", "v1", "openweather", "pipeline.py", "2024-01-01") == 1
+    # duplicate (feature_name, version) -> gated out
+    assert reg.record_lineage("pm2_5", "v1", "other", "x.py", "2024-02-02") == 0
+    assert reg.record_lineage("pm2_5", "v2", "openweather", "pipeline.py", "2024-01-02") == 1
+    assert reg.lineage().count() == 2
+
+    assert reg.record_feature_metadata("aqi", "v1", "piecewise(pm2_5)", "EPA AQI", "2024") == 1
+    assert reg.feature_metadata().count() == 1
+
+
+def test_online_refresh_stream(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows1 = [
+        (1, ts("2024-01-01 10:00:00"), 7, "view", 10.0, None),
+        (2, ts("2024-01-01 11:00:00"), 7, "view", 40.0, None),
+        (3, ts("2024-01-01 10:30:00"), 8, "view", 100.0, None),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+
+    snap_path = str(tmp_path / "online_snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    run_online_refresh_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                              snap_path, ckpt)
+    snap = {r["entity_id"]: r["aqi"] for r in spark.read.parquet(snap_path).collect()}
+    assert snap["7"] == 112.08040201005025  # value 40.0 -> third breakpoint
+    assert snap["8"] == 173.9768177028451  # value 100.0 -> fourth breakpoint
+
+    # second micro-batch: newer row for entity 7 wins; checkpoint means
+    # files from batch 1 are not reprocessed
+    rows2 = [(4, ts("2024-01-01 12:00:00"), 7, "view", 10.0, None)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    run_online_refresh_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                              snap_path, ckpt)
+    snap = {r["entity_id"]: r["aqi"] for r in spark.read.parquet(snap_path).collect()}
+    assert snap["7"] == 41.66666666666667
+    assert snap["8"] == 173.9768177028451
+
+
+def test_windowed_aggregate_batch_semantics(spark):
+    rows = [
+        (1, ts("2024-01-01 10:05:00"), 7, "view", 10.0, None),
+        (2, ts("2024-01-01 10:55:00"), 7, "view", 30.0, None),
+        (3, ts("2024-01-01 11:05:00"), 7, "view", 50.0, None),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    out = windowed_aqi_aggregate(spark.createDataFrame(rows, schema))
+    got = {r["window_start"].isoformat(): (r["n_obs"], r["avg_value"]) for r in out.collect()}
+    assert got["2024-01-01T10:00:00"] == (2, 20.0)
+    assert got["2024-01-01T11:00:00"] == (1, 50.0)
+
+
+def test_windowed_aggregate_streaming_with_watermark(spark, tmp_path):
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    schema_str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [
+        (1, ts("2024-01-01 10:05:00"), 7, "view", 10.0, None),
+        (1, ts("2024-01-01 10:05:00"), 7, "view", 10.0, None),  # duplicate delivery
+        (2, ts("2024-01-01 10:45:00"), 7, "view", 30.0, None),
+    ]
+    spark.createDataFrame(rows, schema_str).write.mode("append").parquet(str(src))
+
+    from aqi_featurestore_spark.streaming.jobs import stream_events
+
+    stream = stream_events(
+        spark, str(src), spark.createDataFrame([], schema_str).schema,
+        watermark="10 minutes", dedup_keys=["event_id"],
+    )
+    agg = windowed_aqi_aggregate(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["window_start"].isoformat(): r["n_obs"] for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert got == {"2024-01-01T10:00:00": 2}  # dup dropped, both events in window
