@@ -1,0 +1,238 @@
+"""Approximate deduplication: n-gram Jaccard, MinHash + LSH, SimHash.
+
+Extension operators for 100 TB training-data pipelines (BASELINE.json).
+All three follow the same distributed shape — shingle/tokenize, hash,
+band, bucket-join — so the shuffle moves fixed-width hashes, never
+document bodies:
+
+- **n-gram Jaccard** (exact): explode distinct shingles, self-join on the
+  shingle, count intersections, one division. The join key is a 64-bit
+  shingle hash, and common-shingle skew is what AQE's skew-join splitting
+  handles.
+- **MinHash signatures + LSH banding** (approximate Jaccard): k
+  hash-permutations approximated by xxhash64(shingle, salt_i); signature =
+  per-doc min per salt. Banding b x r turns "Jaccard >= t" into "some band
+  equal", so candidate generation is an equi-join on (band, band_hash) —
+  no pairwise scan.
+- **SimHash** (approximate cosine over token sets): 64-bit signature from
+  per-bit weighted majority of token hashes; near-dups = signatures within
+  small Hamming distance, found by exact-match on 16-bit bands (any
+  signature pair with Hamming <= 3 shares at least one of 4 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions.text import word_shingles
+
+
+def _doc_shingles(docs: DataFrame, *, id_col: str, text_col: str, k: int) -> DataFrame:
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard similarity over k-word shingle sets for every pair
+    sharing at least one shingle. Returns (d1, d2, inter, n1, n2, jaccard)
+    with d1 < d2."""
+    sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "d1", "d2", "inter", "n1", "n2", "jaccard"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``sig: array<bigint>[num_hashes]``.
+    Documents with no shingles (< k tokens) get no signature row."""
+    sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (d1 < d2, distinct). Probability a pair with Jaccard j collides:
+    1 - (1 - j^r)^b — (16, 4) puts the S-curve threshold near 0.5."""
+    n = bands * rows_per_band
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def minhash_estimated_jaccard(
+    candidates: DataFrame, signatures: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach the MinHash Jaccard estimate (fraction of agreeing signature
+    positions) to candidate pairs."""
+    s1 = signatures.select(F.col(id_col).alias("d1"), F.col("sig").alias("sig1"))
+    s2 = signatures.select(F.col(id_col).alias("d2"), F.col("sig").alias("sig2"))
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("est_jaccard", agree / F.size("sig1"))
+        .select("d1", "d2", "est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures -> banding ->
+    candidate pairs -> estimate filter."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    )
+    cand = minhash_lsh_candidates(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    est = minhash_estimated_jaccard(cand, sigs, id_col=id_col)
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(text: Column | str, *, bits: int = SIMHASH_BITS) -> Column:
+    """64-bit SimHash over whitespace tokens as a native expression:
+    tokens -> xxhash64 -> per-bit +/-1 vote -> sign bits reassembled.
+    Returns bigint (bit 63 kept zero to stay in two's-complement range)."""
+    col = F.col(text) if isinstance(text, str) else text
+    tokens = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    def _vote(j: int):
+        def merge(acc, h):
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
+    votes = [F.aggregate(hashes, F.lit(0), _vote(j)) for j in range(bits - 1)]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found without
+    a pairwise scan: split the 64-bit signature into (max_hamming + 1)
+    bands — any pair within the distance budget must agree exactly on at
+    least one band (pigeonhole), so candidates come from an equi-join on
+    (band, band_bits)."""
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    sigs = docs.select(F.col(id_col), simhash(text_col).alias("sig"))
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"b{b}")
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(id_col, "sig", F.posexplode(bands).alias("band", "bits"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

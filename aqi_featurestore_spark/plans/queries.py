@@ -27,8 +27,23 @@ from pyspark.sql import functions as F
 
 from aqi_featurestore_spark import pipeline
 from aqi_featurestore_spark.functions.aqi import aqi_case_sql
+from aqi_featurestore_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
 from aqi_featurestore_spark.functions.time_features import entity_key
 from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
+from aqi_featurestore_spark.operators.near_dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aqi_featurestore_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
 from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -380,3 +395,202 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions II: fingerprints, near-dedup, similarity,
+# language/quality analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_fingerprint",
+    r"""SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of case/whitespace-normalized text) — the
+    scale-friendly exact-dedup key."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@_q(
+    "token_count_bpe",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT)
+         AS n_tokens_bpe
+FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation with an ASCII-explicit BPE-ish pattern."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens_bpe"))
+
+
+_LANG_HITS_SQL = """
+  CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+     + (length(p) - length(replace(p, ' and ', ''))) / 5
+     + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT)  AS en,
+  CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+     + (length(p) - length(replace(p, ' und ', ''))) / 5
+     + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS de,
+  CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+     + (length(p) - length(replace(p, ' que ', ''))) / 5
+     + (length(p) - length(replace(p, ' los ', ''))) / 5 AS INT) AS es,
+  CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+     + (length(p) - length(replace(p, ' les ', ''))) / 5
+     + (length(p) - length(replace(p, ' est ', ''))) / 5 AS INT) AS fr"""
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents),
+hits AS (
+  SELECT doc_id, lang, text, {_LANG_HITS_SQL},
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk
+  FROM t)
+SELECT doc_id, lang,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+       WHEN en = greatest(en, de, es, fr) THEN 'en'
+       WHEN de = greatest(en, de, es, fr) THEN 'de'
+       WHEN es = greatest(en, de, es, fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM hits"""
+
+
+@_q("lang_id", _LANG_ID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK presence else argmax of function-word
+    marker hits, fixed tie precedence."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_guess"))
+
+
+@_q(
+    "quality_score",
+    r"""SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))
+    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS digit_ratio,
+  length(regexp_replace(text, '[^A-Z]', '', 'g'))
+    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS upper_ratio,
+  length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS punct_ratio,
+  CAST(length(text) AS DOUBLE)
+    / (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+       THEN CAST((CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+    AS avg_token_len
+FROM documents""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: exact counts + single NULL-safe divisions
+    (deterministic across engines)."""
+    d = _read(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    return d.select(
+        "doc_id",
+        qf["n_chars"].alias("n_chars"),
+        qf["n_tokens"].alias("n_tokens"),
+        qf["digit_ratio"].alias("digit_ratio"),
+        qf["upper_ratio"].alias("upper_ratio"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, inter, n1.n AS n1, n2.n AS n2,
+       CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
+FROM inter
+JOIN sizes n1 ON d1 = n1.doc_id
+JOIN sizes n2 ON d2 = n2.doc_id
+WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.2"""
+
+
+@_q("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2): shingle
+    explode -> hash-key self-join -> count ratio."""
+    d = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.2)
+
+
+_SIM_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_SIM_DOT.format(a='q.q_vec', b='c.embedding')}
+               / (sqrt({_SIM_DOT.format(a='q.q_vec', b='q.q_vec')})
+                  * sqrt({_SIM_DOT.format(a='c.embedding', b='c.embedding')})), 6)
+           AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE q.q_id <> c.vec_id)
+SELECT q_id, n_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rk
+  FROM pairs) t
+WHERE rk <= 10"""
+
+
+@_q("similarity_topk_cosine", _SIM_TOPK_SQL)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 50th vector as query set:
+    broadcast queries, JVM-side fold dot products, rank-before-round for
+    stable cross-engine boundaries."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(q, e, k=10)
+
+
+@_q("minhash_lsh_dedup")  # approximate: rows-only driver check; pytest covers semantics
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16x4) near-dup candidate pairs with estimated
+    Jaccard >= 0.3. Hash-based -> not oracle-SQL-expressible; correctness
+    is pinned by tests/test_llm_ops.py (planted near-dups + agreement with
+    exact n-gram Jaccard)."""
+    d = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, threshold=0.3)
+
+
+@_q("simhash_dedup")  # approximate: rows-only driver check
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs within Hamming distance 3 via 4-band
+    pigeonhole candidates."""
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+@_q("similarity_topk_lsh")  # approximate: rows-only driver check
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 (16 planes, 4 bands): the scale path that
+    replaces the cross product with a bucket join; recall measured against
+    the brute-force oracle in tests."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_lsh(q, e, k=10)

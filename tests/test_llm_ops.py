@@ -1,0 +1,144 @@
+"""LLM-data-pipeline operators: near-dedup (MinHash/SimHash vs exact
+Jaccard), similarity search (LSH recall vs brute force), multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from aqi_featurestore_spark.operators.near_dedup import (
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aqi_featurestore_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "every single morning before the sun rises over the quiet hills"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("quick", "swift")),  # near-dup of 1
+        (3, BASE),  # exact dup of 1
+        (4, "completely different text about spark catalyst optimizer rules "
+            "and adaptive query execution with shuffle partition coalescing "
+            "plus broadcast hash join thresholds in distributed engines"),
+        (5, "short text"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_finds_planted_dups(spark):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()}
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert 0.5 < pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    docs = _docs(spark)
+    got = {(r["d1"], r["d2"]): r["est_jaccard"] for r in
+           minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    assert got[(1, 3)] == 1.0
+    assert got[(1, 2)] > 0.5
+    assert (1, 4) not in got
+    # signatures exist only for docs with >= 3 tokens... doc 5 has 2 tokens
+    assert minhash_signatures(docs).where(F.col("doc_id") == 5).count() == 0
+
+
+def test_simhash_near_dups(spark):
+    # tight budget: exact dup found, unrelated text excluded
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in
+             simhash_near_dup_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs[(1, 3)] == 0  # identical text -> identical signature
+    assert (1, 4) not in pairs  # unrelated text ~29 bits away
+    # wider budget: the one-word-changed near-dup lands (hamming 5 — thin
+    # vote margins flip a few bits per token change); unrelated still out
+    wide = {(r["d1"], r["d2"]): r["hamming"] for r in
+            simhash_near_dup_pairs(_docs(spark), max_hamming=7).collect()}
+    assert wide[(1, 2)] <= 7
+    assert (1, 4) not in wide
+
+
+def _vectors(spark, n=60, dim=16):
+    import math
+
+    rows = []
+    for i in range(n):
+        # deterministic unit-ish vectors on a circle-ish manifold
+        rows.append((i, [math.sin(0.1 * i + 0.01 * j) for j in range(dim)], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_topk_properties(spark):
+    vecs = _vectors(spark)
+    q = vecs.where(F.col("vec_id") % 20 == 0)  # 3 queries
+    out = cosine_topk_bruteforce(q, vecs, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 20, 40}
+    for q_id, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["n_id"] != q_id for r in rows)  # self excluded
+        scores = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert scores == sorted(scores, reverse=True)
+        # neighbors on the manifold are adjacent ids
+        assert abs(rows[0]["n_id"] - q_id) <= 2 or rows[0]["cos_sim"] > 0.99
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    vecs = _vectors(spark, n=80, dim=16)
+    q = vecs.where(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk_bruteforce(q, vecs, k=5).collect()
+    approx = cosine_topk_lsh(q, vecs, k=5, n_planes=16, bands=8, dim=16).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6  # generous bands -> decent recall on smooth data
+    # LSH scores for overlapping pairs are the true cosine (exact rescoring)
+    exact_scores = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]
+
+
+def test_media_features_stub(spark):
+    rows = [
+        (1, "image", "payload-one", 640, 480, None),
+        (2, "video", "payload-two", 1920, 1080, 5000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload string, width int, height int, duration_ms long",
+    )
+    out = extract_media_features(media).collect()
+    got = {r["media_id"]: r for r in out}
+    assert got[1]["n_bytes"] == len("payload-one")
+    assert len(got[1]["features"]) == 8
+    assert all(0 <= v < 1 for v in got[1]["features"])
+    # determinism across invocations
+    again = {r["media_id"]: r["features"] for r in extract_media_features(media).collect()}
+    assert again[1] == got[1]["features"]
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000]
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_media_features(media, fake=False).collect()
