@@ -78,8 +78,9 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     from pyspark.sql import functions as F
 
     n = (F.col("duration_ms") / every_ms).cast("int")
+    # guard n >= 1: sequence(0, -1) would produce a *descending* [0, -1]
     return (
-        df.where(F.col("kind") == "video")
+        df.where((F.col("kind") == "video") & (n >= 1))
         .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),

@@ -8,19 +8,25 @@ array<float>, label). Two paths:
   rank per query. Cost O(|Q| x |N|) — right answer for small query sets,
   and the oracle for recall measurement.
 - **LSH (random hyperplane) ANN**: sign-bit sketch of each vector against
-  ``n_planes`` deterministic pseudo-random hyperplanes; candidates =
-  vectors sharing a bucket in any band of the sketch; exact cosine only on
-  candidates. At 100 TB the bucket join replaces the full cross product,
-  and the plane matrix is a broadcast literal.
+  ``n_planes`` deterministic Gaussian hyperplanes; candidates = vectors
+  sharing a bucket in any band of the sketch; exact cosine only on
+  candidates. At 100 TB the bucket join replaces the full cross product.
+- **Cosine near-dup pairs** (the embedding flavor of near-dedup): all
+  pairs above a cosine threshold — exact for the oracle, LSH-prefiltered
+  for scale.
 
-Determinism: hyperplane components derive from xxhash64(plane, dim) —
-no RNG state, same planes on every executor and every run.
+The sketch is an Arrow-batched pandas_udf: one numpy matmul per batch
+(V @ P.T) instead of a 1000-node Catalyst expression tree — the plane
+matrix is seeded (MT19937 is bit-stable across platforms), closure-
+captured, and shipped once per executor, so sketches agree everywhere.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def _as_double(col: Column | str) -> Column:
@@ -69,33 +75,29 @@ def cosine_topk_bruteforce(
     ).where(F.col("rk") <= k)
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random +/-1 hyperplane component."""
-    return F.when(
-        F.xxhash64(F.lit(plane), F.lit(dim)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-
-
 def hyperplane_sketch(
-    vec: Column | str, *, n_planes: int = 16, dim: int = 64
+    vec: Column | str, *, n_planes: int = 16, dim: int = 64, seed: int = 7
 ) -> Column:
-    """Sign-bit sketch: bit p set iff dot(vec, plane_p) > 0."""
-    v = _as_double(vec)
-    out = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # plane components are literals -> whole expression constant-folds
-        # per (p, i); the loop builds one long codegen'd expression.
-        dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[_plane_component(p, i) for i in range(dim)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        out = out + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    """Sign-bit sketch: bit p set iff dot(vec, plane_p) > 0.
+
+    Vectorized Arrow path: each batch is one ``V @ P.T`` matmul + sign +
+    bit-pack. The seeded Gaussian plane matrix is identical on every
+    executor (numpy MT19937 is platform-stable), so the sketch is
+    deterministic across runs and cluster layouts."""
+    import numpy as np
+
+    planes_t = np.random.RandomState(seed).standard_normal((n_planes, dim)).T
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int64")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs], dtype=np.float64)
+        bits = v @ planes_t > 0
+        return pd.Series(bits @ weights)
+
+    return sketch(F.col(vec) if isinstance(vec, str) else vec)
 
 
 def cosine_topk_lsh(
@@ -148,4 +150,69 @@ def cosine_topk_lsh(
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return scored.select("q_id", "n_id", "cos_sim", F.row_number().over(w).alias("rk")).where(
         F.col("rk") <= k
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_scores: int = 6,
+    lsh: bool = False,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (d1, d2, cos_sim) with
+    d1 < d2 and round(cosine, 6) >= threshold.
+
+    ``lsh=False`` compares all pairs (exact; the oracle). ``lsh=True`` is
+    the 100 TB path: candidates must share one band of the hyperplane
+    sketch (equi-join on (band, bits)), then exact cosine on candidates —
+    recall < 1 by design for pairs near the threshold."""
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    if lsh:
+        width = n_planes // bands
+        mask = (1 << width) - 1
+        sketched = v.select(
+            "id", "vec", hyperplane_sketch("vec", n_planes=n_planes, dim=dim).alias("sketch")
+        )
+        banded = sketched.select(
+            "id",
+            "vec",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sketch", b * width).bitwiseAND(F.lit(mask))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bits"),
+        )
+        a, b_ = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bits") == F.col("b.bits"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("d1"),
+                F.col("a.vec").alias("v1"),
+                F.col("b.id").alias("d2"),
+                F.col("b.vec").alias("v2"),
+            )
+            .dropDuplicates(["d1", "d2"])
+        )
+    else:
+        a = v.select(F.col("id").alias("d1"), F.col("vec").alias("v1"))
+        b_ = v.select(F.col("id").alias("d2"), F.col("vec").alias("v2"))
+        cand = a.join(b_, F.col("d1") < F.col("d2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return (
+        cand.select("d1", "d2", F.round(cos, round_scores).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
     )

@@ -40,9 +40,14 @@ from aqi_featurestore_spark.operators.near_dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from aqi_featurestore_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_cosine_pairs,
 )
 from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
 
@@ -594,3 +599,101 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(q, e, k=10)
+
+
+_EMB_COS_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         round({_SIM_DOT.format(a='a.embedding', b='b.embedding')}
+               / (sqrt({_SIM_DOT.format(a='a.embedding', b='a.embedding')})
+                  * sqrt({_SIM_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+           AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.4"""
+
+
+@_q("embedding_cosine_dedup", _EMB_COS_PAIRS_SQL)
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs, threshold 0.4);
+    the LSH-prefiltered scale variant is embedding_cosine_dedup_lsh."""
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.4)
+
+
+@_q("embedding_cosine_dedup_lsh")  # approximate: rows-only driver check
+def q_embedding_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dedup: hyperplane-sketch band join
+    replaces the O(n^2) pair scan; exact cosine rescoring on candidates.
+    Recall vs the exact variant is pinned in tests/test_llm_ops.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.4, lsh=True)
+
+
+def _media_view(d: DataFrame) -> DataFrame:
+    """Documents dressed as a schemas.MEDIA-shaped table: payload =
+    UTF-8 bytes of text, kind cycles image/audio/video by doc_id,
+    duration_ms = 10 ms per char for 'video' rows."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, F.col("n_chars") * 10)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
+_MM_FEATURES_SQL = r"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         md5(text) AS hex, octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+       CAST(i AS INT) AS feat_idx,
+       (16 * (strpos('0123456789abcdef', substr(hex, 2*i+1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hex, 2*i+2, 1)) - 1)) / 256.0
+         AS feat_value
+FROM m CROSS JOIN range(0, 8) AS t(i)"""
+
+
+@_q("multimodal_features", _MM_FEATURES_SQL)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing over mapInPandas: opaque binary
+    payloads -> deterministic stub features (md5-seeded; the oracle
+    reproduces the digest math hex-digit by hex-digit). Exploded to scalar
+    rows so the value hash is engine-neutral."""
+    m = _media_view(_read(spark, sf_dir, "documents"))
+    feats = extract_media_features(m, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
+
+
+_FRAME_SAMPLE_SQL = r"""
+WITH v AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+  SELECT media_id, unnest(range(0, duration_ms // 1000)) AS i FROM v)
+SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS frame_ts_ms
+FROM fr"""
+
+
+@_q("frame_sample", _FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp,
+    derived from metadata only (explode-by-metadata keeps the stubbed
+    decode row-parallel)."""
+    m = _media_view(_read(spark, sf_dir, "documents"))
+    return frame_sample_plan(m, every_ms=1000)

@@ -20,6 +20,7 @@ from aqi_featurestore_spark.operators.near_dedup import (
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_cosine_pairs,
 )
 
 BASE = (
@@ -117,6 +118,31 @@ def test_lsh_recall_vs_bruteforce(spark):
         key = (r["q_id"], r["n_id"])
         if key in exact_scores:
             assert r["cos_sim"] == exact_scores[key]
+
+
+def test_embedding_cosine_pairs_exact_and_lsh(spark):
+    base = _vectors(spark, n=40, dim=16)
+    # plant a true near-dup: vec 100 = vec 0 with one component nudged
+    planted = base.union(
+        base.where(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 100).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(0.0)
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    exact = {(r["d1"], r["d2"]): r["cos_sim"]
+             for r in embedding_cosine_pairs(planted, threshold=0.99).collect()}
+    assert exact[(0, 100)] > 0.999
+    assert all(d1 < d2 for d1, d2 in exact)
+    # LSH path must recover true near-dups (cosine ~1 -> same sketch whp)
+    approx = {(r["d1"], r["d2"]): r["cos_sim"]
+              for r in embedding_cosine_pairs(
+                  planted, threshold=0.99, lsh=True, n_planes=16, bands=8, dim=16
+              ).collect()}
+    assert (0, 100) in approx
+    assert approx[(0, 100)] == exact[(0, 100)]  # exact rescoring on candidates
 
 
 def test_media_features_stub(spark):
