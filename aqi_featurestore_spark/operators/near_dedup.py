@@ -22,10 +22,23 @@ document bodies:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from aqi_featurestore_spark.functions.text import word_shingles
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism before
+    expensive per-row work (shingle explode, 64-hash signatures). A small
+    single-file scan arrives as ONE partition and would serialize the
+    whole pipeline; the extra shuffle moves only the source rows."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return df.repartition(parallelism)
+    return df
 
 
 def _doc_shingles(docs: DataFrame, *, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -155,7 +168,7 @@ def minhash_dedup_pairs(
     candidate pairs -> estimate filter."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+        _spread(docs), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
     )
     cand = minhash_lsh_candidates(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
@@ -170,24 +183,36 @@ SIMHASH_BITS = 64
 
 
 def simhash(text: Column | str, *, bits: int = SIMHASH_BITS) -> Column:
-    """64-bit SimHash over whitespace tokens as a native expression:
-    tokens -> xxhash64 -> per-bit +/-1 vote -> sign bits reassembled.
-    Returns bigint (bit 63 kept zero to stay in two's-complement range)."""
+    """64-bit SimHash over whitespace tokens: tokens -> xxhash64 (JVM,
+    deterministic) -> per-bit +/-1 vote -> sign bits reassembled. Returns
+    bigint (bit 63 kept zero to stay in two's-complement range).
+
+    The vote stage is an Arrow-batched pandas_udf over the token-hash
+    array: one numpy shift/popcount pass per batch. (The pure-expression
+    formulation — 63 interpreted fold-aggregates per row — was ~40x
+    slower at sf0.1 and dominated the near-dedup suite.)"""
+    import numpy as np
+
     col = F.col(text) if isinstance(text, str) else text
     tokens = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    def _vote(j: int):
-        def merge(acc, h):
-            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
 
-        return merge
+    shifts = np.arange(bits - 1, dtype=np.int64)
+    weights = np.int64(1) << shifts
 
-    votes = [F.aggregate(hashes, F.lit(0), _vote(j)) for j in range(bits - 1)]
-    out = F.lit(0).cast("long")
-    for j, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    @pandas_udf("long")
+    def vote(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue
+            arr = np.asarray(h, dtype=np.int64)
+            bits_m = (arr[:, None] >> shifts) & 1  # n_tokens x (bits-1)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            out[i] = weights[votes > 0].sum()
+        return pd.Series(out)
+
+    return vote(hashes)
 
 
 def simhash_near_dup_pairs(
@@ -204,7 +229,7 @@ def simhash_near_dup_pairs(
     (band, band_bits)."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
-    sigs = docs.select(F.col(id_col), simhash(text_col).alias("sig"))
+    sigs = _spread(docs).select(F.col(id_col), simhash(text_col).alias("sig"))
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("sig"), b * width)

@@ -43,6 +43,14 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _normalized(a: Column) -> Column:
+    """Unit-normalize once per vector (array<double>), so every downstream
+    pair computation is a single dot fold — at n^2 pair counts, the norms
+    must never be recomputed per pair."""
+    n = _norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -58,14 +66,14 @@ def cosine_topk_bruteforce(
     on corpus id. Output: (q_id, n_id, cos_sim, rk)."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"), _normalized(_as_double(vec_col)).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), _as_double(vec_col).alias("n_vec"))
-    pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
-    cos = _dot(F.col("q_vec"), F.col("n_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("n_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _normalized(_as_double(vec_col)).alias("n_vec")
     )
+    pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
+    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = pairs.select(
         "q_id", "n_id", F.round(cos, round_scores).alias("cos_sim")
     )
@@ -123,7 +131,7 @@ def cosine_topk_lsh(
         sk = hyperplane_sketch(vec_col, n_planes=n_planes, dim=dim)
         banded = df.select(
             F.col(id_col).alias(f"{role}_id"),
-            _as_double(vec_col).alias(f"{role}_vec"),
+            _normalized(_as_double(vec_col)).alias(f"{role}_vec"),
             sk.alias("sketch"),
         )
         bands_arr = F.array(
@@ -143,9 +151,7 @@ def cosine_topk_lsh(
         .where(F.col("q_id") != F.col("n_id"))
         .dropDuplicates(["q_id", "n_id"])
     )
-    cos = _dot(F.col("q_vec"), F.col("n_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("n_vec"))
-    )
+    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return scored.select("q_id", "n_id", "cos_sim", F.row_number().over(w).alias("rk")).where(
@@ -171,8 +177,14 @@ def embedding_cosine_pairs(
     ``lsh=False`` compares all pairs (exact; the oracle). ``lsh=True`` is
     the 100 TB path: candidates must share one band of the hyperplane
     sketch (equi-join on (band, bits)), then exact cosine on candidates —
-    recall < 1 by design for pairs near the threshold."""
-    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    recall < 1 by design for pairs near the threshold.
+
+    cos_sim = left-fold dot of the *pre-normalized* vectors (normalization
+    happens once per vector, not per pair); the oracle SQL mirrors the
+    same element-normalize-then-fold order so floats agree bit-for-bit."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), _normalized(_as_double(vec_col)).alias("vec")
+    )
     if lsh:
         width = n_planes // bands
         mask = (1 << width) - 1
@@ -208,11 +220,106 @@ def embedding_cosine_pairs(
             .dropDuplicates(["d1", "d2"])
         )
     else:
-        a = v.select(F.col("id").alias("d1"), F.col("vec").alias("v1"))
+        # The pair join is a broadcast nested loop; parallelism comes
+        # entirely from the streamed side's partitioning, and a small
+        # single-file corpus arrives as ONE partition — spread it first.
+        parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+        a = v.select(F.col("id").alias("d1"), F.col("vec").alias("v1")).repartition(
+            parallelism
+        )
         b_ = v.select(F.col("id").alias("d2"), F.col("vec").alias("v2"))
-        cand = a.join(b_, F.col("d1") < F.col("d2"))
-    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+        cand = a.join(F.broadcast(b_), F.col("d1") < F.col("d2"))
+    cos = _dot(F.col("v1"), F.col("v2"))  # vectors are unit-normalized
     return (
         cand.select("d1", "d2", F.round(cos, round_scores).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _kmeans_centroids(sample, n_lists: int, *, iters: int = 15, seed: int = 7):
+    """Driver-side Lloyd's k-means over a bounded sample (numpy). At 100 TB
+    the sample is ~100k vectors — centroid fitting is O(sample), never
+    O(corpus); the corpus only sees the broadcast centroid matrix."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_fraction: float = 1.0,
+    seed: int = 7,
+    round_scores: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: partition the corpus into ``n_lists``
+    k-means cells, probe the ``n_probe`` nearest cells per query, exact
+    cosine + rank on probed candidates only.
+
+    Complements the LSH path: IVF adapts buckets to the data distribution
+    (better recall on clustered embeddings), at the cost of a training
+    sample. Candidate generation is an equi-join on ``list_id`` — the
+    cross product never materializes."""
+    import numpy as np
+
+    sample_df = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample_df = sample_df.sample(fraction=sample_fraction, seed=seed)
+    sample = [np.asarray(r[0], dtype=np.float64) for r in sample_df.collect()]
+    cent = _kmeans_centroids(sample, n_lists, seed=seed)
+    cent_t = cent.T  # dim x n_lists
+    cent_sq = (cent**2).sum(axis=1)  # n_lists
+
+    @pandas_udf("int")
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c)
+        d = cent_sq[None, :] - 2.0 * (v @ cent_t)
+        return pd.Series(d.argmin(axis=1)).astype("int32")
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        d = cent_sq[None, :] - 2.0 * (v @ cent_t)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _as_double(vec_col).alias("n_vec"),
+        assign_list(vec_col).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(vec_col).alias("q_vec"),
+        F.explode(probe_lists(vec_col)).alias("list_id"),
+    )
+    cand = q.join(c, "list_id").where(F.col("q_id") != F.col("n_id"))
+    cos = _dot(F.col("q_vec"), F.col("n_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("n_vec"))
+    )
+    scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return scored.select(
+        "q_id", "n_id", "cos_sim", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= k)

@@ -46,6 +46,7 @@ from aqi_featurestore_spark.operators.multimodal import (
 )
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_cosine_pairs,
 )
@@ -545,16 +546,30 @@ _SIM_DOT = (
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
 )
 
+# Unit-normalize once per vector (mirrors operators.similarity._normalized:
+# cast-to-double, fold of squares from 0.0, sqrt, element divide — same IEEE
+# op order as the Spark side so cos_sim agrees bit-for-bit).
+_SIM_NORM_CTE = """
+norm AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_reduce(
+                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                  (a, b) -> a + b))) AS v
+  FROM embeddings)"""
+
+_SIM_NORM_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
 _SIM_TOPK_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+WITH {_SIM_NORM_CTE},
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM norm WHERE vec_id % 50 = 0),
 pairs AS (
   SELECT q.q_id, c.vec_id AS n_id,
-         round({_SIM_DOT.format(a='q.q_vec', b='c.embedding')}
-               / (sqrt({_SIM_DOT.format(a='q.q_vec', b='q.q_vec')})
-                  * sqrt({_SIM_DOT.format(a='c.embedding', b='c.embedding')})), 6)
-           AS cos_sim
-  FROM q CROSS JOIN embeddings c
+         round({_SIM_NORM_DOT.format(a='q.q_vec', b='c.v')}, 6) AS cos_sim
+  FROM q CROSS JOIN norm c
   WHERE q.q_id <> c.vec_id)
 SELECT q_id, n_id, cos_sim, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (
@@ -602,14 +617,11 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_COS_PAIRS_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH {_SIM_NORM_CTE},
 pairs AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2,
-         round({_SIM_DOT.format(a='a.embedding', b='b.embedding')}
-               / (sqrt({_SIM_DOT.format(a='a.embedding', b='a.embedding')})
-                  * sqrt({_SIM_DOT.format(a='b.embedding', b='b.embedding')})), 6)
-           AS cos_sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         round({_SIM_NORM_DOT.format(a='a.v', b='b.v')}, 6) AS cos_sim
+  FROM norm a JOIN norm b ON a.vec_id < b.vec_id)
 SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.4"""
 
 
@@ -697,3 +709,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode row-parallel)."""
     m = _media_view(_read(spark, sf_dir, "documents"))
     return frame_sample_plan(m, every_ms=1000)
+
+
+@_q("similarity_topk_ivf")  # approximate: rows-only driver check
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (16 k-means lists, 4 probes): data-adaptive bucket
+    partitioning — the complement to the hyperplane-LSH path for clustered
+    embeddings. Recall vs brute force is pinned in tests/test_llm_ops.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4)

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator: per-entity running EMA via
+``applyInPandasWithState``.
+
+The reference has no stateful operators at all (SURVEY.md §2.9) — its
+"state" is the Redis latest-value store refreshed by scheduled batch. A
+real 100 TB streaming pipeline needs arbitrary per-key state that outlives
+a single microbatch; this module is the pattern instance:
+
+- state is per entity key (group), bounded by entity cardinality;
+- each microbatch updates the EMA from that key's new rows in event-time
+  order and emits one row per updated key;
+- a processing-time timeout evicts keys idle longer than ``state_ttl``
+  (the streaming analogue of the feature view's 7-day TTL).
+
+The same shape covers sessionization, CDC-style dedup windows, and online
+feature freshness counters — swap the pandas body, keep the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EMA_OUTPUT_SCHEMA = (
+    "entity_id string, ema double, n_obs long, last_ts timestamp"
+)
+EMA_STATE_SCHEMA = "ema double, n_obs long, last_ts_us long"
+
+
+def _ema_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    alpha: float,
+    value_col: str,
+    ts_col: str,
+    state_ttl_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ema, n_obs, last_ts_us = state.get if state.exists else (None, 0, None)
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.dropna(subset=[value_col]).sort_values(ts_col, kind="stable")
+    for v in rows[value_col]:
+        v = float(v)
+        ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+        n_obs += 1
+    if len(rows):
+        last_ts_us = int(rows[ts_col].iloc[-1].value // 1_000)
+    state.update((ema, n_obs, last_ts_us))
+    if state_ttl_ms is not None:
+        state.setTimeoutDuration(state_ttl_ms)
+    yield pd.DataFrame(
+        {
+            "entity_id": [key[0]],
+            "ema": [ema],
+            "n_obs": [n_obs],
+            "last_ts": [pd.Timestamp(last_ts_us * 1_000) if last_ts_us else pd.NaT],
+        }
+    )
+
+
+def running_aqi_ema(
+    events: DataFrame,
+    *,
+    key_col: str = "entity_id",
+    value_col: str = "aqi",
+    ts_col: str = "feature_timestamp",
+    alpha: float = 0.3,
+    state_ttl_ms: int | None = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming per-entity exponential moving average.
+
+    Input must be a *streaming* DataFrame keyed by ``key_col``. Emits one
+    ``(entity_id, ema, n_obs, last_ts)`` row per key per microbatch in
+    update mode. ``state_ttl_ms=None`` disables eviction."""
+
+    def fn(key, batches, state):
+        yield from _ema_update(
+            key,
+            batches,
+            state,
+            alpha=alpha,
+            value_col=value_col,
+            ts_col=ts_col,
+            state_ttl_ms=state_ttl_ms,
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

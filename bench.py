@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aqi_featurestore_spark.plans import QUERIES  # noqa: E402
 from aqi_featurestore_spark.session import get_spark  # noqa: E402
 
-# Headliners: the flagship feature-store path + representative scan/agg/
-# window/join/text shapes. Keys must exist in the query registry.
+# Headliners: the flagship feature-store path, representative scan/agg/
+# window/join shapes, and one flagship per LLM-data-pipeline family
+# (text analysis, near-dedup, similarity search, multimodal). Keys must
+# exist in the query registry.
 BENCH_QUERIES = [
     "feature_derivation",
     "latest_per_key",
@@ -35,6 +37,17 @@ BENCH_QUERIES = [
     "top_k_per_group",
     "dedup_exact_docs",
     "text_stats",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "embedding_cosine_dedup",
+    "embedding_cosine_dedup_lsh",
+    "similarity_topk_cosine",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "multimodal_features",
 ]
 
 

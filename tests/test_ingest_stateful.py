@@ -1,0 +1,139 @@
+"""Ingest connectors (grid sweep, JSON/NDJSON) and the stateful streaming
+EMA operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.sources.ingest import (
+    RAW_RECORD,
+    fetch_grid,
+    grid_cells,
+    read_ndjson,
+    read_raw_json,
+)
+from aqi_featurestore_spark.streaming.stateful import running_aqi_ema
+
+
+def test_grid_cells_reference_shape(spark):
+    grid = grid_cells(spark)
+    # the reference's 17 x 27 northern-Vietnam sweep (extract.py:17-19)
+    assert grid.count() == 17 * 27
+    mm = grid.agg(
+        F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")
+    ).first()
+    assert (mm[0], mm[1], mm[2], mm[3]) == (19.5, 23.5, 102.0, 108.5)
+
+
+def test_fetch_grid_distributed_fetcher(spark):
+    def fake_fetcher(lat, lon, start, end):
+        # two hourly records per cell, deterministic values
+        return [
+            {
+                "dt": start + i * 3600,
+                "lat": lat,
+                "lon": lon,
+                "aqi_level": 2,
+                "co": 0.1,
+                "no": 0.0,
+                "no2": 0.2,
+                "o3": 0.3,
+                "so2": 0.4,
+                "pm2_5": 10.0 + lat,
+                "pm10": 20.0,
+                "nh3": 0.5,
+            }
+            for i in range(2)
+        ]
+
+    cells = grid_cells(spark, lat_min=20.0, lat_max=20.5, lon_min=105.0,
+                       lon_max=105.25, step=0.25)  # 3 x 2 cells
+    out = fetch_grid(cells, fake_fetcher, start=1672531200, end=1672538400,
+                     partitions=4)
+    rows = out.collect()
+    assert len(rows) == 6 * 2
+    assert out.schema == RAW_RECORD
+    one = [r for r in rows if r["lat"] == 20.0 and r["lon"] == 105.0]
+    assert {r["dt"] for r in one} == {1672531200, 1672534800}
+    assert one[0]["pm2_5"] == 30.0
+
+
+def test_read_raw_json_and_ndjson(spark, tmp_path):
+    recs = [
+        {"dt": 1672531200, "lat": 21.0, "lon": 105.75, "aqi_level": 2,
+         "co": 0.1, "no": 0.0, "no2": 0.2, "o3": 0.3, "so2": 0.4,
+         "pm2_5": 12.5, "pm10": 20.0, "nh3": 0.5},
+        {"dt": 1672534800, "lat": 21.0, "lon": 105.75, "aqi_level": 3,
+         "co": 0.1, "no": 0.0, "no2": 0.2, "o3": 0.3, "so2": 0.4,
+         "pm2_5": 40.0, "pm10": 25.0, "nh3": 0.5},
+    ]
+    arr = tmp_path / "raw.json"
+    arr.write_text(json.dumps(recs))
+    df = read_raw_json(spark, str(arr))
+    # Spark disallows filtering on _corrupt_record alone pre-cache; check
+    # the parsed payload columns instead.
+    assert df.where(F.col("dt").isNotNull()).count() == 2
+    assert df.schema["dt"].dataType.typeName() == "long"
+    assert "_corrupt_record" in df.columns
+
+    nd = tmp_path / "lineage.ndjson"
+    nd.write_text("\n".join(json.dumps(r) for r in recs))
+    df2 = read_ndjson(spark, str(nd), schema=RAW_RECORD)
+    assert df2.count() == 2
+    assert [r["pm2_5"] for r in df2.orderBy("dt").collect()] == [12.5, 40.0]
+
+
+def test_running_ema_stateful_stream(spark, tmp_path):
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    schema = "entity_id string, aqi double, feature_timestamp timestamp"
+    batch1 = spark.createDataFrame(
+        [("a", 10.0, "2023-01-01 00:00:00"), ("a", 20.0, "2023-01-01 01:00:00"),
+         ("b", 50.0, "2023-01-01 00:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_rows = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            out_rows[r["entity_id"]] = r
+
+    q = (
+        running_aqi_ema(stream, alpha=0.5, state_ttl_ms=None)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # a: ema = 0.5*20 + 0.5*10 = 15 after two obs; b: single obs -> 50
+    assert out_rows["a"]["ema"] == pytest.approx(15.0)
+    assert out_rows["a"]["n_obs"] == 2
+    assert out_rows["b"]["ema"] == pytest.approx(50.0)
+
+    # second increment: state persists across microbatches via checkpoint
+    batch2 = spark.createDataFrame(
+        [("a", 35.0, "2023-01-01 02:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = (
+        running_aqi_ema(spark.readStream.schema(schema).parquet(str(src)),
+                        alpha=0.5, state_ttl_ms=None)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert out_rows["a"]["ema"] == pytest.approx(0.5 * 35.0 + 0.5 * 15.0)
+    assert out_rows["a"]["n_obs"] == 3
+    assert out_rows["a"]["last_ts"].hour == 2

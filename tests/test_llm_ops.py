@@ -19,6 +19,7 @@ from aqi_featurestore_spark.operators.near_dedup import (
 )
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_cosine_pairs,
 )
@@ -118,6 +119,27 @@ def test_lsh_recall_vs_bruteforce(spark):
         key = (r["q_id"], r["n_id"])
         if key in exact_scores:
             assert r["cos_sim"] == exact_scores[key]
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    vecs = _vectors(spark, n=80, dim=16)
+    q = vecs.where(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk_bruteforce(q, vecs, k=5).collect()
+    approx = cosine_topk_ivf(q, vecs, k=5, n_lists=8, n_probe=3).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8  # smooth manifold clusters cleanly -> high recall
+    # overlapping pairs carry the exact cosine (IVF rescoring is exact)
+    exact_scores = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]
+    # determinism: same seed -> same result set
+    again = {(r["q_id"], r["n_id"]) for r in
+             cosine_topk_ivf(q, vecs, k=5, n_lists=8, n_probe=3).collect()}
+    assert again == approx_set
 
 
 def test_embedding_cosine_pairs_exact_and_lsh(spark):
