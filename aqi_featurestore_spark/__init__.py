@@ -22,4 +22,18 @@ from aqi_featurestore_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["FeatureStore", "FeatureView", "get_spark", "__version__"]
+
+
+def __getattr__(name: str):
+    # Lazy: store/registry pull in operator modules; keep bare package
+    # import light for tooling.
+    if name == "FeatureStore":
+        from aqi_featurestore_spark.store import FeatureStore
+
+        return FeatureStore
+    if name == "FeatureView":
+        from aqi_featurestore_spark.registry import FeatureView
+
+        return FeatureView
+    raise AttributeError(name)

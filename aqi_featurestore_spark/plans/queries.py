@@ -719,3 +719,50 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4)
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name"""
+
+
+@_q("revenue_by_nation", _REVENUE_BY_NATION_SQL)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join aggregate: fact scan with a pushed date
+    predicate, dimension joins broadcast (region/nation/customer are tiny
+    next to lineitem), decimal-exact revenue accumulation. The shape that
+    exercises AQE join planning at 100 TB."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev_i = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 10000, 0).cast("long")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        (F.sum(rev_i.cast("decimal(38,0)")).cast("double") / 1000000.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
