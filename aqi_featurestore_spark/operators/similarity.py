@@ -128,29 +128,32 @@ def cosine_topk_lsh(
     mask = (1 << width) - 1
 
     def with_bands(df: DataFrame, role: str) -> DataFrame:
+        # ids + band bits ONLY: the candidate join and its dedup shuffle
+        # move fixed-width keys, never the vectors.
         sk = hyperplane_sketch(vec_col, n_planes=n_planes, dim=dim)
-        banded = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            _normalized(_as_double(vec_col)).alias(f"{role}_vec"),
-            sk.alias("sketch"),
-        )
+        banded = df.select(F.col(id_col).alias(f"{role}_id"), sk.alias("sketch"))
         bands_arr = F.array(
             *[
                 F.shiftrightunsigned("sketch", b * width).bitwiseAND(F.lit(mask))
                 for b in range(bands)
             ]
         )
-        return banded.select(
-            f"{role}_id", f"{role}_vec", F.posexplode(bands_arr).alias("band", "bits")
-        )
+        return banded.select(f"{role}_id", F.posexplode(bands_arr).alias("band", "bits"))
 
-    qb = with_bands(queries, "q")
-    cb = with_bands(corpus, "n")
-    cand = (
-        qb.join(cb, ["band", "bits"])
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), _normalized(_as_double(vec_col)).alias("q_vec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"), _normalized(_as_double(vec_col)).alias("n_vec")
+    )
+    cand_ids = (
+        with_bands(queries, "q")
+        .join(with_bands(corpus, "n"), ["band", "bits"])
         .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
+    cand = cand_ids.join(F.broadcast(qv), "q_id").join(nv, "n_id")
     cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
@@ -189,11 +192,12 @@ def embedding_cosine_pairs(
         width = n_planes // bands
         mask = (1 << width) - 1
         sketched = v.select(
-            "id", "vec", hyperplane_sketch("vec", n_planes=n_planes, dim=dim).alias("sketch")
+            "id", hyperplane_sketch("vec", n_planes=n_planes, dim=dim).alias("sketch")
         )
+        # candidate generation + dedup on bare id pairs; vectors join back
+        # after the shuffle (fixed-width keys move, arrays don't)
         banded = sketched.select(
             "id",
-            "vec",
             F.posexplode(
                 F.array(
                     *[
@@ -204,21 +208,19 @@ def embedding_cosine_pairs(
             ).alias("band", "bits"),
         )
         a, b_ = banded.alias("a"), banded.alias("b")
-        cand = (
+        cand_ids = (
             a.join(
                 b_,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bits") == F.col("b.bits"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(
-                F.col("a.id").alias("d1"),
-                F.col("a.vec").alias("v1"),
-                F.col("b.id").alias("d2"),
-                F.col("b.vec").alias("v2"),
-            )
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
             .dropDuplicates(["d1", "d2"])
         )
+        v1 = v.select(F.col("id").alias("d1"), F.col("vec").alias("v1"))
+        v2 = v.select(F.col("id").alias("d2"), F.col("vec").alias("v2"))
+        cand = cand_ids.join(v1, "d1").join(v2, "d2")
     else:
         # The pair join is a broadcast nested loop; parallelism comes
         # entirely from the streamed side's partitioning, and a small

@@ -312,22 +312,27 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_i = F.round((F.lit(1) - F.col("l_discount")) * 10000, 0).cast("long")
     tax_i = F.round((F.lit(1) + F.col("l_tax")) * 10000, 0).cast("long")
     d_i = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    # Single-column sums stay LONG (qty_i<=1e2, price_i<=2e7, d_i<=1e4:
+    # no overflow below ~1e11 rows/group); only the scaled *products*
+    # (up to ~2e15 per row) need DECIMAL(38,0) accumulators. BigDecimal
+    # aggregation is ~2.5x the cost of long sums — pay it only where the
+    # range demands it.
     big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (
         l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(big(qty_i)).cast("double").alias("sum_qty"),
-            (F.sum(big(price_i)).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            F.sum(qty_i).cast("double").alias("sum_qty"),
+            (F.sum(price_i).cast("double") / F.lit(100.0)).alias("sum_base_price"),
             (F.sum(big(price_i * disc_i)).cast("double") / F.lit(1000000.0)).alias(
                 "sum_disc_price"
             ),
             (F.sum(big(price_i * disc_i * tax_i)).cast("double") / F.lit(10000000000.0)).alias(
                 "sum_charge"
             ),
-            (F.sum(big(qty_i)).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(big(price_i)).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
-            (F.sum(big(d_i)).cast("double") / F.lit(10000.0) / F.count("*")).alias("avg_disc"),
+            (F.sum(qty_i).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price_i).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (F.sum(d_i).cast("double") / F.lit(10000.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -765,4 +770,68 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         (F.sum(rev_i.cast("decimal(38,0)")).cast("double") / 1000000.0).alias("revenue"),
         F.count("*").alias("n_items"),
+    )
+
+
+_SESSION_SQL = r"""
+WITH o AS (
+  SELECT user_id, ts, CAST(round("value" * 100, 0) AS BIGINT) AS v FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id, count(*) AS n_obs, CAST(SUM(v) AS BIGINT) AS sum_value_c
+FROM s GROUP BY user_id, sid"""
+
+
+@_q("session_windows", _SESSION_SQL)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) over the event stream; the oracle is
+    the classic gaps-and-islands formulation. New session iff
+    ts - prev_ts >= gap, matching session_window's half-open [start, end)
+    merge rule."""
+    from aqi_featurestore_spark.streaming.jobs import sessionized_activity
+
+    events = _read(spark, sf_dir, "events")
+    return sessionized_activity(events, gap="30 minutes")
+
+
+_HOURLY_ROLLUP_SQL = r"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       user_id,
+       count(*) AS n_obs,
+       CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       max("value") AS max_value
+FROM events GROUP BY 1, 2, 3"""
+
+
+@_q("hourly_rollup", _HOURLY_ROLLUP_SQL)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-entity rollup (the hypertable-rollup shape;
+    streaming analogue of the reference's hourly cadence, ST4). Integer
+    centi-sums keep the aggregate summation-order independent."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_c"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_obs",
+            "sum_value_c",
+            "max_value",
+        )
     )

@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Default 4 MiB open-cost quantizes small files into few splits; a
+        # 12 MiB single-file table would scan on 3 cores out of 32. 256 KiB
+        # keeps small-table scans parallel and is irrelevant for TB-scale
+        # files (split size there is governed by maxPartitionBytes).
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -100,3 +100,27 @@ def windowed_aqi_aggregate(
             "max_value",
         )
     )
+
+
+def sessionized_activity(
+    events: DataFrame, *, gap: str = "30 minutes", ts: str = "ts"
+) -> DataFrame:
+    """Session-window per-entity aggregate (dynamic-gap windows — the
+    third windowing family next to tumbling/sliding). Works on batch and
+    streaming inputs; in streaming pair with ``withWatermark`` so closed
+    sessions finalize. Value sums accumulate in integer centi-units so the
+    result is summation-order independent (cross-engine exact)."""
+    return (
+        events.groupBy(F.session_window(ts, gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_obs",
+            "sum_value_c",
+        )
+    )

@@ -1,0 +1,81 @@
+"""Property-based check of the point-in-time join against a brute-force
+Python model: for random histories and spines, the as-of row is always the
+max feature_timestamp <= event_ts within TTL, ties broken by tie_break,
+left semantics preserved."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.pit_join import point_in_time_join
+
+BASE = datetime(2023, 1, 1)
+TTL = timedelta(hours=12)
+
+entities = st.sampled_from(["a", "b", "c"])
+# offsets in hours; duplicates on purpose (append-only stores re-append)
+feature_rows = st.lists(
+    st.tuples(entities, st.integers(0, 72), st.integers(0, 1000)),
+    min_size=0, max_size=40,
+)
+spine_rows = st.lists(
+    st.tuples(entities, st.integers(-4, 76)), min_size=1, max_size=25
+)
+
+
+def _model(features, spine):
+    out = []
+    for ent, ev_h in spine:
+        ev = BASE + timedelta(hours=ev_h)
+        cands = [
+            (BASE + timedelta(hours=fh), seq, val)
+            for (fe, fh, seq) in features
+            for val in [float(seq)]
+            if fe == ent
+            and BASE + timedelta(hours=fh) <= ev
+            and BASE + timedelta(hours=fh) >= ev - TTL
+        ]
+        if cands:
+            best = max(cands, key=lambda c: (c[0], c[1]))
+            out.append((ent, ev, best[2]))
+        else:
+            out.append((ent, ev, None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(features=feature_rows, spine=spine_rows)
+def test_pit_join_matches_bruteforce_model(spark, features, spine):
+    feat_df = spark.createDataFrame(
+        [
+            (ent, BASE + timedelta(hours=fh), seq, float(seq))
+            for (ent, fh, seq) in features
+        ]
+        or [("zz", BASE, -1, -1.0)],  # schema anchor; entity never queried
+        "entity_id string, feature_timestamp timestamp, event_id long, val double",
+    )
+    spine_df = spark.createDataFrame(
+        [(ent, BASE + timedelta(hours=h)) for (ent, h) in spine],
+        "entity_id string, event_timestamp timestamp",
+    )
+    out = point_in_time_join(
+        spine_df,
+        feat_df,
+        ["entity_id"],
+        ttl=TTL,
+        feature_cols=["val"],
+        tie_break=["event_id"],
+    )
+    got = sorted(
+        [(r["entity_id"], r["event_timestamp"], r["val"]) for r in out.collect()],
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got == _model(features, spine)
