@@ -481,27 +481,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "quality_score",
-    r"""SELECT doc_id,
-  CAST(length(text) AS INT) AS n_chars,
-  CAST(CASE WHEN trim(text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+    r"""WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+         ' ' || lower(text) || ' ' AS p
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
   length(regexp_replace(text, '[^0-9]', '', 'g'))
-    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS digit_ratio,
+    / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) END) AS digit_ratio,
   length(regexp_replace(text, '[^A-Z]', '', 'g'))
-    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS upper_ratio,
+    / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) END) AS upper_ratio,
   length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END) AS punct_ratio,
-  CAST(length(text) AS DOUBLE)
-    / (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
-       THEN CAST((CASE WHEN trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
-    AS avg_token_len
-FROM documents""",
+    / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) END) AS punct_ratio,
+  CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+     + (length(p) - length(replace(p, ' and ', ''))) / 5
+     + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT)
+    / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END) AS stopword_ratio,
+  CAST(n_chars AS DOUBLE)
+    / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END) AS avg_token_len
+FROM q""",
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality signals: exact counts + single NULL-safe divisions
-    (deterministic across engines)."""
+    (deterministic across engines). Stopword ratio uses the en function-word
+    markers (whole-word occurrence counts / token count)."""
     d = _read(spark, sf_dir, "documents")
     qf = quality_features("text")
     return d.select(
@@ -511,6 +516,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         qf["digit_ratio"].alias("digit_ratio"),
         qf["upper_ratio"].alias("upper_ratio"),
         qf["punct_ratio"].alias("punct_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
         qf["avg_token_len"].alias("avg_token_len"),
     )
 

@@ -42,3 +42,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return read_events(spark, sf_dir)
     _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the full surface is
+    queryable through ``spark.sql`` (the reference's SQL probes, S10; and
+    ANSI-SQL users generally). Views are lazily planned — registration
+    costs nothing until queried."""
+    import os
+
+    for name in TESTDATA_TABLES:
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)

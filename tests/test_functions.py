@@ -75,3 +75,22 @@ def test_next_hour_rollover(spark):
     assert (wrap["next_hour"], wrap["next_day"], wrap["next_dayOfWeek"]) == (0, 8, 2)
     nowrap = next(r for r in rows if r["hour"] == 10)
     assert (nowrap["next_hour"], nowrap["next_day"], nowrap["next_dayOfWeek"]) == (11, 7, 1)
+
+
+def test_sql_surface_over_registered_views(spark):
+    from aqi_featurestore_spark.sources.testdata import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    # the reference's COUNT(*) existence probe shape (S10, load.py:71-81)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM events WHERE event_type = 'signup'"
+    ).first()["n"]
+    assert n > 0
+    # joins + windows compose through pure SQL too
+    top = spark.sql(
+        """SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+             FROM events) WHERE rn = 1 LIMIT 5"""
+    ).collect()
+    assert len(top) == 5
