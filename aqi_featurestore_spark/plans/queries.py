@@ -841,3 +841,33 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+_DEDUP_RESOLVE_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+groups AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM groups)
+   OR d.doc_id IN (SELECT doc_id FROM groups WHERE doc_id = group_id)"""
+
+
+@_q("dedup_resolve_docs", _DEDUP_RESOLVE_SQL)
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup lifecycle: n-gram Jaccard pairs -> connected
+    components (label propagation) -> keep the min-id canonical doc per
+    cluster + all unimplicated docs. The oracle computes the same
+    components with a recursive CTE (transitive closure)."""
+    from aqi_featurestore_spark.operators.dedup_groups import resolve_duplicates
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    return resolve_duplicates(d, pairs).select("doc_id", "lang", "n_chars")

@@ -190,3 +190,24 @@ def test_media_features_stub(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_media_features(media, fake=False).collect()
+
+
+def test_connected_components_and_resolution(spark):
+    from aqi_featurestore_spark.operators.dedup_groups import (
+        connected_components,
+        resolve_duplicates,
+    )
+
+    # chain {1,2,3} via (1,2),(2,3); pair {5,6}; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "d1 long, d2 long"
+    )
+    groups = {r["doc_id"]: r["group_id"]
+              for r in connected_components(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in (1, 2, 3, 4, 5, 6, 7)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in resolve_duplicates(docs, pairs).collect())
+    assert kept == [1, 4, 5, 7]  # canonical per cluster + untouched docs
