@@ -648,9 +648,11 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dedup: hyperplane-sketch band join
     replaces the O(n^2) pair scan; exact cosine rescoring on candidates.
-    Recall vs the exact variant is pinned in tests/test_llm_ops.py."""
+    32 planes / 4 bands = 8-bit bands (256 buckets each) — selective
+    enough that candidates stay a small fraction of all pairs. Recall vs
+    the exact variant is pinned in tests/test_llm_ops.py."""
     e = _read(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, threshold=0.4, lsh=True)
+    return embedding_cosine_pairs(e, threshold=0.4, lsh=True, n_planes=32, bands=4)
 
 
 def _media_view(d: DataFrame) -> DataFrame:
