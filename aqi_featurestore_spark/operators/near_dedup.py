@@ -261,3 +261,61 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def exact_jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard computed ONLY for the given candidate pairs
+    (d1, d2) — the verification half of detect-approx -> verify-exact.
+
+    Each doc carries its shingle set as sorted 64-bit hashes (fixed-width;
+    bodies never join), so the per-pair cost is one array intersection of
+    the two candidate docs, not a corpus-wide shingle self-join. Exact up
+    to xxhash64 shingle collisions (~2^-64 per shingle pair)."""
+    sets_df = (
+        _doc_shingles(_spread(docs), id_col=id_col, text_col=text_col, k=k)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("sh"))
+    )
+    s1 = sets_df.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sets_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    joined = pairs.select("d1", "d2").join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return joined.select(
+        "d1", "d2",
+        inter.alias("inter"),
+        F.size("sh1").alias("n1"),
+        F.size("sh2").alias("n2"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dedup shape at 100 TB: MinHash-LSH generates
+    candidates (no pairwise scan), exact Jaccard verifies each candidate
+    (no estimation error in the final answer). Output rows carry the TRUE
+    jaccard, thresholded exactly."""
+    sigs = minhash_signatures(
+        _spread(docs), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    )
+    cand = minhash_lsh_candidates(
+        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
+    )
+    exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
+    return exact.where(F.col("jaccard") >= threshold)

@@ -873,3 +873,15 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
     return resolve_duplicates(d, pairs).select("doc_id", "lang", "n_chars")
+
+
+@_q("minhash_verified_dedup")  # approximate candidates: rows-only driver check
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dedup shape: MinHash-LSH candidate generation +
+    exact Jaccard verification per candidate — the output carries TRUE
+    jaccard values (pytest pins agreement with the exact n-gram oracle on
+    every surfaced pair)."""
+    from aqi_featurestore_spark.operators.near_dedup import minhash_verified_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_verified_pairs(d, threshold=0.3)

@@ -43,11 +43,58 @@ class Registry:
         self.spark = spark
         self.path = path
         self._views: dict[str, FeatureView] = {}
+        self._load_views()
 
-    # -- feature views (in-process catalog; persisted as parquet) ----------
+    # -- feature views (persisted JSON catalog, like feast's registry.db) --
+
+    def _views_path(self) -> str:
+        return os.path.join(self.path, "feature_views.json")
+
+    def _load_views(self) -> None:
+        import json
+
+        p = self._views_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            for v in json.load(f):
+                view = FeatureView(
+                    name=v["name"],
+                    entities=tuple(v["entities"]),
+                    ttl=timedelta(seconds=v["ttl_seconds"]),
+                    features=tuple((n, t) for n, t in v["features"]),
+                    source=v["source"],
+                    timestamp_field=v["timestamp_field"],
+                    tags=tuple((k, t) for k, t in v["tags"]),
+                )
+                self._views[view.name] = view
+
+    def _save_views(self) -> None:
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        payload = [
+            {
+                "name": v.name,
+                "entities": list(v.entities),
+                "ttl_seconds": int(v.ttl.total_seconds()),
+                "features": [list(f) for f in v.features],
+                "source": v.source,
+                "timestamp_field": v.timestamp_field,
+                "tags": [list(t) for t in v.tags],
+            }
+            for v in self._views.values()
+        ]
+        tmp = f"{self._views_path()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._views_path())  # atomic, crash-safe
 
     def apply(self, view: FeatureView) -> None:
+        """Register (or re-register) a view; persisted immediately so a new
+        process sees it (the reference's registry.db semantics)."""
         self._views[view.name] = view
+        self._save_views()
 
     def list_feature_views(self) -> list[FeatureView]:
         """S17: name/schema/entities/ttl/source listing."""

@@ -107,3 +107,14 @@ def test_online_upsert_overwrites(store, spark):
         "aqi_info_v1", keys, as_of=F.to_timestamp(F.lit("2023-01-03 00:00:00"))
     ).collect()
     assert out[0]["aqi"] == 99.0 and out[0]["hour"] == 5
+
+
+def test_registry_persists_across_instances(spark, tmp_path):
+    fs1 = FeatureStore(spark, str(tmp_path / "fs_persist"))
+    fs1.apply(VIEW)
+    # a brand-new FeatureStore over the same path sees the applied view
+    fs2 = FeatureStore(spark, str(tmp_path / "fs_persist"))
+    views = fs2.list_feature_views()
+    assert [v.name for v in views] == ["aqi_info_v1"]
+    assert views[0].ttl == VIEW.ttl
+    assert views[0].features == VIEW.features

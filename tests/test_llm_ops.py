@@ -211,3 +211,17 @@ def test_connected_components_and_resolution(spark):
     )
     kept = sorted(r["doc_id"] for r in resolve_duplicates(docs, pairs).collect())
     assert kept == [1, 4, 5, 7]  # canonical per cluster + untouched docs
+
+
+def test_minhash_verified_agrees_with_exact(spark):
+    from aqi_featurestore_spark.operators.near_dedup import minhash_verified_pairs
+
+    docs = _docs(spark)
+    verified = {(r["d1"], r["d2"]): r["jaccard"]
+                for r in minhash_verified_pairs(docs, threshold=0.3).collect()}
+    exact = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    # candidates the LSH surfaced carry the TRUE jaccard, not an estimate
+    for pair, j in verified.items():
+        assert exact[pair] == pytest.approx(j)
+    assert (1, 3) in verified and verified[(1, 3)] == 1.0
