@@ -885,3 +885,25 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return minhash_verified_pairs(d, threshold=0.3)
+
+
+_SPLIT_SQL = r"""
+SELECT event_id, user_id,
+       CASE WHEN (4096 * (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                +  256 * (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)
+                +   16 * (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1)
+                +        (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 4, 1)) - 1))
+              < 52428 THEN 'train' ELSE 'test' END AS split
+FROM events"""
+
+
+@_q("train_test_split", _SPLIT_SQL)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 split labels from md5(event_id) — no RNG, no
+    shuffle, engine-portable (oracle parses the same 4 hex digits)."""
+    from aqi_featurestore_spark.operators.split import with_split_label
+
+    events = _read(spark, sf_dir, "events")
+    return with_split_label(
+        events.select("event_id", "user_id"), "event_id", train_fraction=0.8
+    )

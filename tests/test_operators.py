@@ -157,3 +157,23 @@ def test_lag_features(spark):
         ).count()
         == 1
     )
+
+
+def test_hash_split_stability_and_group_safety(spark):
+    from aqi_featurestore_spark.operators.split import hash_split, with_split_label
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 500).alias("entity_id")
+    )
+    train, test = hash_split(df, "entity_id", train_fraction=0.8)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 10_000
+    assert 0.7 < n_train / 10_000 < 0.9  # ~binomial(500, .8) of entities
+    # leakage safety: every entity entirely on one side
+    sides = with_split_label(df, "entity_id").groupBy("entity_id").agg(
+        F.count_distinct("split").alias("n")
+    )
+    assert sides.where(F.col("n") > 1).count() == 0
+    # rerun-stable
+    train2, _ = hash_split(df, "entity_id", train_fraction=0.8)
+    assert train2.count() == n_train
