@@ -55,15 +55,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    broadcast_max_docs: int = 50_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over k-word shingle sets for every pair
     sharing at least one shingle. Returns (d1, d2, inter, n1, n2, jaccard)
-    with d1 < d2."""
+    with d1 < d2.
+
+    For corpora under ``broadcast_max_docs`` (metadata-cheap count) the
+    shingle side of the self-join is broadcast — the join runs map-side
+    with zero shuffle of the exploded shingles. Above it, the sort-merge
+    shuffle join is the scale path (AQE splits common-shingle skew)."""
+    small = docs.count() <= broadcast_max_docs
+    if small:
+        docs = _spread(docs)
     sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
+    b_side = F.broadcast(b) if small else b
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+        a.join(b_side, (F.col(f"a.shingle") == F.col(f"b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .agg(F.count("*").alias("inter"))
