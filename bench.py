@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "minhash_lsh_dedup",
+    "minhash_verified_dedup",
+    "ngram_jaccard_pairs",
     "simhash_dedup",
     "embedding_cosine_dedup",
     "embedding_cosine_dedup_lsh",
