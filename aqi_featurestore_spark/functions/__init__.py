@@ -11,6 +11,13 @@ from aqi_featurestore_spark.functions.aqi import (
     aqi_from_pm25,
     aqi_level_label,
 )
+from aqi_featurestore_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    word_shingles,
+)
 from aqi_featurestore_spark.functions.time_features import (
     entity_key,
     next_hour_features,
@@ -22,8 +29,13 @@ __all__ = [
     "AQI_BREAKPOINTS",
     "aqi_from_pm25",
     "aqi_level_label",
+    "doc_fingerprint",
     "entity_key",
+    "lang_id",
     "next_hour_features",
+    "quality_features",
     "reconstructed_datetime",
     "time_feature_columns",
+    "token_count",
+    "word_shingles",
 ]

@@ -79,3 +79,45 @@ def test_pit_join_matches_bruteforce_model(spark, features, spine):
         key=lambda r: (r[0], r[1], r[2] is None, r[2]),
     )
     assert got == _model(features, spine)
+
+
+# -- AQI piecewise property -------------------------------------------------
+
+AQI_BP = (
+    (0.0, 12.0, 0, 50), (12.1, 35.4, 51, 100), (35.5, 55.4, 101, 150),
+    (55.5, 150.4, 151, 200), (150.5, 250.4, 201, 300),
+    (250.5, 350.4, 301, 400), (350.5, 500.4, 401, 500),
+)
+
+
+def _aqi_model(c, default):
+    if c is None:
+        return None
+    for lo, hi, ilo, ihi in AQI_BP:
+        if lo <= c <= hi:
+            return ((ihi - ilo) / (hi - lo)) * (c - lo) + float(ilo)
+    return default  # out of range AND breakpoint gaps (e.g. 12.05)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-10, max_value=520, allow_nan=False),
+            # hammer the gap/boundary regions
+            st.sampled_from([12.0, 12.05, 12.1, 35.45, 55.45, 150.45, 500.4, 500.5]),
+        ),
+        min_size=1, max_size=30,
+    ),
+    default=st.sampled_from([8.5, None, 500.0]),
+)
+def test_aqi_expression_matches_python_model(spark, values, default):
+    from aqi_featurestore_spark.functions.aqi import aqi_from_pm25
+
+    df = spark.createDataFrame([(v,) for v in values], "pm double")
+    got = [r["aqi"] for r in
+           df.select(aqi_from_pm25("pm", default=default).alias("aqi")).collect()]
+    want = [_aqi_model(v, default) for v in values]
+    assert got == want
