@@ -907,3 +907,41 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_split_label(
         events.select("event_id", "user_id"), "event_id", train_fraction=0.8
     )
+
+
+_MODEL_METRICS_SQL = f"""{_PIT_CTES},
+valid AS (SELECT * FROM pit WHERE aqi IS NOT NULL),
+lagged AS (
+  SELECT entity_id, aqi,
+         lag(aqi, 1) OVER (
+           PARTITION BY entity_id
+           ORDER BY floor(epoch(event_timestamp)) + hour * 3600,
+                    event_timestamp) AS yhat
+  FROM valid),
+p AS (SELECT aqi AS y, yhat FROM lagged WHERE yhat IS NOT NULL),
+s1 AS (
+  SELECT CAST(SUM(CAST(round(abs(y - yhat) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_abs,
+         CAST(SUM(CAST(round((y - yhat) * (y - yhat) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_sq,
+         CAST(SUM(CAST(round(y * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_y,
+         COUNT(*) AS n
+  FROM p),
+m AS (SELECT CAST(s_y AS DOUBLE) / 1000000 / n AS y_mean FROM s1),
+s2 AS (
+  SELECT CAST(SUM(CAST(round((y - y_mean) * (y - y_mean) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_tot
+  FROM p CROSS JOIN m)
+SELECT CAST(s_abs AS DOUBLE) / 1000000 / n AS mae,
+       sqrt(CAST(s_sq AS DOUBLE) / 1000000 / n) AS rmse,
+       1.0 - (CAST(s_sq AS DOUBLE) / 1000000) / (CAST(s_tot AS DOUBLE) / 1000000) AS r2,
+       n
+FROM s1 CROSS JOIN s2"""
+
+
+@_q("model_metrics", _MODEL_METRICS_SQL)
+def q_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: MAE/RMSE/R2 of the naive last-hour-persistence predictor over
+    the PIT training frame — two distributed aggregations, 6-dp integer
+    accumulation (summation-order independent; same value in any engine)."""
+    from aqi_featurestore_spark.functions.metrics import regression_metrics
+
+    frame = pipeline.training_set(spark, sf_dir)
+    return regression_metrics(frame, y="aqi", yhat="last_hour_aqi")

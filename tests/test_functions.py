@@ -94,3 +94,21 @@ def test_sql_surface_over_registered_views(spark):
              FROM events) WHERE rn = 1 LIMIT 5"""
     ).collect()
     assert len(top) == 5
+
+
+def test_regression_metrics_hand_computed(spark):
+    import math
+
+    from aqi_featurestore_spark.functions.metrics import regression_metrics
+
+    # y: 1,2,3,4 ; yhat: 1,1,4,6 -> err: 0,1,-1,-2
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 4.0), (4.0, 6.0), (None, 9.9), (5.0, None)],
+        "y double, yhat double",
+    )
+    m = regression_metrics(df, y="y", yhat="yhat").first()
+    assert m["n"] == 4
+    assert m["mae"] == pytest.approx((0 + 1 + 1 + 2) / 4)
+    assert m["rmse"] == pytest.approx(math.sqrt((0 + 1 + 1 + 4) / 4))
+    # SStot around mean 2.5 = 2.25+0.25+0.25+2.25 = 5 ; R2 = 1 - 6/5
+    assert m["r2"] == pytest.approx(1 - 6 / 5)
