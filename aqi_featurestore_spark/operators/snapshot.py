@@ -99,3 +99,24 @@ def online_lookup(
             *[F.when(~expired, F.col(c)).alias(c) for c in feature_cols],
         )
     return out
+
+
+def resolve_entity(
+    requests: DataFrame,
+    dimension: DataFrame,
+    *,
+    text_col: str = "query_text",
+    name_col: str = "name",
+    key_col: str = "entity_id",
+) -> DataFrame:
+    """P8/F15: free-text request -> entity key via case-insensitive
+    containment against a (name, entity_id) dimension table (the
+    reference's city-substring dict, agent.py:29-33,56-58, as a broadcast
+    join). Unmatched requests keep NULL keys — the refusal path."""
+    dim = F.broadcast(
+        dimension.select(
+            F.lower(F.col(name_col)).alias("__name"), F.col(key_col)
+        )
+    )
+    cond = F.contains(F.lower(requests[text_col]), F.col("__name"))
+    return requests.join(dim, cond, "left").drop("__name")

@@ -177,3 +177,23 @@ def test_hash_split_stability_and_group_safety(spark):
     # rerun-stable
     train2, _ = hash_split(df, "entity_id", train_fraction=0.8)
     assert train2.count() == n_train
+
+
+def test_resolve_entity_by_name(spark):
+    from aqi_featurestore_spark.operators.snapshot import resolve_entity
+
+    dim = spark.createDataFrame(
+        [("Hanoi", "21.0_105.75"), ("Haiphong", "20.75_106.75"),
+         ("Thai Binh", "20.5_106.25")],
+        "name string, entity_id string",
+    )
+    reqs = spark.createDataFrame(
+        [(1, "what is the air quality in hanoi today"),
+         (2, "AQI for HAIPHONG please"),
+         (3, "weather on the moon")],
+        "req_id int, query_text string",
+    )
+    out = {r["req_id"]: r["entity_id"] for r in resolve_entity(reqs, dim).collect()}
+    assert out[1] == "21.0_105.75"
+    assert out[2] == "20.75_106.75"
+    assert out[3] is None  # refusal path: unknown location -> NULL
