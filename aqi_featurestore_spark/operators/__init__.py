@@ -30,7 +30,10 @@ from aqi_featurestore_spark.operators.near_dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from aqi_featurestore_spark.operators.pit_join import point_in_time_join
+from aqi_featurestore_spark.operators.pit_join import (
+    point_in_time_join,
+    point_in_time_join_sorted,
+)
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -72,6 +75,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "online_lookup",
     "point_in_time_join",
+    "point_in_time_join_sorted",
     "resolve_duplicates",
     "salted_equi_join",
     "salted_latest_per_key",

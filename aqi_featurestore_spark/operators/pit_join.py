@@ -94,3 +94,83 @@ def point_in_time_join(
 
     out = spine.join(best, on=[*keys, event_ts], how="left")
     return out.select(*spine.columns, *[F.col(f"__best.{c}").alias(c) for c in feature_cols])
+
+
+def point_in_time_join_sorted(
+    spine: DataFrame,
+    features: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    event_ts: str = "event_timestamp",
+    feature_ts: str = "feature_timestamp",
+    ttl: timedelta | None = None,
+    feature_cols: list[str] | None = None,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """As-of join via a single merge-sort pass — the SURVEY §7 alternative
+    physical strategy, semantically identical to :func:`point_in_time_join`.
+
+    Union spine points and feature rows, sort once per entity by
+    (timestamp, spine-last, tie_break), carry the latest feature forward
+    with ``last(ignoreNulls)``, keep spine rows, apply TTL after the fact.
+
+    When to choose which: the join+max_by formulation wins when the spine
+    is small/broadcastable (no sort of the feature log); this one wins
+    when spine and features are both huge and co-sorted work beats the
+    range-join fan-out — cost is one shuffle+sort of (spine UNION
+    features), independent of how many feature rows fall inside each
+    spine row's TTL window (the join formulation materializes every
+    in-window candidate before aggregating them away)."""
+    from pyspark.sql import Window
+
+    keys = keys or ["entity_id"]
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in set(keys)]
+    if feature_ts not in feature_cols:
+        feature_cols = [*feature_cols, feature_ts]
+    tie_break = tie_break or []
+
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in dict.fromkeys([feature_ts, *tie_break, *feature_cols])]
+    )
+    f_rows = features.select(
+        *keys,
+        F.col(feature_ts).alias("__t"),
+        F.lit(0).alias("__is_spine"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(f"__s_{c}")
+          for c in spine.columns if c not in keys],
+    )
+    s_rows = spine.select(
+        *keys,
+        F.col(event_ts).alias("__t"),
+        F.lit(1).alias("__is_spine"),
+        F.lit(None).cast(f_rows.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__s_{c}") for c in spine.columns if c not in keys],
+    )
+    merged = f_rows.unionByName(s_rows)
+
+    # feature rows sort before the spine point at the same timestamp
+    # (feature_ts <= event_ts is inclusive); among same-ts features the
+    # tie_break order makes the LAST one the deterministic winner.
+    order = [F.col("__t"), F.col("__is_spine"), *[F.col(f"__p.{c}") for c in tie_break]]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+
+    out = carried.where(F.col("__is_spine") == 1)
+    best_ts = F.col(f"__last.{feature_ts}")
+    valid = best_ts.isNotNull()
+    if ttl is not None:
+        valid = valid & (
+            best_ts >= F.col("__t") - F.expr(f"INTERVAL {int(ttl.total_seconds())} SECONDS")
+        )
+    return out.select(
+        *keys,
+        F.col("__t").alias(event_ts),
+        *[F.col(f"__s_{c}").alias(c) for c in spine.columns if c not in [*keys, event_ts]],
+        *[F.when(valid, F.col(f"__last.{c}")).alias(c) for c in feature_cols],
+    )

@@ -11,7 +11,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from aqi_featurestore_spark.operators.pit_join import point_in_time_join
+import pytest
+
+from aqi_featurestore_spark.operators.pit_join import (
+    point_in_time_join,
+    point_in_time_join_sorted,
+)
 
 BASE = datetime(2023, 1, 1)
 TTL = timedelta(hours=12)
@@ -47,13 +52,23 @@ def _model(features, spine):
     return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
 
 
+@pytest.fixture(params=[point_in_time_join, point_in_time_join_sorted],
+                ids=["join_maxby", "sort_merge"])
+def pit_impl(request):
+    return request.param
+
+
 @settings(
     max_examples=12,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
 )
 @given(features=feature_rows, spine=spine_rows)
-def test_pit_join_matches_bruteforce_model(spark, features, spine):
+def test_pit_join_matches_bruteforce_model(spark, pit_impl, features, spine):
     feat_df = spark.createDataFrame(
         [
             (ent, BASE + timedelta(hours=fh), seq, float(seq))
@@ -66,7 +81,7 @@ def test_pit_join_matches_bruteforce_model(spark, features, spine):
         [(ent, BASE + timedelta(hours=h)) for (ent, h) in spine],
         "entity_id string, event_timestamp timestamp",
     )
-    out = point_in_time_join(
+    out = pit_impl(
         spine_df,
         feat_df,
         ["entity_id"],
