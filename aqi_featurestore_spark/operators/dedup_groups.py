@@ -20,8 +20,12 @@ equivalent under the hood); no external graph library needed.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -60,6 +64,17 @@ def connected_components(
         labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # Partially-converged labels would silently keep >1 "canonical"
+        # doc per cluster downstream; near-dup components are shallow, so
+        # hitting this means max_iter is badly undersized for the graph.
+        log.warning(
+            "connected_components: %d labels still changing after max_iter=%d "
+            "rounds; components with diameter > max_iter are split and "
+            "resolve_duplicates may keep extra survivors",
+            changed,
+            max_iter,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
 
 

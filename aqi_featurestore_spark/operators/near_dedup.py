@@ -55,17 +55,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
-    broadcast_max_docs: int = 50_000,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over k-word shingle sets for every pair
     sharing at least one shingle. Returns (d1, d2, inter, n1, n2, jaccard)
     with d1 < d2.
 
-    For corpora under ``broadcast_max_docs`` (metadata-cheap count) the
-    shingle side of the self-join is broadcast — the join runs map-side
-    with zero shuffle of the exploded shingles. Above it, the sort-merge
-    shuffle join is the scale path (AQE splits common-shingle skew)."""
-    small = docs.count() <= broadcast_max_docs
+    ``broadcast`` is a pure plan hint (no eager action): True broadcasts
+    the build side of the shingle self-join — right when the exploded
+    shingle set fits executor memory (roughly corpora under ~50k docs);
+    the join then runs map-side with zero shuffle of the shingles. The
+    default False is the 100 TB path: sort-merge shuffle join with AQE
+    splitting common-shingle skew. Deciding from the data would cost a
+    full count() action before the query's own job, so the caller who
+    knows the corpus is small says so."""
+    small = broadcast
     if small:
         docs = _spread(docs)
     sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)

@@ -267,6 +267,7 @@ def cosine_topk_ivf(
     n_lists: int = 16,
     n_probe: int = 4,
     sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
     seed: int = 7,
     round_scores: int = 6,
 ) -> DataFrame:
@@ -283,7 +284,14 @@ def cosine_topk_ivf(
     sample_df = corpus.select(vec_col)
     if sample_fraction < 1.0:
         sample_df = sample_df.sample(fraction=sample_fraction, seed=seed)
-    sample = [np.asarray(r[0], dtype=np.float64) for r in sample_df.collect()]
+    # Centroid quality saturates around ~1e5 training vectors; the cap is
+    # unconditional so the driver NEVER collects the corpus — at 100 TB
+    # only `max_sample` rows ever cross to the driver, regardless of
+    # caller parameters.
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in sample_df.limit(max_sample).collect()
+    ]
     cent = _kmeans_centroids(sample, n_lists, seed=seed)
     cent_t = cent.T  # dim x n_lists
     cent_sq = (cent**2).sum(axis=1)  # n_lists

@@ -72,12 +72,25 @@ def salted_equi_join(
     """Equi-join where ``fact`` has hot keys that overwhelm single
     reducers: fact rows get a deterministic salt in [0, salt_buckets),
     ``dim`` is replicated once per salt value, and the join key becomes
-    (keys..., salt). Output equals ``fact.join(dim, keys, how)``.
+    (keys..., salt). Output equals ``fact.join(dim, keys, how)`` for the
+    fact-preserving join types (inner / left / left_semi / left_anti);
+    right and full-outer are rejected because each unmatched dim row
+    would surface once per salt bucket instead of once.
 
     Use when the dim side is too big to broadcast but small enough to
     replicate ``salt_buckets`` times; otherwise prefer broadcast or AQE.
     ``salt_on`` names fact columns to derive the salt from (default: all
     non-key columns — stable, spreads rows that differ anywhere)."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equi_join supports fact-preserving joins {sorted(allowed)}, "
+            f"got {how!r}: replicated-dim salting would emit unmatched dim rows "
+            f"{salt_buckets}x for right/full outer joins"
+        )
     salt_cols = salt_on or [c for c in fact.columns if c not in set(keys)]
     if not salt_cols:
         salt_cols = keys  # degenerate: constant salt, still correct

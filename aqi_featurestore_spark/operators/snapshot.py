@@ -112,11 +112,27 @@ def resolve_entity(
     """P8/F15: free-text request -> entity key via case-insensitive
     containment against a (name, entity_id) dimension table (the
     reference's city-substring dict, agent.py:29-33,56-58, as a broadcast
-    join). Unmatched requests keep NULL keys — the refusal path."""
+    join). Unmatched requests keep NULL keys — the refusal path.
+
+    Exactly ONE output row per request row: when a request mentions
+    several dimension names, the longest match wins (ties break on the
+    smallest key) — a deterministic version of the reference's
+    first-match dict loop, which depends on dict insertion order."""
+    from pyspark.sql import Window
+
     dim = F.broadcast(
         dimension.select(
             F.lower(F.col(name_col)).alias("__name"), F.col(key_col)
         )
     )
-    cond = F.contains(F.lower(requests[text_col]), F.col("__name"))
-    return requests.join(dim, cond, "left").drop("__name")
+    tagged = requests.withColumn("__req", F.monotonically_increasing_id())
+    cond = F.contains(F.lower(tagged[text_col]), F.col("__name"))
+    w = Window.partitionBy("__req").orderBy(
+        F.length("__name").desc_nulls_last(), F.col(key_col).asc()
+    )
+    return (
+        tagged.join(dim, cond, "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__name", "__req", "__rn")
+    )

@@ -547,9 +547,11 @@ WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.2"""
 @_q("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.2): shingle
-    explode -> hash-key self-join -> count ratio."""
+    explode -> hash-key self-join -> count ratio. The documents corpus at
+    test SFs fits executor memory, so the broadcast hint is set (the 100 TB
+    default is the shuffle join)."""
     d = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    return ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
 
 
 _SIM_DOT = (
@@ -871,7 +873,7 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqi_featurestore_spark.operators.dedup_groups import resolve_duplicates
 
     d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
     return resolve_duplicates(d, pairs).select("doc_id", "lang", "n_chars")
 
 

@@ -1,0 +1,42 @@
+"""Driver-side filesystem metadata ops via the Hadoop FileSystem API.
+
+The engine's stores do a handful of driver-side metadata operations
+(existence probes before dedup gates, tmp-dir cleanup after snapshot
+swaps). `os.path` only understands the local filesystem; on `s3a://` or
+`gs://` paths it silently answers False and the logic that depends on it
+(e.g. the anti-join dedup gate in OfflineStore.append) degrades without
+an error. Going through Hadoop's FileSystem — the same abstraction the
+executors' parquet I/O uses — makes these probes correct on every scheme
+Spark itself can read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def child_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of direct children of ``path`` (empty if it doesn't exist)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; no-op if absent."""
+    fs, jpath = _fs_and_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)

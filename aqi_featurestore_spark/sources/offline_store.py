@@ -27,6 +27,8 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aqi_featurestore_spark.sources import fs
+
 
 class OfflineStore:
     """Append-only partitioned Parquet feature table with incremental
@@ -48,8 +50,11 @@ class OfflineStore:
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            n.startswith("year=") for n in os.listdir(self.path)
+        # Hadoop FileSystem probe, not os.path: on s3a://gs:// paths a
+        # local-FS check answers False and would silently skip the
+        # anti-join dedup gate (reintroducing the ST6 double-append bug).
+        return any(
+            n.startswith("year=") for n in fs.child_names(self.spark, self.path)
         )
 
     def read(self, since: date | None = None) -> DataFrame:
@@ -107,9 +112,11 @@ class OfflineStore:
 
 class Watermark:
     """Scalar checkpoint protocol (S16): read-with-default, advance after a
-    successful batch. JSON file beside the store; on a cluster this lives
-    on the shared filesystem (or is replaced by a streaming checkpoint,
-    see streaming/)."""
+    successful batch. JSON file beside the store; uses local `os` APIs on
+    purpose (atomic `os.replace`), so the path must be driver-local or
+    shared-POSIX — on object-store deployments replace it with a
+    Structured Streaming checkpoint (see streaming/jobs.py), which is the
+    engine's native incremental protocol."""
 
     def __init__(self, path: str, *, default: str) -> None:
         self.path = path

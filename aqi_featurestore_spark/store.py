@@ -32,6 +32,7 @@ from aqi_featurestore_spark.operators.snapshot import (
     upsert_snapshot,
 )
 from aqi_featurestore_spark.registry import FeatureView, Registry
+from aqi_featurestore_spark.sources import fs
 from aqi_featurestore_spark.sources.offline_store import OfflineStore
 
 
@@ -127,9 +128,15 @@ class FeatureStore:
             merged = upsert_snapshot(current, updates, keys, ts=view.timestamp_field)
         else:
             merged = updates
+        # Two-step rewrite: the merged plan reads `p`, so it must be
+        # materialized elsewhere before `p` is overwritten. The tmp dir is
+        # removed after the final write lands (it is also the recovery
+        # copy if a crash interrupts the overwrite of `p` — rerunning the
+        # upsert rebuilds `p` from offline history + updates).
         tmp = f"{p}.tmp"
         merged.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
+        fs.delete(self.spark, tmp)
 
     def materialize(self, view_name: str) -> None:
         """Feast ``materialize``: rebuild the online snapshot from offline

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from aqi_featurestore_spark.operators.snapshot import latest_per_key, upsert_snapshot
 from aqi_featurestore_spark.pipeline import derive_features
+from aqi_featurestore_spark.sources import fs
 
 
 def stream_events(
@@ -64,6 +65,7 @@ def run_online_refresh_stream(
         merged.write.mode("overwrite").parquet(tmp)
         final = batch.sparkSession.read.parquet(tmp)
         final.write.mode("overwrite").parquet(snapshot_path)
+        fs.delete(batch.sparkSession, tmp)
 
     stream = stream_events(
         spark, source_dir, schema, dedup_keys=["event_id"]
