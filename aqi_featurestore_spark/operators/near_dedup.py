@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
+from aqi_featurestore_spark.functions import portable_hash as ph
 from aqi_featurestore_spark.functions.text import word_shingles
 
 
@@ -102,13 +103,34 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 64,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature as ``sig: array<bigint>[num_hashes]``.
-    Documents with no shingles (< k tokens) get no signature row."""
+    Documents with no shingles (< k tokens) get no signature row.
+
+    ``scheme="md5"`` (default) approximates the ``num_hashes``
+    permutations with an affine universal family over a 32-bit
+    md5-derived shingle hash: ONE md5 per shingle, then ``num_hashes``
+    exact-integer ``(a*h + b) mod 2^31-1`` ops. Portable — the DuckDB
+    oracle recomputes identical signatures, which is what upgrades the
+    whole MinHash family from rows-only to the hard value-hash gate.
+    ``scheme="xxhash64"`` is the JVM-hash variant (one xxhash64 per
+    (shingle, salt)); same statistics, not reproducible elsewhere."""
     sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    if scheme == "md5":
+        base = (ph.md5_int32("shingle") % F.lit(ph.MERSENNE31)).alias("hb")
+        sh = sh.select(id_col, base)
+        mins = [
+            F.min(ph.affine(F.col("hb"), a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(ph.hash_family(num_hashes))
+        ]
+    elif scheme == "xxhash64":
+        mins = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -119,19 +141,49 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    scheme: str = "md5",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
     (d1 < d2, distinct). Probability a pair with Jaccard j collides:
-    1 - (1 - j^r)^b — (16, 4) puts the S-curve threshold near 0.5."""
-    n = bands * rows_per_band
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
-    )
+    1 - (1 - j^r)^b — (16, 4) puts the S-curve threshold near 0.5.
+
+    Bucket key: ``scheme="md5"`` hashes the '|'-joined band values with
+    md5 (portable, 16-char key); ``"xxhash64"`` keeps the 8-byte JVM
+    hash. Either way the bucket join shuffles fixed-width keys only."""
+    if scheme == "md5":
+        band_hashes = F.array(
+            *[
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                    1,
+                    16,
+                )
+                for b in range(bands)
+            ]
+        )
+    elif scheme == "xxhash64":
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown banding scheme {scheme!r}")
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
@@ -177,15 +229,21 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    scheme: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures -> banding ->
     candidate pairs -> estimate filter."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        _spread(docs), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+        _spread(docs),
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        scheme=scheme,
     )
     cand = minhash_lsh_candidates(
-        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band, scheme=scheme
     )
     est = minhash_estimated_jaccard(cand, sigs, id_col=id_col)
     return est.where(F.col("est_jaccard") >= threshold)
@@ -196,10 +254,16 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 64
 
 
-def simhash(text: Column | str, *, bits: int = SIMHASH_BITS) -> Column:
-    """64-bit SimHash over whitespace tokens: tokens -> xxhash64 (JVM,
-    deterministic) -> per-bit +/-1 vote -> sign bits reassembled. Returns
-    bigint (bit 63 kept zero to stay in two's-complement range).
+def simhash(
+    text: Column | str, *, bits: int = SIMHASH_BITS, scheme: str = "md5"
+) -> Column:
+    """64-bit SimHash over whitespace tokens: tokens -> 63-bit hash ->
+    per-bit +/-1 vote -> sign bits reassembled. Returns bigint (bit 63
+    kept zero to stay in two's-complement range).
+
+    ``scheme="md5"`` (default) derives the token hash from md5 hex
+    chars (portable — the DuckDB oracle rebuilds identical fingerprints
+    with exact integer votes); ``"xxhash64"`` uses the JVM hash.
 
     The vote stage is an Arrow-batched pandas_udf over the token-hash
     array: one numpy shift/popcount pass per batch. (The pure-expression
@@ -209,7 +273,12 @@ def simhash(text: Column | str, *, bits: int = SIMHASH_BITS) -> Column:
 
     col = F.col(text) if isinstance(text, str) else text
     tokens = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if scheme == "md5":
+        hashes = F.transform(tokens, lambda t: ph.md5_int63(t))
+    elif scheme == "xxhash64":
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown simhash scheme {scheme!r}")
 
     shifts = np.arange(bits - 1, dtype=np.int64)
     weights = np.int64(1) << shifts
@@ -235,6 +304,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found without
     a pairwise scan: split the 64-bit signature into (max_hamming + 1)
@@ -243,7 +313,9 @@ def simhash_near_dup_pairs(
     (band, band_bits)."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
-    sigs = _spread(docs).select(F.col(id_col), simhash(text_col).alias("sig"))
+    sigs = _spread(docs).select(
+        F.col(id_col), simhash(text_col, scheme=scheme).alias("sig")
+    )
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("sig"), b * width)
@@ -320,16 +392,22 @@ def minhash_verified_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    scheme: str = "md5",
 ) -> DataFrame:
     """The production near-dedup shape at 100 TB: MinHash-LSH generates
     candidates (no pairwise scan), exact Jaccard verifies each candidate
     (no estimation error in the final answer). Output rows carry the TRUE
     jaccard, thresholded exactly."""
     sigs = minhash_signatures(
-        _spread(docs), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+        _spread(docs),
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        scheme=scheme,
     )
     cand = minhash_lsh_candidates(
-        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands
+        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands, scheme=scheme
     )
     exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
     return exact.where(F.col("jaccard") >= threshold)

@@ -84,26 +84,55 @@ def cosine_topk_bruteforce(
 
 
 def hyperplane_sketch(
-    vec: Column | str, *, n_planes: int = 16, dim: int = 64, seed: int = 7
+    vec: Column | str,
+    *,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    scheme: str = "int",
 ) -> Column:
     """Sign-bit sketch: bit p set iff dot(vec, plane_p) > 0.
 
     Vectorized Arrow path: each batch is one ``V @ P.T`` matmul + sign +
-    bit-pack. The seeded Gaussian plane matrix is identical on every
-    executor (numpy MT19937 is platform-stable), so the sketch is
-    deterministic across runs and cluster layouts."""
+    bit-pack; the plane matrix is closure-captured and shipped once per
+    executor.
+
+    ``scheme="int"`` (default) quantizes the vector to int64
+    (``floor(v * 1e6)``) and uses small-integer planes: the dot is exact
+    integer arithmetic, so the DuckDB oracle reproduces every sign bit —
+    this is what makes the LSH queries hash-verifiable. ``"gaussian"``
+    uses seeded float hyperplanes (MT19937 is platform-stable, so still
+    deterministic within Spark, but not reproducible in SQL)."""
     import numpy as np
 
-    planes_t = np.random.RandomState(seed).standard_normal((n_planes, dim)).T
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    from aqi_featurestore_spark.functions import portable_hash as ph
 
-    @pandas_udf("long")
-    def sketch(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int64")
-        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs], dtype=np.float64)
-        bits = v @ planes_t > 0
-        return pd.Series(bits @ weights)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    if scheme == "int":
+        planes_t = np.array(ph.int_planes(n_planes, dim), dtype=np.int64).T
+
+        @pandas_udf("long")
+        def sketch(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="int64")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            q = np.floor(v * 1e6).astype(np.int64)
+            bits = q @ planes_t > 0
+            return pd.Series(bits @ weights)
+
+    elif scheme == "gaussian":
+        gplanes_t = np.random.RandomState(seed).standard_normal((n_planes, dim)).T
+
+        @pandas_udf("long")
+        def sketch(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="int64")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            bits = v @ gplanes_t > 0
+            return pd.Series(bits @ weights)
+
+    else:
+        raise ValueError(f"unknown sketch scheme {scheme!r}")
 
     return sketch(F.col(vec) if isinstance(vec, str) else vec)
 
@@ -119,6 +148,7 @@ def cosine_topk_lsh(
     bands: int = 4,
     dim: int = 64,
     round_scores: int = 6,
+    scheme: str = "int",
 ) -> DataFrame:
     """ANN top-k: candidates share at least one of ``bands`` sketch bands
     (equi-join on (band, bits) — no cross product), then exact cosine +
@@ -130,7 +160,7 @@ def cosine_topk_lsh(
     def with_bands(df: DataFrame, role: str) -> DataFrame:
         # ids + band bits ONLY: the candidate join and its dedup shuffle
         # move fixed-width keys, never the vectors.
-        sk = hyperplane_sketch(vec_col, n_planes=n_planes, dim=dim)
+        sk = hyperplane_sketch(vec_col, n_planes=n_planes, dim=dim, scheme=scheme)
         banded = df.select(F.col(id_col).alias(f"{role}_id"), sk.alias("sketch"))
         bands_arr = F.array(
             *[
@@ -173,6 +203,7 @@ def embedding_cosine_pairs(
     n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    scheme: str = "int",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (d1, d2, cos_sim) with
     d1 < d2 and round(cosine, 6) >= threshold.
@@ -191,8 +222,15 @@ def embedding_cosine_pairs(
     if lsh:
         width = n_planes // bands
         mask = (1 << width) - 1
-        sketched = v.select(
-            "id", hyperplane_sketch("vec", n_planes=n_planes, dim=dim).alias("sketch")
+        # Sketch the RAW embedding, not the normalized copy: the sign of
+        # dot(v, plane) is norm-invariant, and quantizing the raw floats
+        # keeps the oracle SQL a one-step floor(x * 1e6) on the stored
+        # column rather than a reproduction of the normalization fold.
+        sketched = vectors.select(
+            F.col(id_col).alias("id"),
+            hyperplane_sketch(
+                _as_double(vec_col), n_planes=n_planes, dim=dim, scheme=scheme
+            ).alias("sketch"),
         )
         # candidate generation + dedup on bare id pairs; vectors join back
         # after the shuffle (fixed-width keys move, arrays don't)
@@ -270,64 +308,105 @@ def cosine_topk_ivf(
     max_sample: int = 100_000,
     seed: int = 7,
     round_scores: int = 6,
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: partition the corpus into ``n_lists``
-    k-means cells, probe the ``n_probe`` nearest cells per query, exact
-    cosine + rank on probed candidates only.
+    cells, probe the ``n_probe`` nearest cells per query, exact cosine +
+    rank on probed candidates only.
 
     Complements the LSH path: IVF adapts buckets to the data distribution
     (better recall on clustered embeddings), at the cost of a training
     sample. Candidate generation is an equi-join on ``list_id`` — the
-    cross product never materializes."""
+    cross product never materializes.
+
+    ``centroids="kmeans"`` fits Lloyd's on a driver-side sample that is
+    capped at ``max_sample`` rows unconditionally (centroid quality
+    saturates around ~1e5 vectors; at 100 TB the driver never sees the
+    corpus). ``centroids="seeded"`` takes the ``n_lists`` corpus vectors
+    with the smallest ids and does ALL assignment/probing in exact
+    integer arithmetic (``floor(v*1e6)`` quantization) — recall is a bit
+    lower than k-means, but every list assignment is reproducible in
+    plain SQL, which is how the DuckDB oracle hash-verifies this query."""
     import numpy as np
 
-    sample_df = corpus.select(vec_col)
-    if sample_fraction < 1.0:
-        sample_df = sample_df.sample(fraction=sample_fraction, seed=seed)
-    # Centroid quality saturates around ~1e5 training vectors; the cap is
-    # unconditional so the driver NEVER collects the corpus — at 100 TB
-    # only `max_sample` rows ever cross to the driver, regardless of
-    # caller parameters.
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in sample_df.limit(max_sample).collect()
-    ]
-    cent = _kmeans_centroids(sample, n_lists, seed=seed)
-    cent_t = cent.T  # dim x n_lists
-    cent_sq = (cent**2).sum(axis=1)  # n_lists
+    if centroids == "seeded":
+        # n_lists rows cross the driver — O(n_lists), not O(corpus).
+        cent_rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        )
+        cent_q = np.floor(
+            np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows]) * 1e6
+        ).astype(np.int64)  # n_lists x dim
 
-    @pandas_udf("int")
-    def assign_list(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
-        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c)
-        d = cent_sq[None, :] - 2.0 * (v @ cent_t)
-        return pd.Series(d.argmin(axis=1)).astype("int32")
+        @pandas_udf("int")
+        def assign_list(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="int32")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            q = np.floor(v * 1e6).astype(np.int64)
+            # exact int64 distances; argmin ties break on smallest list
+            d = ((q[:, None, :] - cent_q[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1)).astype("int32")
 
-    @pandas_udf("array<int>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="object")
-        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
-        d = cent_sq[None, :] - 2.0 * (v @ cent_t)
-        order = np.argsort(d, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        @pandas_udf("array<int>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="object")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            q = np.floor(v * 1e6).astype(np.int64)
+            d = ((q[:, None, :] - cent_q[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series([row.astype("int32").tolist() for row in order])
 
+    elif centroids == "kmeans":
+        sample_df = corpus.select(vec_col)
+        if sample_fraction < 1.0:
+            sample_df = sample_df.sample(fraction=sample_fraction, seed=seed)
+        # The cap is unconditional so the driver NEVER collects the
+        # corpus regardless of caller parameters.
+        sample = [
+            np.asarray(r[0], dtype=np.float64)
+            for r in sample_df.limit(max_sample).collect()
+        ]
+        cent = _kmeans_centroids(sample, n_lists, seed=seed)
+        cent_t = cent.T  # dim x n_lists
+        cent_sq = (cent**2).sum(axis=1)  # n_lists
+
+        @pandas_udf("int")
+        def assign_list(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="int32")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            # argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c)
+            d = cent_sq[None, :] - 2.0 * (v @ cent_t)
+            return pd.Series(d.argmin(axis=1)).astype("int32")
+
+        @pandas_udf("array<int>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype="object")
+            v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+            d = cent_sq[None, :] - 2.0 * (v @ cent_t)
+            order = np.argsort(d, axis=1)[:, :n_probe]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+
+    # Normalize once per vector, then a single fold-dot per candidate —
+    # the same IEEE op order as the oracle SQL (and no per-pair norms).
     c = corpus.select(
         F.col(id_col).alias("n_id"),
-        _as_double(vec_col).alias("n_vec"),
+        _normalized(_as_double(vec_col)).alias("n_vec"),
         assign_list(vec_col).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        _as_double(vec_col).alias("q_vec"),
+        _normalized(_as_double(vec_col)).alias("q_vec"),
         F.explode(probe_lists(vec_col)).alias("list_id"),
     )
     cand = q.join(c, "list_id").where(F.col("q_id") != F.col("n_id"))
-    cos = _dot(F.col("q_vec"), F.col("n_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("n_vec"))
-    )
+    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return scored.select(

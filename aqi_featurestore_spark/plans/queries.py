@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aqi_featurestore_spark import pipeline
+from aqi_featurestore_spark.plans import approx_oracles
 from aqi_featurestore_spark.functions.aqi import aqi_case_sql
 from aqi_featurestore_spark.functions.text import (
     doc_fingerprint,
@@ -601,29 +602,32 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(q, e, k=10)
 
 
-@_q("minhash_lsh_dedup")  # approximate: rows-only driver check; pytest covers semantics
+@_q("minhash_lsh_dedup", approx_oracles.minhash_lsh_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16x4) near-dup candidate pairs with estimated
-    Jaccard >= 0.3. Hash-based -> not oracle-SQL-expressible; correctness
-    is pinned by tests/test_llm_ops.py (planted near-dups + agreement with
-    exact n-gram Jaccard)."""
+    Jaccard >= 0.3. The md5-affine hash scheme is portable, so the DuckDB
+    oracle recomputes the signatures, buckets, and estimates bit-for-bit;
+    pytest additionally pins planted-near-dup recall and agreement with
+    exact n-gram Jaccard."""
     d = _read(spark, sf_dir, "documents")
     return minhash_dedup_pairs(d, threshold=0.3)
 
 
-@_q("simhash_dedup")  # approximate: rows-only driver check
+@_q("simhash_dedup", approx_oracles.simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs within Hamming distance 3 via 4-band
-    pigeonhole candidates."""
+    pigeonhole candidates. md5 token hashes + integer votes, so the
+    oracle rebuilds identical fingerprints."""
     d = _read(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
-@_q("similarity_topk_lsh")  # approximate: rows-only driver check
+@_q("similarity_topk_lsh", approx_oracles.similarity_topk_lsh_sql())
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 (16 planes, 4 bands): the scale path that
-    replaces the cross product with a bucket join; recall measured against
-    the brute-force oracle in tests."""
+    replaces the cross product with a bucket join. Integer-quantized
+    sketches make every sign bit oracle-reproducible; recall vs brute
+    force is additionally measured in tests."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_lsh(q, e, k=10)
@@ -646,13 +650,14 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(e, threshold=0.4)
 
 
-@_q("embedding_cosine_dedup_lsh")  # approximate: rows-only driver check
+@_q("embedding_cosine_dedup_lsh", approx_oracles.embedding_cosine_lsh_sql())
 def q_embedding_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dedup: hyperplane-sketch band join
     replaces the O(n^2) pair scan; exact cosine rescoring on candidates.
     32 planes / 4 bands = 8-bit bands (256 buckets each) — selective
-    enough that candidates stay a small fraction of all pairs. Recall vs
-    the exact variant is pinned in tests/test_llm_ops.py."""
+    enough that candidates stay a small fraction of all pairs. The
+    integer sketch is oracle-reproducible; recall vs the exact variant is
+    pinned in tests/test_llm_ops.py."""
     e = _read(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(e, threshold=0.4, lsh=True, n_planes=32, bands=4)
 
@@ -726,14 +731,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(m, every_ms=1000)
 
 
-@_q("similarity_topk_ivf")  # approximate: rows-only driver check
+@_q("similarity_topk_ivf", approx_oracles.similarity_topk_ivf_sql())
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (16 k-means lists, 4 probes): data-adaptive bucket
-    partitioning — the complement to the hyperplane-LSH path for clustered
-    embeddings. Recall vs brute force is pinned in tests/test_llm_ops.py."""
+    """IVF ANN top-10 (16 lists, 4 probes). Seeded deterministic
+    centroids + integer-quantized distances make assignment and probing
+    oracle-reproducible in SQL; the k-means centroid mode (production
+    default, capped driver sample) keeps its recall-vs-brute-force pin
+    in tests/test_llm_ops.py."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4)
+    return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4, centroids="seeded")
 
 
 _REVENUE_BY_NATION_SQL = """
@@ -877,12 +884,13 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_duplicates(d, pairs).select("doc_id", "lang", "n_chars")
 
 
-@_q("minhash_verified_dedup")  # approximate candidates: rows-only driver check
+@_q("minhash_verified_dedup", approx_oracles.minhash_verified_sql())
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dedup shape: MinHash-LSH candidate generation +
     exact Jaccard verification per candidate — the output carries TRUE
-    jaccard values (pytest pins agreement with the exact n-gram oracle on
-    every surfaced pair)."""
+    jaccard values. The oracle regenerates the md5-affine candidates and
+    verifies with string-shingle sets; pytest additionally pins agreement
+    with the exact n-gram oracle on every surfaced pair."""
     from aqi_featurestore_spark.operators.near_dedup import minhash_verified_pairs
 
     d = _read(spark, sf_dir, "documents")
