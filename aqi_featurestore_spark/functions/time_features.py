@@ -77,3 +77,46 @@ def next_hour_features(hour: Column | str, day: Column | str, dow: Column | str)
 def with_time_features(df: DataFrame, ts: str = "feature_timestamp") -> DataFrame:
     """Apply the full derivation in one projection."""
     return df.withColumns(time_feature_columns(ts))
+
+
+DATE_IN_TEXT_PATTERN = r"(\d{1,2}/\d{1,2}/\d{4})"
+
+
+def parse_freetext_date(
+    text: Column | str,
+    *,
+    pattern: str = DATE_IN_TEXT_PATTERN,
+    fmt: str = "d/M/y",
+) -> Column:
+    """F11: first d/M/y date mentioned in free text -> DateType
+    (reference agent/aqi-agent/app/agent.py:43-52 — the agent's
+    ``to_date(regexp_extract(...))`` request parser, day-first).
+
+    ``regexp_extract`` yields '' when nothing matches; ``try_to_date``
+    maps that (and impossible dates like 31/4) to NULL — the refusal
+    path for requests without a date survives as a NULL column, never an
+    exception (ANSI-mode ``to_date`` would throw)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.try_to_date(F.regexp_extract(t, pattern, 1), fmt)
+
+
+def local_time_features(
+    ts: Column | str, tz: str = "Asia/Ho_Chi_Minh"
+) -> dict[str, Column]:
+    """F8: time-component features in a local zone (reference
+    airflow/dags/redis_data.py:64-67 computes its online features in
+    Asia/Ho_Chi_Minh while the offline path stores UTC — SURVEY §7.3's
+    7-hour-shift hard part).
+
+    Stored timestamps are naive-UTC (module convention above), so the
+    conversion is one explicit ``from_utc_timestamp``; the component
+    derivation then reuses the same Spark conventions as the UTC path
+    (dayOfWeek 1=Sunday)."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    lt = F.from_utc_timestamp(t, tz)
+    return {
+        "local_ts": lt,
+        "local_hour": F.hour(lt),
+        "local_day": F.dayofmonth(lt),
+        "local_dayOfWeek": F.dayofweek(lt),
+    }

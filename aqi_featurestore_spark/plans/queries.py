@@ -159,6 +159,221 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select("entity_id", "feature_timestamp", "aqi", "hour", "day", "dayOfWeek")
 
 
+_SKEW_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN user_id % 20 <> 0 THEN 'hot'
+              ELSE CAST(user_id AS VARCHAR) END AS k,
+         "value"
+  FROM events CROSS JOIN (SELECT unnest(range(30)) AS rep)),
+dim AS (
+  SELECT k, CAST(length(k) AS INT) AS klen
+  FROM (SELECT DISTINCT CASE WHEN user_id % 20 <> 0 THEN 'hot'
+                             ELSE CAST(user_id AS VARCHAR) END AS k
+        FROM events))
+SELECT f.k, count(*) AS n_rows,
+       CAST(SUM(CAST(round(f."value" * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       max(d.klen) AS klen
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY f.k"""
+
+
+def _skewed_fact_dim(spark: SparkSession, sf_dir: str):
+    """~95% of fact rows share ONE key ('hot'), replicated x30 — the
+    hot-key shape AQE's skew split does not catch at small partition
+    sizes. The dim derives from the un-exploded events (cheap distinct)
+    and carries a merge-join hint so the measured join is the shuffle
+    join a 100 TB non-broadcastable dim would force."""
+    events = _read(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 20 != 0, F.lit("hot")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    fact = (
+        events.select(k.alias("k"), "value")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(29))))
+        .drop("rep")
+    )
+    dim = (
+        events.select(k.alias("k"))
+        .distinct()
+        .select("k", F.length("k").alias("klen"))
+    )
+    return fact, dim.hint("merge")
+
+
+def _skew_join_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_c"),
+        F.max("klen").alias("klen"),
+    )
+
+
+@_q("skew_join_plain", _SKEW_JOIN_SQL)
+def q_skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline for the skew pair: plain sort-merge join on the hot key —
+    one reducer sorts ~90% of the fact side."""
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    return _skew_join_agg(fact.join(dim, "k"))
+
+
+@_q("skew_join_salted", _SKEW_JOIN_SQL)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted variant of the same join (operators/skew.py): fact salted
+    deterministically, dim replicated per salt, join on (k, salt) —
+    row-identical output (same oracle), hot key spread over 8 reducers.
+    The bench pairs this with skew_join_plain so the skew claim carries
+    a measured number."""
+    from aqi_featurestore_spark.operators.skew import salted_equi_join
+
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    return _skew_join_agg(salted_equi_join(fact, dim, ["k"], salt_buckets=8))
+
+
+def _ema_sql(alpha: float = 0.3) -> str:
+    # beta is computed in Python and embedded via repr so both engines
+    # multiply by the SAME double (1.0 - 0.3 != literal 0.7 in IEEE).
+    return f"""
+WITH {_FEAT_CTE},
+vals AS (
+  SELECT entity_id,
+         list(aqi ORDER BY feature_timestamp, event_id) AS vs,
+         count(aqi) AS n_obs,
+         max(feature_timestamp) AS last_ts
+  FROM feat WHERE aqi IS NOT NULL
+  GROUP BY entity_id)
+SELECT entity_id,
+       list_reduce(vs, (acc, v) -> {alpha!r} * v + {(1.0 - alpha)!r} * acc) AS ema,
+       n_obs, last_ts
+FROM vals"""
+
+
+@_q("ema_features", _ema_sql())
+def q_ema_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-family in batch mode: per-entity exponential moving average of
+    AQI in event-time order — the exact sequential fold the stateful
+    streaming operator (streaming/stateful.py running_aqi_ema) maintains
+    incrementally; DuckDB replays it with list_reduce over the per-key
+    ordered value list. Seeds with the first value; ties break on
+    event_id."""
+    from aqi_featurestore_spark.streaming.stateful import batch_ema
+
+    feat = pipeline.derive_features(_read(spark, sf_dir, "events"))
+    return batch_ema(feat, alpha=0.3)
+
+
+_LOCAL_TIME_SQL = """
+SELECT event_id, ts,
+       ts + INTERVAL 7 hours AS local_ts,
+       CAST(hour(ts + INTERVAL 7 hours) AS INT) AS local_hour,
+       CAST(day(ts + INTERVAL 7 hours) AS INT) AS local_day,
+       CAST(dayofweek(ts + INTERVAL 7 hours) + 1 AS INT) AS "local_dayOfWeek"
+FROM events"""
+
+
+@_q("local_time_features", _LOCAL_TIME_SQL)
+def q_local_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: UTC-stored timestamps -> Asia/Ho_Chi_Minh local components via
+    from_utc_timestamp (SURVEY §7.3's 7-hour shift). The oracle hardcodes
+    the +07:00 offset, which is exact for this zone (no DST since 1975) —
+    so a wrong tz-database lookup on the Spark side would mismatch."""
+    from aqi_featurestore_spark.functions.time_features import local_time_features
+
+    events = _read(spark, sf_dir, "events")
+    cols = local_time_features("ts")
+    return events.select(
+        "event_id",
+        "ts",
+        cols["local_ts"].alias("local_ts"),
+        cols["local_hour"].alias("local_hour"),
+        cols["local_day"].alias("local_day"),
+        cols["local_dayOfWeek"].alias("local_dayOfWeek"),
+    )
+
+
+_VERSIONED_PIT_SQL = f"""
+WITH {_FEAT_CTE},
+{_SPINE_CTE},
+v2src AS (
+  SELECT entity_id, feature_timestamp, aqi * 2 AS aqi, day, event_id
+  FROM feat WHERE event_id % 31 = 0),
+c1 AS (
+  SELECT * FROM (
+    SELECT s.entity_id, s.event_timestamp, f.aqi, f.hour,
+           row_number() OVER (
+             PARTITION BY s.entity_id, s.event_timestamp
+             ORDER BY f.feature_timestamp DESC, f.event_id DESC) AS rn
+    FROM (SELECT DISTINCT entity_id, event_timestamp FROM spine) s
+    JOIN feat f ON s.entity_id = f.entity_id
+     AND f.feature_timestamp <= s.event_timestamp
+     AND f.feature_timestamp >= s.event_timestamp - INTERVAL '7 days') t
+  WHERE rn = 1),
+c2 AS (
+  SELECT * FROM (
+    SELECT s.entity_id, s.event_timestamp, f.day,
+           row_number() OVER (
+             PARTITION BY s.entity_id, s.event_timestamp
+             ORDER BY f.feature_timestamp DESC, f.event_id DESC) AS rn
+    FROM (SELECT DISTINCT entity_id, event_timestamp FROM spine) s
+    JOIN v2src f ON s.entity_id = f.entity_id
+     AND f.feature_timestamp <= s.event_timestamp
+     AND f.feature_timestamp >= s.event_timestamp - INTERVAL '1 day') t
+  WHERE rn = 1)
+SELECT sp.entity_id, sp.event_timestamp, c1.aqi, c1.hour, c2.day
+FROM spine sp
+LEFT JOIN c1 ON sp.entity_id = c1.entity_id AND sp.event_timestamp = c1.event_timestamp
+LEFT JOIN c2 ON sp.entity_id = c2.entity_id AND sp.event_timestamp = c2.event_timestamp"""
+
+
+@_q("versioned_pit_multiview", _VERSIONED_PIT_SQL)
+def q_versioned_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 through the FeatureStore facade with TWO versioned views
+    (reference feast/features/aqi_feature.py:17-45): v1 (aqi, hour,
+    7-day TTL) and v2 (sparser history, doubled 'aqi', day, 1-day TTL)
+    joined against one spine in a single get_historical_features call.
+    Pins (a) per-view TTL masking — v2's short TTL NULLs rows v1 still
+    fills — and (b) the first-view-wins collision rule: the requested
+    v2:aqi must NOT override v1's values (oracle emits v1 aqi only)."""
+    import tempfile
+
+    from aqi_featurestore_spark.registry import FeatureView
+    from aqi_featurestore_spark.store import FeatureStore
+
+    events = _read(spark, sf_dir, "events")
+    feat = pipeline.derive_features(events)
+    store = FeatureStore(spark, tempfile.mkdtemp(prefix="aqi_fs_q_"))
+    store.apply(
+        FeatureView(
+            name="aqi_v1",
+            entities=("entity_id",),
+            ttl=timedelta(days=7),
+            features=(("aqi", "double"), ("hour", "int")),
+            source="events",
+        )
+    )
+    store.apply(
+        FeatureView(
+            name="aqi_v2",
+            entities=("entity_id",),
+            ttl=timedelta(days=1),
+            features=(("aqi", "double"), ("day", "int")),
+            source="events",
+        )
+    )
+    store.write_offline("aqi_v1", feat)
+    store.write_offline(
+        "aqi_v2",
+        feat.where(F.col("event_id") % 31 == 0).withColumn(
+            "aqi", F.col("aqi") * 2
+        ),
+    )
+    spine = pipeline.build_spine(events)
+    return store.get_historical_features(
+        spine,
+        ["aqi_v1:aqi", "aqi_v1:hour", "aqi_v2:aqi", "aqi_v2:day"],
+        tie_break=["event_id"],
+    )
+
+
 @_q("pit_join", f"{_PIT_CTES} SELECT * FROM pit")
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 flagship: point-in-time as-of join with 7d TTL; spine rows with

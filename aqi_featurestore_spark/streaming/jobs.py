@@ -79,6 +79,53 @@ def run_online_refresh_stream(
     q.awaitTermination()
 
 
+def aqi_alerts(
+    events: DataFrame, *, threshold: float = 100.0
+) -> DataFrame:
+    """ST5 alert predicate: derive features, keep rows whose AQI crosses
+    ``threshold``, attach the severity label (reference
+    agent/aqi-agent/app/agent.py:141-144 answers "is the air bad" from
+    the latest value; here it's a standing filter over the stream).
+    Works on batch and streaming inputs."""
+    from aqi_featurestore_spark.functions.aqi import aqi_level_label
+
+    feat = derive_features(events)
+    return feat.where(F.col("aqi") >= threshold).select(
+        "entity_id",
+        "feature_timestamp",
+        "aqi",
+        aqi_level_label(F.col("aqi")).alias("level"),
+        "event_id",
+    )
+
+
+def run_alert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    alert_path: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 100.0,
+) -> None:
+    """ST5 packaged: event stream -> threshold filter -> append-only
+    alert sink (parquet; swap the sink for a webhook/queue foreachBatch
+    in production). Trigger.AvailableNow + checkpoint = incremental,
+    exactly-once per alert row across reruns; the filter runs before any
+    stateful op, so the job shuffles nothing."""
+    stream = stream_events(spark, source_dir, schema, dedup_keys=["event_id"])
+    q = (
+        aqi_alerts(stream, threshold=threshold)
+        .writeStream.format("parquet")
+        .option("path", alert_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_aqi_aggregate(
     events: DataFrame, *, window: str = "1 hour", ts: str = "ts"
 ) -> DataFrame:

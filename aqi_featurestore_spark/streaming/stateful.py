@@ -66,6 +66,57 @@ def _ema_update(
     )
 
 
+def batch_ema(
+    df: DataFrame,
+    *,
+    key_col: str = "entity_id",
+    value_col: str = "aqi",
+    ts_col: str = "feature_timestamp",
+    order_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Batch-mode twin of ``running_aqi_ema``: the same sequential EMA
+    fold (seeded with the first value, then ``alpha*v + (1-alpha)*ema``
+    in event-time order) as one distributed aggregation.
+
+    EMA is a non-commutative left fold, so it can't be a plain SUM-style
+    aggregate; instead each key's values are gathered into one sorted
+    array (``array_sort(collect_list(struct(ts, order, v)))`` — per-key
+    state, same memory bound as the streaming operator's) and folded
+    JVM-side with ``F.aggregate``. Deterministic (ties break on
+    ``order_col``) and IEEE-identical to DuckDB's ``list_reduce`` with
+    the same constants — this is what lets the driver hash-verify the
+    stateful-streaming family in batch mode."""
+    from pyspark.sql import functions as F
+
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("oid"),
+                F.col(value_col).alias("v"),
+            )
+        )
+    )
+    beta = 1.0 - alpha  # computed ONCE; embedded exactly on both sides
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            F.lit(alpha) * x["v"] + F.lit(beta) * acc
+        ),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            fold.alias("ema"),
+            F.count(value_col).alias("n_obs"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
 def running_aqi_ema(
     events: DataFrame,
     *,

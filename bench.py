@@ -72,6 +72,17 @@ def main() -> None:
         run_once(spark, name, sf_dir)  # warm (code paths, file listing)
         timings[name] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
 
+    # Skew-mitigation evidence (not part of the headline total): the same
+    # hot-key shuffle join plain vs salted (operators/skew.py) on a ~95%-
+    # skewed 3M-row fact — salted should win, and the margin widens with
+    # partition size (at 100 TB the plain variant is the stalled stage).
+    skew_demo: dict[str, float] = {}
+    for name, label in (("skew_join_plain", "plain"), ("skew_join_salted", "salted")):
+        if name not in QUERIES:
+            continue
+        run_once(spark, name, sf_dir)
+        skew_demo[label] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -80,6 +91,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "skew_demo": skew_demo,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -112,3 +112,40 @@ def test_regression_metrics_hand_computed(spark):
     assert m["rmse"] == pytest.approx(math.sqrt((0 + 1 + 1 + 4) / 4))
     # SStot around mean 2.5 = 2.25+0.25+0.25+2.25 = 5 ; R2 = 1 - 6/5
     assert m["r2"] == pytest.approx(1 - 6 / 5)
+
+
+def test_parse_freetext_date(spark):
+    from datetime import date
+
+    from aqi_featurestore_spark.functions.time_features import parse_freetext_date
+
+    df = spark.createDataFrame(
+        [
+            ("cho toi AQI ngay 25/12/2024 nhe",),   # day-first, embedded
+            ("du bao 5/3/2024 va 6/3/2024",),        # first match wins
+            ("khong co ngay nao o day",),            # refusal -> NULL
+            ("nua la 31/4/2024",),                   # impossible date -> NULL
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(parse_freetext_date("text")).collect()]
+    assert got == [date(2024, 12, 25), date(2024, 3, 5), None, None]
+
+
+def test_local_time_features_seven_hour_shift(spark):
+    from datetime import datetime
+
+    from aqi_featurestore_spark.functions.time_features import local_time_features
+
+    # 2024-01-01 20:30 UTC -> 2024-01-02 03:30 in Asia/Ho_Chi_Minh:
+    # hour wraps, day advances, dayOfWeek Mon(2) -> Tue(3).
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 20, 30),), (datetime(2024, 1, 1, 3, 0),)],
+        "ts timestamp",
+    )
+    rows = df.select(
+        *[c.alias(n) for n, c in local_time_features("ts").items()]
+    ).collect()
+    assert rows[0]["local_ts"] == datetime(2024, 1, 2, 3, 30)
+    assert (rows[0]["local_hour"], rows[0]["local_day"], rows[0]["local_dayOfWeek"]) == (3, 2, 3)
+    assert (rows[1]["local_hour"], rows[1]["local_day"], rows[1]["local_dayOfWeek"]) == (10, 1, 2)

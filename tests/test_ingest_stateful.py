@@ -137,3 +137,26 @@ def test_running_ema_stateful_stream(spark, tmp_path):
     assert out_rows["a"]["ema"] == pytest.approx(0.5 * 35.0 + 0.5 * 15.0)
     assert out_rows["a"]["n_obs"] == 3
     assert out_rows["a"]["last_ts"].hour == 2
+
+
+def test_batch_ema_equals_streaming_fold(spark):
+    """batch_ema is the batch twin of running_aqi_ema: same seeded
+    sequential fold, NULL values dropped, ties broken deterministically."""
+    from aqi_featurestore_spark.streaming.stateful import batch_ema
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0, "2023-01-01 00:00:00"),
+            ("a", 2, 20.0, "2023-01-01 01:00:00"),
+            ("a", 3, 35.0, "2023-01-01 02:00:00"),
+            ("b", 4, 50.0, "2023-01-01 00:00:00"),
+            ("b", 5, None, "2023-01-01 01:00:00"),
+        ],
+        "entity_id string, event_id long, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    got = {r["entity_id"]: r for r in batch_ema(df, alpha=0.3).collect()}
+    # a: 10 -> .3*20+.7*10 = 13 -> .3*35+.7*13 = 19.6 (exact double chain)
+    assert got["a"]["ema"] == 0.3 * 35.0 + (1.0 - 0.3) * (0.3 * 20.0 + (1.0 - 0.3) * 10.0)
+    assert got["a"]["n_obs"] == 3
+    # b: NULL dropped, single obs seeds the fold
+    assert got["b"]["ema"] == 50.0 and got["b"]["n_obs"] == 1

@@ -166,3 +166,34 @@ def test_windowed_aggregate_streaming_with_watermark(spark, tmp_path):
     q.awaitTermination()
     got = {r["window_start"].isoformat(): r["n_obs"] for r in spark.sql("SELECT * FROM win_out").collect()}
     assert got == {"2024-01-01T10:00:00": 2}  # dup dropped, both events in window
+
+
+def test_alert_stream_threshold(spark, tmp_path):
+    """ST5: the packaged alert job emits exactly the above-threshold rows,
+    incrementally across reruns (checkpoint), with severity labels."""
+    from aqi_featurestore_spark.streaming.jobs import run_alert_stream
+
+    src = tmp_path / "alert_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows1 = [
+        (1, ts("2024-01-01 10:00:00"), 7, "view", 10.0, None),   # aqi ~41.7, below
+        (2, ts("2024-01-01 11:00:00"), 7, "view", 40.0, None),   # aqi ~112.1, alert
+        (3, ts("2024-01-01 10:30:00"), 8, "view", 100.0, None),  # aqi ~174.0, alert
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+    alert_path, ckpt = str(tmp_path / "alerts"), str(tmp_path / "alert_ckpt")
+    run_alert_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                     alert_path, ckpt, threshold=100.0)
+    alerts = {r["event_id"]: r for r in spark.read.parquet(alert_path).collect()}
+    assert set(alerts) == {2, 3}
+    assert alerts[2]["level"] == "unhealthy_sensitive"
+    assert alerts[3]["level"] == "unhealthy"
+
+    # incremental rerun: only the new above-threshold row is appended
+    rows2 = [(4, ts("2024-01-01 12:00:00"), 8, "view", 120.0, None)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    run_alert_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                     alert_path, ckpt, threshold=100.0)
+    alerts = spark.read.parquet(alert_path).collect()
+    assert sorted(r["event_id"] for r in alerts) == [2, 3, 4]
