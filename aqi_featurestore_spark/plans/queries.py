@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aqi_featurestore_spark import pipeline
+from aqi_featurestore_spark.functions import portable_hash as _ph
 from aqi_featurestore_spark.plans import approx_oracles
 from aqi_featurestore_spark.functions.aqi import aqi_case_sql
 from aqi_featurestore_spark.functions.text import (
@@ -157,6 +158,172 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = pipeline.derive_features(_read(spark, sf_dir, "events"))
     snap = latest_per_key(feat, ["entity_id"], ts="feature_timestamp", tie_break=["event_id"])
     return snap.select("entity_id", "feature_timestamp", "aqi", "hour", "day", "dayOfWeek")
+
+
+_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+  FROM documents),
+tc AS (
+  SELECT doc_id, tkn, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tkn FROM tok) GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok
+  FROM tc GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS bg
+    FROM tok) GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_big
+  FROM bc GROUP BY doc_id)
+SELECT ts.doc_id, ts.n_tokens,
+       CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS distinct_ratio,
+       CAST(ts.top_tok AS DOUBLE) / ts.n_tokens AS top_token_ratio,
+       CAST(bs.top_big AS DOUBLE) / bs.n_bigrams AS top_bigram_ratio
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id"""
+
+
+@_q("repetition_stats", _REPETITION_SQL)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: type-token ratio plus
+    most-frequent token/bigram shares — the thresholds LLM curation
+    pipelines use to drop boilerplate and degenerate repetition."""
+    from aqi_featurestore_spark.operators.text_quality import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+_PII_SQL = """
+WITH synth AS (
+  SELECT event_id,
+         'reach user' || CAST(user_id AS VARCHAR) || ' at u' || CAST(user_id AS VARCHAR)
+           || '@mail.example.com or +1-555-' || CAST(event_id % 10000 AS VARCHAR) AS text
+  FROM events)
+SELECT event_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{3,6}}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{3,6}}')) AS INT) AS n_phones
+FROM synth""".replace("{{", "{").replace("}}", "}")
+
+
+@_q("pii_redaction", _PII_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails/phones -> placeholder tokens with match
+    counts. The testdata corpus carries no PII, so the query synthesizes
+    deterministic PII-bearing text from event fields first — the oracle
+    re-synthesizes and re-redacts it, so Java-regex vs RE2 semantics are
+    genuinely exercised. Map-only at scale."""
+    from aqi_featurestore_spark.operators.text_quality import redact_pii
+
+    events = _read(spark, sf_dir, "events")
+    synth = events.select(
+        "event_id",
+        F.concat(
+            F.lit("reach user"),
+            F.col("user_id").cast("string"),
+            F.lit(" at u"),
+            F.col("user_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            (F.col("event_id") % 10000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(synth).select("event_id", "redacted", "n_emails", "n_phones")
+
+
+_CONTAMINATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM tok),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+SELECT d.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*)
+         AS contamination_ratio
+FROM sh d LEFT JOIN bench b ON d.s = b.s
+GROUP BY d.doc_id"""
+
+
+@_q("contamination_check", _CONTAMINATION_SQL)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage gate: fraction of each doc's 3-shingles found in
+    the 'benchmark' subset (every 97th doc stands in for an eval suite).
+    The benchmark shingle set broadcasts; the corpus never shuffles its
+    text — the leakage check an LLM pipeline runs before training."""
+    from aqi_featurestore_spark.operators.text_quality import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, benchmark)
+
+
+_STRATA_RATES = {"en": 0.2, "zh": 0.5, "de": 0.8}
+_STRATA_DEFAULT = 1.0
+
+_STRATIFIED_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         {{hex4}} AS u16
+  FROM (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+SELECT doc_id, lang, n_chars FROM u
+WHERE u16 < CASE {" ".join(f"WHEN lang = '{v}' THEN {int(r * 65536)}" for v, r in _STRATA_RATES.items())}
+            ELSE {int(_STRATA_DEFAULT * 65536)} END"""
+
+
+@_q("stratified_sample", _STRATIFIED_SQL.format(hex4=_ph.duck_hex_int("h", 1, 4)))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalancing a skewed
+    language mix is a standard curation pass): md5-uniform per doc_id vs
+    per-stratum thresholds — no RNG, no shuffle, rerun-stable, and the
+    oracle reproduces the exact row set."""
+    from aqi_featurestore_spark.operators.text_quality import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(
+        docs,
+        strata_col="lang",
+        key_col="doc_id",
+        rates=_STRATA_RATES,
+        default_rate=_STRATA_DEFAULT,
+    )
+
+
+_QUANTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang"""
+
+
+@_q("corpus_quantiles", _QUANTILES_SQL)
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (the profile a curation
+    pass thresholds against). Exact percentiles — Spark's `percentile`
+    and DuckDB's `quantile_cont` share the (n-1)*p linear-interpolation
+    definition, so values agree bit-for-bit. At 100 TB swap in
+    approx_percentile (t-digest sketch, mergeable, no per-group sort)
+    and keep this exact form as its small-scale oracle."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+    )
 
 
 _SKEW_JOIN_SQL = """

@@ -225,3 +225,75 @@ def test_minhash_verified_agrees_with_exact(spark):
     for pair, j in verified.items():
         assert exact[pair] == pytest.approx(j)
     assert (1, 3) in verified and verified[(1, 3)] == 1.0
+
+
+def test_repetition_stats_hand_computed(spark):
+    from aqi_featurestore_spark.operators.text_quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 4 tokens, 2 distinct, top token 'a' x3, bigrams [a a, a a, a b]
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["distinct_ratio"] == 0.5
+    assert got[1]["top_token_ratio"] == 0.75
+    assert got[1]["top_bigram_ratio"] == 2 / 3
+    # doc 3: single token -> no bigrams -> NULL ratio
+    assert got[3]["top_bigram_ratio"] is None
+
+
+def test_redact_pii_planted(spark):
+    from aqi_featurestore_spark.operators.text_quality import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io and B@Y.ORG or call +84-555-123456 now"),
+         (2, "nothing sensitive here")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 1)
+    assert got[2]["redacted"] == "nothing sensitive here"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+
+
+def test_contamination_check_planted(spark):
+    from aqi_featurestore_spark.operators.text_quality import contamination_check
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),     # shares 3-shingles with bench
+         (2, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in contamination_check(docs, bench).collect()}
+    # doc 1 shingles: {the quick brown, quick brown fox, brown fox jumps} -> 2 hits
+    assert got[1]["n_shingles"] == 3 and got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_ratio"] == 2 / 3
+    assert got[2]["n_contaminated"] == 0
+
+
+def test_stratified_sample_deterministic(spark):
+    from aqi_featurestore_spark.operators.text_quality import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(
+        df, strata_col="lang", key_col="doc_id",
+        rates={"en": 0.0, "de": 1.0},
+    )
+    rows = out.collect()
+    assert all(r["lang"] == "de" for r in rows)       # rate-0 stratum gone
+    assert len(rows) == 100                            # rate-1 stratum intact
+    # rerun yields the identical row set (no RNG state)
+    again = stratified_sample(
+        df, strata_col="lang", key_col="doc_id",
+        rates={"en": 0.0, "de": 1.0},
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
