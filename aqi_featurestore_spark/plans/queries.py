@@ -326,6 +326,69 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKCOUNT_DUCK = (
+    r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))"
+)
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({_TOKCOUNT_DUCK} AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS o
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(CAST(sum(n_tokens) OVER (
+             ORDER BY o, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS start_tok
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 2048 AS chunk_id,
+       start_tok % 2048 AS chunk_offset,
+       (start_tok + n_tokens - 1) // 2048 AS end_chunk,
+       (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_chunks
+FROM s"""
+
+
+@_q("sequence_packing", _PACKING_SQL)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk dataloader packing: md5-deterministic global
+    document order, then each doc's placement in fixed 2048-token
+    context windows. The global ordered prefix sum runs as a bucketed
+    two-phase scan (parallel per-bucket windows + 256-row offset
+    broadcast), never a single-partition window — the oracle's plain
+    global window proves the distributed scan reproduces it exactly."""
+    from aqi_featurestore_spark.operators.packing import sequence_pack
+
+    return sequence_pack(_read(spark, sf_dir, "documents"), ctx_len=2048)
+
+
+_MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({_TOKCOUNT_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT domain, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+         AS token_share,
+       (1.0 / count(*) OVER ()) /
+         (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE))
+         AS resample_weight
+FROM d"""
+
+
+@_q("domain_mixture", _MIXTURE_SQL)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares + the uniform-rebalancing resample
+    weights a curation pass multiplies into per-doc sampling rates.
+    One combinable aggregation; the share window runs on the #domains-
+    row aggregate."""
+    from aqi_featurestore_spark.operators.packing import domain_mixture
+
+    return domain_mixture(_read(spark, sf_dir, "documents"))
+
+
 _SKEW_JOIN_SQL = """
 WITH fact AS (
   SELECT CASE WHEN user_id % 20 <> 0 THEN 'hot'

@@ -62,6 +62,8 @@ EXTENDED_QUERIES = [
     "corpus_quantiles",
     "ema_features",
     "local_time_features",
+    "sequence_packing",
+    "domain_mixture",
 ]
 
 

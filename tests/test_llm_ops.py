@@ -297,3 +297,64 @@ def test_stratified_sample_deterministic(spark):
         rates={"en": 0.0, "de": 1.0},
     ).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+
+
+def test_ordered_prefix_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+    from aqi_featurestore_spark.operators.packing import ordered_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(1000)], "id long, w long"
+    ).withColumn("o", F.md5(F.col("id").cast("string")))
+    got = ordered_prefix_sum(
+        df, weight_col="w", order_hex_col="o", tie_col="id", out_col="s"
+    )
+    expect = df.withColumn(
+        "s",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("o", "id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    g = {r["id"]: r["s"] for r in got.collect()}
+    e = {r["id"]: r["s"] for r in expect.collect()}
+    assert g == e
+
+
+def test_sequence_pack_contiguous_stream(spark):
+    from aqi_featurestore_spark.operators.packing import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "   "), (4, "f g h i j")],
+        "doc_id long, text string",
+    )
+    rows = sorted(sequence_pack(docs, ctx_len=4).collect(),
+                  key=lambda r: r["start_tok"])
+    # zero-token doc dropped; stream is gapless and starts at 0
+    assert [r["doc_id"] for r in rows] != [] and 3 not in {r["doc_id"] for r in rows}
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos
+        assert r["chunk_id"] == pos // 4 and r["chunk_offset"] == pos % 4
+        assert r["end_chunk"] == (pos + r["n_tokens"] - 1) // 4
+        assert r["n_chunks"] == r["end_chunk"] - r["chunk_id"] + 1
+        pos += r["n_tokens"]
+    assert pos == 10  # 3 + 2 + 5 tokens total
+
+
+def test_domain_mixture_hand_computed(spark):
+    from aqi_featurestore_spark.operators.packing import domain_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c"), (2, "web", "d"), (3, "book", "e f g h")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["domain"]: r for r in domain_mixture(docs).collect()}
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 4
+    assert got["book"]["n_tokens"] == 4
+    assert got["web"]["token_share"] == 0.5
+    # uniform target is 1/2 each; web holds 1/2 already -> weight 1.0
+    assert got["web"]["resample_weight"] == 1.0
+    assert got["book"]["resample_weight"] == 1.0
