@@ -135,21 +135,16 @@ def minhash_signatures(
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
+def _band_buckets(
     signatures: DataFrame,
     *,
-    id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
-    scheme: str = "md5",
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    scheme: str,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs
-    (d1 < d2, distinct). Probability a pair with Jaccard j collides:
-    1 - (1 - j^r)^b — (16, 4) puts the S-curve threshold near 0.5.
-
-    Bucket key: ``scheme="md5"`` hashes the '|'-joined band values with
-    md5 (portable, 16-char key); ``"xxhash64"`` keeps the 8-byte JVM
-    hash. Either way the bucket join shuffles fixed-width keys only."""
+    """Explode a signature frame into ``(id, band, bucket)`` rows — the
+    equi-join key space for LSH candidate generation."""
     if scheme == "md5":
         band_hashes = F.array(
             *[
@@ -184,8 +179,29 @@ def minhash_lsh_candidates(
         )
     else:
         raise ValueError(f"unknown banding scheme {scheme!r}")
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    scheme: str = "md5",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (d1 < d2, distinct). Probability a pair with Jaccard j collides:
+    1 - (1 - j^r)^b — (16, 4) puts the S-curve threshold near 0.5.
+
+    Bucket key: ``scheme="md5"`` hashes the '|'-joined band values with
+    md5 (portable, 16-char key); ``"xxhash64"`` keeps the 8-byte JVM
+    hash. Either way the bucket join shuffles fixed-width keys only."""
+    buckets = _band_buckets(
+        signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scheme=scheme,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
@@ -194,6 +210,38 @@ def minhash_lsh_candidates(
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def minhash_lsh_candidates_between(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    scheme: str = "md5",
+) -> DataFrame:
+    """LSH candidates BETWEEN two disjoint signature sets: each new doc
+    paired with every corpus doc sharing a band bucket -> ``(d1=new,
+    d2=corpus)``. No new x new or corpus x corpus pairs, no ordering
+    constraint — the sides are different populations.
+
+    This is the incremental-ingestion shape: the corpus side's buckets
+    are computed once per batch here, but at scale they'd be a stored
+    table appended per accepted batch, so each ingest shuffles only the
+    new batch's buckets against a bucket-partitioned corpus index."""
+    kw = dict(bands=bands, rows_per_band=rows_per_band, scheme=scheme)
+    a = _band_buckets(new_sigs, id_col=id_col, **kw).alias("a")
+    b = _band_buckets(corpus_sigs, id_col=id_col, **kw).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .dropDuplicates(["d1", "d2"])
@@ -356,6 +404,7 @@ def exact_jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    docs2: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard computed ONLY for the given candidate pairs
     (d1, d2) — the verification half of detect-approx -> verify-exact.
@@ -363,14 +412,23 @@ def exact_jaccard_for_pairs(
     Each doc carries its shingle set as sorted 64-bit hashes (fixed-width;
     bodies never join), so the per-pair cost is one array intersection of
     the two candidate docs, not a corpus-wide shingle self-join. Exact up
-    to xxhash64 shingle collisions (~2^-64 per shingle pair)."""
-    sets_df = (
-        _doc_shingles(_spread(docs), id_col=id_col, text_col=text_col, k=k)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("sh"))
-    )
+    to xxhash64 shingle collisions (~2^-64 per shingle pair).
+
+    ``docs2`` supplies the d2 side when the pair sides come from
+    different frames (incremental new-vs-corpus verification); default
+    is the self-join case."""
+
+    def _sets(d: DataFrame) -> DataFrame:
+        return (
+            _doc_shingles(_spread(d), id_col=id_col, text_col=text_col, k=k)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("sh"))
+        )
+
+    sets_df = _sets(docs)
+    sets2_df = sets_df if docs2 is None else _sets(docs2)
     s1 = sets_df.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sets_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    s2 = sets2_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     joined = pairs.select("d1", "d2").join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
@@ -410,4 +468,42 @@ def minhash_verified_pairs(
         sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands, scheme=scheme
     )
     exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
+    return exact.where(F.col("jaccard") >= threshold)
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    scheme: str = "md5",
+) -> DataFrame:
+    """Incremental ingestion dedup gate: which NEW documents near-
+    duplicate something already in the corpus. MinHash-LSH candidates
+    between the two sets (never corpus x corpus — the corpus was already
+    deduped when it was ingested), then exact Jaccard verification.
+    Returns ``(d1=new_id, d2=corpus_id, inter, n1, n2, jaccard)``;
+    anti-join ``new_docs`` against the d1 column to admit only novel
+    docs.
+
+    At 100 TB the corpus side's signatures/buckets are a stored,
+    bucket-partitioned index (computed once per accepted batch), so the
+    per-batch cost scales with the batch, not the corpus."""
+    sig_kw = dict(
+        id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, scheme=scheme
+    )
+    new_sigs = minhash_signatures(_spread(new_docs), **sig_kw)
+    corpus_sigs = minhash_signatures(_spread(corpus_docs), **sig_kw)
+    cand = minhash_lsh_candidates_between(
+        new_sigs, corpus_sigs, id_col=id_col, bands=bands,
+        rows_per_band=num_hashes // bands, scheme=scheme,
+    )
+    exact = exact_jaccard_for_pairs(
+        new_docs, cand, id_col=id_col, text_col=text_col, k=k, docs2=corpus_docs
+    )
     return exact.where(F.col("jaccard") >= threshold)

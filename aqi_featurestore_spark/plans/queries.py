@@ -1342,6 +1342,23 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(d, threshold=0.3)
 
 
+@_q("incremental_dedup", approx_oracles.minhash_incremental_sql())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion gate: every 10th-ish doc (doc_id % 10 = 7)
+    plays the incoming batch, the rest the already-deduped corpus; output
+    is the (new, corpus) near-dup pairs with TRUE verified Jaccard that
+    an anti-join would use to admit only novel docs. Candidates come from
+    cross-set MinHash banding only — corpus x corpus pairs are never
+    generated, so per-batch cost scales with the batch."""
+    from aqi_featurestore_spark.operators.near_dedup import minhash_incremental_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    return minhash_incremental_pairs(
+        d.where(is_new), d.where(~is_new), threshold=0.3
+    )
+
+
 _SPLIT_SQL = r"""
 SELECT event_id, user_id,
        CASE WHEN (4096 * (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)

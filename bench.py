@@ -64,6 +64,7 @@ EXTENDED_QUERIES = [
     "local_time_features",
     "sequence_packing",
     "domain_mixture",
+    "incremental_dedup",
 ]
 
 

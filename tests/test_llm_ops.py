@@ -358,3 +358,27 @@ def test_domain_mixture_hand_computed(spark):
     # uniform target is 1/2 each; web holds 1/2 already -> weight 1.0
     assert got["web"]["resample_weight"] == 1.0
     assert got["book"]["resample_weight"] == 1.0
+
+
+def test_incremental_dedup_planted(spark):
+    from aqi_featurestore_spark.operators.near_dedup import minhash_incremental_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, "an entirely unrelated corpus document about trains "
+                        "and the schedules they keep across the winter months "
+                        "when snow covers every track in the northern region")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, BASE),                                   # exact dup of corpus doc 1
+         (11, "novel content that matches nothing in the corpus at all "
+              "since it discusses deep sea creatures and their luminous "
+              "organs in the perpetual darkness of the abyssal plain")],
+        "doc_id long, text string",
+    )
+    got = minhash_incremental_pairs(new, corpus, threshold=0.5).collect()
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in got}
+    assert (10, 1) in pairs and pairs[(10, 1)] == 1.0   # dup detected
+    assert all(d1 != 11 for d1, _ in pairs)             # novel doc admitted
+    # sides never pair within themselves
+    assert all(d1 in (10, 11) and d2 in (1, 2) for d1, d2 in pairs)
