@@ -126,6 +126,64 @@ def run_alert_stream(
     q.awaitTermination()
 
 
+def run_dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    corpus_path: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.5,
+) -> None:
+    """Document-ingestion pipeline with a near-dup admission gate: each
+    micro-batch is (1) deduped against itself (MinHash-LSH candidates +
+    exact Jaccard verify, keep the smallest doc_id of any dup pair),
+    (2) deduped against the already-accepted corpus via the cross-set
+    incremental gate (never corpus x corpus), and (3) the surviving
+    novel docs append to the corpus store.
+
+    Trigger.AvailableNow + checkpoint make re-runs incremental: files
+    already processed are never re-admitted. At 100 TB the corpus side
+    of step 2 reads a stored, bucket-partitioned signature index rather
+    than re-sketching the corpus per batch (see
+    ``near_dedup.minhash_incremental_pairs``)."""
+    from aqi_featurestore_spark.operators.near_dedup import (
+        minhash_incremental_pairs,
+        minhash_verified_pairs,
+    )
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        # (1) within-batch: drop the larger id of every verified dup pair
+        self_dups = (
+            minhash_verified_pairs(batch, threshold=threshold)
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+        novel = batch.join(self_dups, "doc_id", "left_anti")
+        # (2) against the accepted corpus
+        if fs.exists(ss, corpus_path):
+            corpus = ss.read.parquet(corpus_path)
+            hits = (
+                minhash_incremental_pairs(novel, corpus, threshold=threshold)
+                .select(F.col("d1").alias("doc_id"))
+                .distinct()
+            )
+            novel = novel.join(hits, "doc_id", "left_anti")
+        # (3) admit
+        novel.write.mode("append").parquet(corpus_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_aqi_aggregate(
     events: DataFrame, *, window: str = "1 hour", ts: str = "ts"
 ) -> DataFrame:

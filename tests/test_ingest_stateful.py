@@ -160,3 +160,36 @@ def test_batch_ema_equals_streaming_fold(spark):
     assert got["a"]["n_obs"] == 3
     # b: NULL dropped, single obs seeds the fold
     assert got["b"]["ema"] == 50.0 and got["b"]["n_obs"] == 1
+
+
+def test_dedup_ingest_stream(spark, tmp_path):
+    """Streaming admission gate: within-batch near-dups collapse to the
+    smallest id, corpus near-dups are rejected, novel docs append —
+    incrementally across reruns (checkpoint)."""
+    from aqi_featurestore_spark.streaming.jobs import run_dedup_ingest_stream
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing outside")
+    other = ("completely different text about mountain rivers carving "
+             "their slow canyons through limestone over millions of years")
+    novel = ("a third subject entirely concerning the migration patterns "
+             "of arctic terns across two polar summers every single year")
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "dedup_ckpt")
+
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, other)], schema
+    ).write.mode("append").parquet(str(src))
+    run_dedup_ingest_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                            corpus, ckpt, threshold=0.5)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3]
+
+    # second batch: 10 duplicates corpus doc 1 -> rejected; 11 is novel
+    spark.createDataFrame(
+        [(10, base), (11, novel)], schema
+    ).write.mode("append").parquet(str(src))
+    run_dedup_ingest_stream(spark, str(src), spark.createDataFrame([], schema).schema,
+                            corpus, ckpt, threshold=0.5)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11]
