@@ -389,6 +389,93 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(_read(spark, sf_dir, "documents"))
 
 
+_SLIDING_SQL = r"""
+WITH e AS (
+  SELECT user_id, ts, time_bucket(INTERVAL '15 minutes', ts) AS tb,
+         CAST(round("value" * 100, 0) AS BIGINT) AS v
+  FROM events)
+SELECT tb - (k * INTERVAL '15 minutes') AS window_start,
+       tb - (k * INTERVAL '15 minutes') + INTERVAL '1 hour' AS window_end,
+       user_id, count(*) AS n_obs, CAST(SUM(v) AS BIGINT) AS sum_value_c
+FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+GROUP BY 1, 2, 3"""
+
+
+@_q("sliding_windows", _SLIDING_SQL)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1 h length, 15 min hop — the third
+    windowing family next to tumbling (`hourly_rollup`) and session
+    (`session_windows`). Each event lands in exactly window/hop = 4
+    windows; the oracle replicates rows via unnest(range(4)) off the
+    15-minute bucket. Works identically on a stream with a watermark."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_obs",
+            "sum_value_c",
+        )
+    )
+
+
+_CUBE_SQL = r"""
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round("value" * 100, 0) AS BIGINT) AS v
+  FROM events)
+SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(v) AS BIGINT) AS sum_value_c,
+       CAST(GROUPING(event_type, day) AS INT) AS gid
+FROM e GROUP BY CUBE (event_type, day)"""
+
+
+@_q("daily_cube", _CUBE_SQL)
+def q_daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (event_type, day): all four grouping sets in one
+    pass (Spark's Expand feeds a single hash aggregate — no re-scan per
+    set). grouping_id disambiguates subtotal rows from natural NULLs;
+    integer centi-sums keep values order-independent."""
+    events = _read(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    return e.cube("event_type", "day").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("v").alias("sum_value_c"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN "{c}" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT "{c}") AS BIGINT) AS n_distinct FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@_q("table_profile", _PROFILE_SQL)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data audit: per-column completeness + exact
+    cardinality over events. One pruned single-column scan per branch —
+    never the multi-count_distinct Expand; approx_count_distinct is the
+    documented full-scale variant."""
+    from aqi_featurestore_spark.operators.profile import column_profile
+
+    return column_profile(_read(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
 _SKEW_JOIN_SQL = """
 WITH fact AS (
   SELECT CASE WHEN user_id % 20 <> 0 THEN 'hot'

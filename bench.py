@@ -65,6 +65,9 @@ EXTENDED_QUERIES = [
     "sequence_packing",
     "domain_mixture",
     "incremental_dedup",
+    "table_profile",
+    "sliding_windows",
+    "daily_cube",
 ]
 
 

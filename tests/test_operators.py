@@ -197,3 +197,16 @@ def test_resolve_entity_by_name(spark):
     assert out[1] == "21.0_105.75"
     assert out[2] == "20.75_106.75"
     assert out[3] is None  # refusal path: unknown location -> NULL
+
+
+def test_column_profile_hand_computed(spark):
+    from aqi_featurestore_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x long, s string",
+    )
+    got = {r["column_name"]: r for r in column_profile(df).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 3
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
