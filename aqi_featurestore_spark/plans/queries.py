@@ -389,6 +389,58 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(_read(spark, sf_dir, "documents"))
 
 
+_ATTRIBUTION_SQL = r"""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.purchase_id, c.click_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour')
+SELECT p.purchase_id, p.user_id, p.purchase_ts, x.click_id, x.click_ts
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) x
+  ON p.purchase_id = x.purchase_id"""
+
+
+@_q("attribution_join", _ATTRIBUTION_SQL)
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the most recent
+    click by the same user within the preceding hour — the flagship
+    as-of join (J1) applied to a second domain (same operator, same
+    max_by aggregation plan, TTL = attribution window; filters push to
+    the scan). Purchases with no qualifying click keep NULL clicks."""
+    from aqi_featurestore_spark.operators.pit_join import point_in_time_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return point_in_time_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        event_ts="purchase_ts",
+        feature_ts="click_ts",
+        feature_cols=["click_id"],
+        tie_break=["click_id"],
+        ttl=timedelta(hours=1),
+    )
+
+
 _SLIDING_SQL = r"""
 WITH e AS (
   SELECT user_id, ts, time_bucket(INTERVAL '15 minutes', ts) AS tb,

@@ -68,6 +68,7 @@ EXTENDED_QUERIES = [
     "table_profile",
     "sliding_windows",
     "daily_cube",
+    "attribution_join",
 ]
 
 
