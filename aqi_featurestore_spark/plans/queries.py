@@ -389,6 +389,58 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(_read(spark, sf_dir, "documents"))
 
 
+_RUNNING_SQL = r"""
+SELECT user_id, ts, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS run_n,
+       max("value") OVER w AS run_max,
+       CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS run_sum_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)"""
+
+
+@_q("running_stats", _RUNNING_SQL)
+def q_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-entity history stats (running count/max/sum) — the
+    frame-bounded window family next to lag (W1). Partitioned by entity,
+    so the sort is per-key and parallel; ties broken by event_id for a
+    deterministic frame; integer centi-sums for order independence."""
+    events = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).alias("run_n"),
+        F.max("value").over(w).alias("run_max"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).alias("run_sum_c"),
+    )
+
+
+_DECILES_SQL = r"""
+SELECT event_id, event_type,
+       CAST(ntile(10) OVER (PARTITION BY event_type
+                            ORDER BY "value", event_id) AS INT) AS decile
+FROM events"""
+
+
+@_q("value_deciles", _DECILES_SQL)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type decile assignment (ntile) — the rank-family window op
+    used for threshold-free outlier trimming (drop decile 1/10). Ties
+    broken by event_id so both engines assign identical buckets."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
 _ATTRIBUTION_SQL = r"""
 WITH p AS (
   SELECT user_id, ts AS purchase_ts, event_id AS purchase_id

@@ -184,6 +184,38 @@ def run_dedup_ingest_stream(
     q.awaitTermination()
 
 
+def attribution_stream(
+    clicks: DataFrame, purchases: DataFrame, *, window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same
+    user's clicks from the preceding ``window`` — the streaming form of
+    the batch ``attribution_join`` query (which then reduces to last
+    touch). Watermarks on BOTH event times + the time-range join
+    condition are what let Spark bound each side's join state and emit/
+    evict as the watermark advances; without them state grows O(stream).
+
+    Emits the full candidate set (append mode); the last-touch max_by
+    reduction runs downstream in batch, where late data is already
+    sealed. Works on batch inputs too (watermarks become no-ops)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", window)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", window)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("user_id", "purchase_ts", "purchase_id", "click_ts", "click_id")
+
+
 def windowed_aqi_aggregate(
     events: DataFrame, *, window: str = "1 hour", ts: str = "ts"
 ) -> DataFrame:

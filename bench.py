@@ -69,6 +69,8 @@ EXTENDED_QUERIES = [
     "sliding_windows",
     "daily_cube",
     "attribution_join",
+    "running_stats",
+    "value_deciles",
 ]
 
 

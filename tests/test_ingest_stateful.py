@@ -193,3 +193,51 @@ def test_dedup_ingest_stream(spark, tmp_path):
     run_dedup_ingest_stream(spark, str(src), spark.createDataFrame([], schema).schema,
                             corpus, ckpt, threshold=0.5)
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11]
+
+
+def test_attribution_stream_stream_join(spark, tmp_path):
+    """Stream-stream join with watermarks + time-range condition: the
+    streaming result equals the batch join on the same inputs."""
+    from datetime import datetime
+
+    from aqi_featurestore_spark.streaming.jobs import attribution_stream
+
+    def ts(s: str) -> datetime:
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    clicks = [
+        (1, ts("2024-01-01 10:00:00"), 7, "click", 1.0, None),   # in window
+        (2, ts("2024-01-01 09:15:00"), 7, "click", 1.0, None),   # 75 min before -> out
+        (3, ts("2024-01-01 10:20:00"), 7, "click", 1.0, None),   # in window
+        (4, ts("2024-01-01 10:00:00"), 8, "click", 1.0, None),   # other user
+    ]
+    purchases = [
+        (100, ts("2024-01-01 10:30:00"), 7, "purchase", 5.0, None),
+        (101, ts("2024-01-01 12:00:00"), 8, "purchase", 5.0, None),  # click too old
+    ]
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(); pdir.mkdir()
+    spark.createDataFrame(clicks, schema).write.mode("append").parquet(str(cdir))
+    spark.createDataFrame(purchases, schema).write.mode("append").parquet(str(pdir))
+
+    sch = spark.createDataFrame([], schema).schema
+    out = attribution_stream(
+        spark.readStream.schema(sch).parquet(str(cdir)),
+        spark.readStream.schema(sch).parquet(str(pdir)),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["purchase_id"], r["click_id"])
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(100, 1), (100, 3)}
+
+    # batch parity: same operator on batch frames gives the same pairs
+    batch = attribution_stream(
+        spark.read.parquet(str(cdir)), spark.read.parquet(str(pdir))
+    )
+    assert {(r["purchase_id"], r["click_id"]) for r in batch.collect()} == got
