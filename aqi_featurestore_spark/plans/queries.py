@@ -422,6 +422,41 @@ def q_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAILING_SQL = r"""
+SELECT user_id, ts, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_1h_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)"""
+
+
+@_q("trailing_hour_stats", _TRAILING_SQL)
+def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 1 h per entity) — the third
+    frame type next to rows-bounded (`running_stats`) and unbounded.
+    Spark range frames need a numeric ordering, so the frame runs over
+    epoch MICROseconds — full timestamp precision; second-truncated
+    epochs would shift the hour boundary under each row's sub-second
+    component and silently disagree with the oracle's INTERVAL frame.
+    Rows tied on ts share a frame in both engines (RANGE semantics), so
+    no id tie-break is needed."""
+    events = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).alias("sum_1h_c"),
+    )
+
+
 _DECILES_SQL = r"""
 SELECT event_id, event_type,
        CAST(ntile(10) OVER (PARTITION BY event_type

@@ -71,6 +71,7 @@ EXTENDED_QUERIES = [
     "attribution_join",
     "running_stats",
     "value_deciles",
+    "trailing_hour_stats",
 ]
 
 
