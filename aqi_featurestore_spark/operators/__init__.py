@@ -41,6 +41,10 @@ from aqi_featurestore_spark.operators.similarity import (
     embedding_cosine_pairs,
     hyperplane_sketch,
 )
+from aqi_featurestore_spark.operators.range_join import (
+    range_join,
+    range_join_time,
+)
 from aqi_featurestore_spark.operators.skew import (
     salted_equi_join,
     salted_latest_per_key,
@@ -76,6 +80,8 @@ __all__ = [
     "online_lookup",
     "point_in_time_join",
     "point_in_time_join_sorted",
+    "range_join",
+    "range_join_time",
     "resolve_duplicates",
     "salted_equi_join",
     "salted_latest_per_key",

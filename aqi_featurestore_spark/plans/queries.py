@@ -476,6 +476,53 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_JOIN_SQL = r"""
+SELECT w.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_shipped,
+       CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS qty_c
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderdate AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+      FROM orders WHERE o_orderpriority = '1-URGENT') w
+  ON l.l_shipdate BETWEEN w.w_start AND w.w_end
+GROUP BY w.o_orderkey"""
+
+
+@_q("range_join_agg", _RANGE_JOIN_SQL)
+def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join WITHOUT an equi-key: lineitems
+    shipped inside each urgent order's 3-day window, aggregated per
+    window. Naively this is a theta join (BroadcastNestedLoopJoin /
+    cartesian — dead at 100 TB); ``operators.range_join`` rewrites it as
+    bucketed expansion + equi-join + residual filter, so the physical
+    plan is an ordinary shuffled join on fixed-width bucket keys with
+    ≤2× replication of the interval side (width = span). Quantity sums
+    accumulate in integer cents, cast once at the end."""
+    from aqi_featurestore_spark.operators.range_join import range_join_time
+
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    windows = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    points = lineitem.select("l_quantity", "l_shipdate")
+    joined = range_join_time(
+        points,
+        windows,
+        point="l_shipdate",
+        start="w_start",
+        end="w_end",
+        bucket_width_seconds=3 * 86_400,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+    )
+
+
 _ATTRIBUTION_SQL = r"""
 WITH p AS (
   SELECT user_id, ts AS purchase_ts, event_id AS purchase_id

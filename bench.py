@@ -72,6 +72,7 @@ EXTENDED_QUERIES = [
     "running_stats",
     "value_deciles",
     "trailing_hour_stats",
+    "range_join_agg",
 ]
 
 
