@@ -41,6 +41,10 @@ from aqi_featurestore_spark.operators.similarity import (
     embedding_cosine_pairs,
     hyperplane_sketch,
 )
+from aqi_featurestore_spark.operators.approx import (
+    distinct_count_profile,
+    quantile_profile,
+)
 from aqi_featurestore_spark.operators.range_join import (
     range_join,
     range_join_time,
@@ -65,6 +69,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "dedup_exact",
+    "distinct_count_profile",
     "drop_duplicate_features",
     "embedding_cosine_pairs",
     "exact_jaccard_for_pairs",
@@ -80,6 +85,7 @@ __all__ = [
     "online_lookup",
     "point_in_time_join",
     "point_in_time_join_sorted",
+    "quantile_profile",
     "range_join",
     "range_join_time",
     "resolve_duplicates",

@@ -476,6 +476,53 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_DISTINCT_SQL = r"""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok, TRUE AS acd_ok, TRUE AS merge_ok
+FROM events GROUP BY event_type"""
+
+
+@_q("approx_distinct", _APPROX_DISTINCT_SQL)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counts — the scale path for
+    COUNT(DISTINCT) (exact form shuffles every value; HLL ships
+    KB-size mergeable registers). Emits the exact count plus
+    deterministic within-bound booleans for the HLL and
+    approx_count_distinct estimates, and `merge_ok` proving per-day
+    sketches unioned per key estimate EXACTLY what the single-pass
+    sketch does (register-max is associative — the continuous-rollup
+    pattern). The oracle pins the exact counts and expects every
+    boolean TRUE — approximate operators verified without the oracle
+    reproducing the sketch."""
+    from aqi_featurestore_spark.operators.approx import distinct_count_profile
+
+    events = _read(spark, sf_dir, "events")
+    return distinct_count_profile(
+        events, ["event_type"], "user_id", day_col="ts", rel_bound=0.10
+    )
+
+
+_APPROX_QUANTILES_SQL = r"""
+SELECT event_type,
+       quantile_cont("value", 0.5)  AS q50,
+       quantile_cont("value", 0.95) AS q95,
+       TRUE AS q50_ok, TRUE AS q95_ok
+FROM events GROUP BY event_type"""
+
+
+@_q("approx_quantiles", _APPROX_QUANTILES_SQL)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit) next to `approx_percentile`
+    within-1% booleans — the mergeable-sketch quantile path graded
+    against the exact sort-based answer."""
+    from aqi_featurestore_spark.operators.approx import quantile_profile
+
+    events = _read(spark, sf_dir, "events")
+    return quantile_profile(events, ["event_type"], "value")
+
+
 _RANGE_JOIN_SQL = r"""
 SELECT w.o_orderkey,
        CAST(count(*) AS BIGINT) AS n_shipped,

@@ -73,6 +73,8 @@ EXTENDED_QUERIES = [
     "value_deciles",
     "trailing_hour_stats",
     "range_join_agg",
+    "approx_distinct",
+    "approx_quantiles",
 ]
 
 
