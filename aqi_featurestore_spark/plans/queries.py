@@ -476,6 +476,150 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_PIVOT_SQL = r"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q("event_pivot", _EVENT_PIVOT_SQL)
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts as columns. The
+    value list is explicit — without it Spark runs an eager extra job
+    just to collect distinct pivot values before planning (a full scan
+    at 100 TB); with it the pivot compiles to one shuffle-by-user hash
+    aggregate. Missing combinations become 0, matching the CASE-sum
+    oracle."""
+    events = _read(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_SCD2_SQL = r"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM o),
+i AS (
+  SELECT user_id, state, CAST(island AS BIGINT) AS island,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, state, island)
+SELECT user_id, state, island, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to,
+       n_events
+FROM i"""
+
+
+@_q("scd2_state_history", _SCD2_SQL)
+def q_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history built from an event
+    log: collapse each user's consecutive runs of the same state into
+    validity intervals [valid_from, valid_to) — the gaps-and-islands
+    pattern (change flag via lag → running sum numbers the islands →
+    per-island aggregate → lead stitches the end timestamps). NULL
+    valid_to marks the open current row. Every window is partitioned
+    by user (no global sort); island, not valid_from, orders the lead
+    so tied timestamps across adjacent islands stay deterministic."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("state").over(w)
+    o = events.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    ).withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("state")), 1).otherwise(0),
+    )
+    g = o.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    i = g.groupBy("user_id", "state", F.col("island").cast("long").alias("island")).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return i.select(
+        "user_id",
+        "state",
+        "island",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+_REVENUE_ROLLUP_SQL = r"""
+WITH j AS (
+  SELECT r_name, n_name,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT) AS rev_i
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT r_name, n_name,
+       CAST(sum(rev_i) AS BIGINT) AS revenue_i,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(GROUPING(r_name, n_name) AS INT) AS gid
+FROM j GROUP BY ROLLUP (r_name, n_name)"""
+
+
+@_q("revenue_rollup", _REVENUE_ROLLUP_SQL)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) over the
+    Q5-shaped join tree: date predicate pushed to the orders scan,
+    dimensions broadcast, then ONE Expand feeding a single hash
+    aggregate emits all three grouping levels — no per-level re-scan.
+    Revenue accumulates exactly in integer (cents × basis-points);
+    grouping_id disambiguates subtotal NULLs."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    rev_i = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", rev_i.alias("rev_i"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.sum("rev_i").alias("revenue_i"),
+        F.count("*").alias("n_items"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 _APPROX_DISTINCT_SQL = r"""
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

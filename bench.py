@@ -75,6 +75,9 @@ EXTENDED_QUERIES = [
     "range_join_agg",
     "approx_distinct",
     "approx_quantiles",
+    "event_pivot",
+    "scd2_state_history",
+    "revenue_rollup",
 ]
 
 
