@@ -40,3 +40,30 @@ def delete(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs_and_path(spark, path)
     if fs.exists(jpath):
         fs.delete(jpath, True)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Directory rename. Atomic on HDFS/POSIX; on object stores it is a
+    copy+delete — callers must treat the swap window as non-atomic."""
+    fs, jsrc = _fs_and_path(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(jsrc, jdst))
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing of data files under ``path``,
+    skipping hidden/commit markers (_SUCCESS, ._*). Driver-side metadata
+    only — one RPC stream, no data read; cardinality is file count, not
+    row count."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out

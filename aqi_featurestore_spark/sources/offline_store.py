@@ -109,6 +109,83 @@ class OfflineStore:
             .parquet(self.path)
         )
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, *, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite the store so each date partition holds
+        ``ceil(partition_bytes / target_file_bytes)`` files.
+
+        Incremental appends leave one file per (batch × partition) —
+        after a year of hourly batches a partition has thousands of
+        KB-sized files, and a 100 TB scan pays open/seek/footer costs
+        per file plus a listing that dwarfs the read. Compaction shape:
+
+        - file sizes come from a driver-side recursive listing
+          (metadata RPCs — cardinality is file count, never rows);
+        - per-partition file targets become a tiny broadcast-joined
+          plan table, a deterministic salt spreads rows across exactly
+          the target count, and ONE ``repartition(year, month, day,
+          salt)`` shuffle rewrites everything — no per-partition loop,
+          no driver data movement;
+        - the rewrite lands in ``<path>.compact.tmp`` and is swapped in
+          by directory rename. The swap is atomic on HDFS/POSIX; on
+          object stores there is a visible window — run compaction in
+          the maintenance path, not concurrently with appends.
+
+        Returns ``{"files_before", "files_after", "bytes"}``."""
+        listing = fs.list_data_files(self.spark, self.path)
+        if not listing:
+            return {"files_before": 0, "files_after": 0, "bytes": 0}
+        # dir -> bytes for partition leaf dirs (strip the file name)
+        per_part: dict[str, int] = {}
+        for p, sz in listing:
+            per_part[p.rsplit("/", 1)[0]] = per_part.get(p.rsplit("/", 1)[0], 0) + sz
+        plan_rows = []
+        for d, sz in per_part.items():
+            parts = dict(
+                kv.split("=", 1) for kv in d.split("/") if "=" in kv and not kv.startswith("_")
+            )
+            if {"year", "month", "day"} <= parts.keys():
+                plan_rows.append(
+                    (
+                        int(parts["year"]), int(parts["month"]), int(parts["day"]),
+                        max(1, -(-sz // target_file_bytes)),
+                    )
+                )
+        plan = self.spark.createDataFrame(
+            plan_rows, "year int, month int, day int, __n_files int"
+        )
+        data = self.read()
+        salted = data.join(F.broadcast(plan), ["year", "month", "day"], "left").withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*self.keys, self.ts), F.coalesce("__n_files", F.lit(1))),
+        )
+        tmp = f"{self.path}.compact.tmp"
+        old = f"{self.path}.compact.old"
+        fs.delete(self.spark, tmp)
+        total_files = sum(n for *_, n in plan_rows)
+        (
+            # range-partition on (partition dirs, salt) with exactly the
+            # target task count: each (dir, salt) combo lands in its own
+            # task (hash repartition would collide combos into shared
+            # tasks and silently under-split large partitions)
+            salted.repartitionByRange(total_files, "year", "month", "day", "__salt")
+            .drop("__n_files", "__salt")
+            .write.partitionBy("year", "month", "day")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.delete(self.spark, old)
+        fs.rename(self.spark, self.path, old)
+        fs.rename(self.spark, tmp, self.path)
+        fs.delete(self.spark, old)
+        after = fs.list_data_files(self.spark, self.path)
+        return {
+            "files_before": len(listing),
+            "files_after": len(after),
+            "bytes": sum(sz for _, sz in after),
+        }
+
 
 class Watermark:
     """Scalar checkpoint protocol (S16): read-with-default, advance after a

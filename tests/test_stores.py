@@ -197,3 +197,43 @@ def test_alert_stream_threshold(spark, tmp_path):
                      alert_path, ckpt, threshold=100.0)
     alerts = spark.read.parquet(alert_path).collect()
     assert sorted(r["event_id"] for r in alerts) == [2, 3, 4]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    store = OfflineStore(spark, str(tmp_path / "compactable"))
+    # 12 appends x 2 dates -> many small files across 2 partitions
+    for i in range(12):
+        store.append(
+            _batch(
+                spark,
+                [
+                    (f"e{i}", ts("2024-02-01 10:00:00") + timedelta(minutes=i), float(i)),
+                    (f"e{i}", ts("2024-02-02 10:00:00") + timedelta(minutes=i), float(i)),
+                ],
+            )
+        )
+    before = store.read().orderBy("entity_id", "feature_timestamp").collect()
+    stats = store.compact()  # default target >> data size -> 1 file/partition
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] == 2
+    after = store.read().orderBy("entity_id", "feature_timestamp").collect()
+    assert [sorted(r.asDict().items()) for r in after] == [
+        sorted(r.asDict().items()) for r in before
+    ]
+    # partition pruning still works post-compaction
+    assert store.read(since=date(2024, 2, 2)).count() == 12
+    # appends keep working against the rewritten layout
+    store.append(_batch(spark, [("z", ts("2024-02-02 23:00:00"), 9.0)]))
+    assert store.read().count() == 25
+
+
+def test_compact_splits_by_target_bytes(spark, tmp_path):
+    store = OfflineStore(spark, str(tmp_path / "split"))
+    rows = [
+        (f"e{i}", ts("2024-03-01 00:00:00") + timedelta(seconds=i), float(i))
+        for i in range(2000)
+    ]
+    store.append(_batch(spark, rows))
+    stats = store.compact(target_file_bytes=8 << 10)  # 8 KB -> several files
+    assert stats["files_after"] > 1
+    assert store.read().count() == 2000
