@@ -508,6 +508,72 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_EXTRACT_SQL = r"""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT)
+         AS max_k
+FROM events GROUP BY event_type"""
+
+
+@_q("json_extract_stats", _JSON_EXTRACT_SQL)
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the JSON props column parsed ONCE
+    with a typed schema (`from_json` — JVM-side, codegen'd, Jackson
+    under the hood; never a Python UDF) and aggregated per type.
+    `get_json_object` would re-parse the string per extracted field —
+    with a typed struct, N fields cost one parse. Malformed/missing
+    keys become NULL and drop out of the aggregates in both engines."""
+    events = _read(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+_EVENT_UNPIVOT_SQL = r"""
+WITH wide AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+  FROM events GROUP BY user_id)
+SELECT user_id, kind, n FROM (
+  SELECT user_id, 'n_click' AS kind, n_click AS n FROM wide
+  UNION ALL
+  SELECT user_id, 'n_purchase' AS kind, n_purchase AS n FROM wide)"""
+
+
+@_q("event_unpivot", _EVENT_UNPIVOT_SQL)
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the melt inverse of `event_pivot`): Spark's
+    native `unpivot` compiles to a single Expand — one pass, row count
+    × number of value columns, no self-union re-scan (the oracle's
+    UNION ALL shape would scan the wide table once per column at
+    scale)."""
+    events = _read(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_purchase"],
+        variableColumnName="kind",
+        valueColumnName="n",
+    )
+
+
 _SCD2_SQL = r"""
 WITH o AS (
   SELECT user_id, ts, event_id, event_type AS state,

@@ -78,6 +78,8 @@ EXTENDED_QUERIES = [
     "event_pivot",
     "scd2_state_history",
     "revenue_rollup",
+    "json_extract_stats",
+    "event_unpivot",
 ]
 
 
