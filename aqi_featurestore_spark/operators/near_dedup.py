@@ -42,11 +42,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _doc_shingles(docs: DataFrame, *, id_col: str, text_col: str, k: int) -> DataFrame:
-    return (
-        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+def _doc_shingles(
+    docs: DataFrame, *, id_col: str, text_col: str, k: int, dedup: bool = True
+) -> DataFrame:
+    """Exploded (id, shingle) rows. ``dedup=False`` skips the
+    dropDuplicates exchange — correct whenever the consumer is
+    duplicate-insensitive (min aggregates, collect_set), which saves a
+    full shuffle of the exploded shingle strings; set-cardinality
+    consumers (the exact-Jaccard intersection count) need ``True``."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
+    return sh.dropDuplicates([id_col, "shingle"]) if dedup else sh
 
 
 def ngram_jaccard_pairs(
@@ -116,7 +123,9 @@ def minhash_signatures(
     whole MinHash family from rows-only to the hard value-hash gate.
     ``scheme="xxhash64"`` is the JVM-hash variant (one xxhash64 per
     (shingle, salt)); same statistics, not reproducible elsewhere."""
-    sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    # min() is duplicate-insensitive and partial aggregation merges
+    # repeats map-side, so the shingle-dedup exchange is pure overhead.
+    sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k, dedup=False)
     if scheme == "md5":
         base = (ph.md5_int32("shingle") % F.lit(ph.MERSENNE31)).alias("hb")
         sh = sh.select(id_col, base)
@@ -419,8 +428,10 @@ def exact_jaccard_for_pairs(
     is the self-join case."""
 
     def _sets(d: DataFrame) -> DataFrame:
+        # collect_set dedups (map-side, via partial aggregation) — the
+        # dropDuplicates exchange would be a second, redundant shuffle.
         return (
-            _doc_shingles(_spread(d), id_col=id_col, text_col=text_col, k=k)
+            _doc_shingles(_spread(d), id_col=id_col, text_col=text_col, k=k, dedup=False)
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("sh"))
         )

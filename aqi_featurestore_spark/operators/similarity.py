@@ -176,8 +176,10 @@ def cosine_topk_lsh(
     nv = corpus.select(
         F.col(id_col).alias("n_id"), _normalized(_as_double(vec_col)).alias("n_vec")
     )
+    # Query bands broadcast (queries ≪ corpus): the corpus band rows
+    # are probed map-side and never shuffle.
     cand_ids = (
-        with_bands(queries, "q")
+        F.broadcast(with_bands(queries, "q"))
         .join(with_bands(corpus, "n"), ["band", "bits"])
         .where(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
@@ -405,7 +407,11 @@ def cosine_topk_ivf(
         _normalized(_as_double(vec_col)).alias("q_vec"),
         F.explode(probe_lists(vec_col)).alias("list_id"),
     )
-    cand = q.join(c, "list_id").where(F.col("q_id") != F.col("n_id"))
+    # Queries ≪ corpus is the ANN serving invariant: broadcasting the
+    # exploded probe side makes candidate generation map-side — the
+    # corpus assignments never shuffle, and the 16-distinct-value
+    # list_id key (worst-case skew as a shuffle key) never becomes one.
+    cand = F.broadcast(q).join(c, "list_id").where(F.col("q_id") != F.col("n_id"))
     cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())

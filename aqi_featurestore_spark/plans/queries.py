@@ -754,8 +754,16 @@ def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian — dead at 100 TB); ``operators.range_join`` rewrites it as
     bucketed expansion + equi-join + residual filter, so the physical
     plan is an ordinary shuffled join on fixed-width bucket keys with
-    ≤2× replication of the interval side (width = span). Quantity sums
-    accumulate in integer cents, cast once at the end."""
+    ≤2× replication of the interval side (width = span).
+
+    Because COUNT/SUM are algebraic and the point column is day-grained,
+    the aggregation is pushed BELOW the range join: lineitems collapse to
+    per-shipdate partials first (~|distinct dates| rows, map-side
+    combinable), the range join matches dates→windows, and the final agg
+    merges partials. At sf0.1 this cuts the join's left side from ~600k
+    rows × ~35 matching windows each (~20M intermediate rows) to ~2.5k
+    date rows — same answer, and the ratio only improves with scale.
+    Quantity sums accumulate in integer cents, cast once at the end."""
     from aqi_featurestore_spark.operators.range_join import range_join_time
 
     orders = _read(spark, sf_dir, "orders")
@@ -765,9 +773,12 @@ def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("w_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
     )
-    points = lineitem.select("l_quantity", "l_shipdate")
+    daily = lineitem.groupBy("l_shipdate").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("__qty_c"),
+    )
     joined = range_join_time(
-        points,
+        daily,
         windows,
         point="l_shipdate",
         start="w_start",
@@ -775,8 +786,8 @@ def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width_seconds=3 * 86_400,
     )
     return joined.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_shipped"),
-        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+        F.sum("__n").alias("n_shipped"),
+        F.sum("__qty_c").alias("qty_c"),
     )
 
 
