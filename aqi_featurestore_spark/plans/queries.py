@@ -1958,3 +1958,152 @@ def q_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frame = pipeline.training_set(spark, sf_dir)
     return regression_metrics(frame, y="aqi", yhat="last_hour_aqi")
+
+
+_FUNNEL_SQL = r"""
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS v1 FROM e),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
+              OVER (PARTITION BY user_id) AS c1 FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c1 THEN ts END)
+              OVER (PARTITION BY user_id) AS p1 FROM w2),
+u AS (SELECT user_id, max(v1) AS v1, max(c1) AS c1, max(p1) AS p1
+      FROM w3 GROUP BY user_id)
+SELECT CAST(CASE WHEN p1 IS NOT NULL THEN 3
+                 WHEN c1 IS NOT NULL THEN 2
+                 WHEN v1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage,
+       count(*) AS n_users
+FROM u GROUP BY 1"""
+
+
+@_q("funnel_analysis", _FUNNEL_SQL)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, strictly
+    increasing timestamps): per-user stage reached, counted per stage.
+
+    The chained "first event of type X after the previous stage" mins
+    are three Window aggregates over the SAME user_id partitioning —
+    Catalyst plans one Exchange and stacks the Window operators on it,
+    and the final per-user group reuses that partitioning too, so the
+    funnel costs one shuffle of (user_id, ts, type) rows plus the
+    trivial 4-row stage rollup (verified: 2 Exchanges, 3 Windows).
+    At 100 TB the big shuffle carries three narrow columns, nothing
+    else."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = events.select("user_id", "ts", "event_type")
+    d = e.withColumn(
+        "v1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "c1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "p1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("v1").alias("v1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
+    )
+    stage = (
+        F.when(F.col("p1").isNotNull(), 3)
+        .when(F.col("c1").isNotNull(), 2)
+        .when(F.col("v1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return per_user.groupBy(stage.alias("stage")).agg(F.count("*").alias("n_users"))
+
+
+_RETENTION_SQL = r"""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id),
+j AS (
+  SELECT DISTINCT a.user_id, f.d0,
+         CAST(floor(date_diff('day', f.d0, a.d) / 7) AS INT) AS week_offset
+  FROM act a JOIN f ON a.user_id = f.user_id)
+SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, week_offset,
+       count(*) AS n_active
+FROM j GROUP BY 1, 2"""
+
+
+@_q("retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    once per week-offset in which they were active. The activity
+    distinct, the first-seen aggregate, the join, and the per-(user,
+    week) distinct all key on user_id, so one shuffle partitioning is
+    reused end-to-end; only the final small (cohort, week) rollup
+    re-keys. Cohort day is emitted as a string — DATE columns render
+    differently across engines (memory rule), strings hash identically."""
+    events = _read(spark, sf_dir, "events")
+    act = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(F.datediff("d", "d0") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return j.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"), "week_offset"
+    ).agg(F.count("*").alias("n_active"))
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 1),
+c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((len - 1) / 400) AS BIGINT) + 1)) AS i
+  FROM d)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(i * 400 + 1 AS INT) AS chunk_start,
+       CAST(length(substr(text, CAST(i * 400 + 1 AS INT), 500)) AS INT) AS chunk_len,
+       md5(substr(text, CAST(i * 400 + 1 AS INT), 500)) AS chunk_md5
+FROM c"""
+
+
+@_q("doc_chunks", _DOC_CHUNKS_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (size 500 chars, stride 400 —
+    the context-window prep step that complements `sequence_packing`'s
+    concat-and-chunk): each document explodes into ceil(len/stride)
+    chunks entirely map-side — no shuffle, no window, the chunk count
+    derives from the row itself. Chunk identity is pinned by md5 so the
+    oracle verifies the exact substring boundaries, including the
+    short final chunk."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.where(F.length("text") >= 1)
+    n_last = F.floor((F.length("text") - 1) / 400).cast("int")
+    c = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_last)).alias("i")
+    )
+    start = (F.col("i") * 400 + 1).cast("int")
+    chunk = F.substring("text", start, 500)
+    return c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        start.alias("chunk_start"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

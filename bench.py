@@ -80,6 +80,9 @@ EXTENDED_QUERIES = [
     "revenue_rollup",
     "json_extract_stats",
     "event_unpivot",
+    "funnel_analysis",
+    "retention_cohorts",
+    "doc_chunks",
 ]
 
 
