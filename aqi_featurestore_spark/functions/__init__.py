@@ -11,6 +11,10 @@ from aqi_featurestore_spark.functions.aqi import (
     aqi_from_pm25,
     aqi_level_label,
 )
+from aqi_featurestore_spark.functions.layout import (
+    zorder_key2,
+    zorder_layout,
+)
 from aqi_featurestore_spark.functions.text import (
     doc_fingerprint,
     lang_id,
@@ -38,4 +42,6 @@ __all__ = [
     "time_feature_columns",
     "token_count",
     "word_shingles",
+    "zorder_key2",
+    "zorder_layout",
 ]

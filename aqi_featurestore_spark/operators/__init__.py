@@ -7,6 +7,7 @@ LLM-data-pipeline extensions (near-dedup, similarity search, multimodal,
 splitting, skew tooling) the reference lacks entirely.
 """
 
+from aqi_featurestore_spark.operators.cdc import snapshot_diff
 from aqi_featurestore_spark.operators.dedup import (
     append_if_absent,
     dedup_exact,
@@ -89,6 +90,7 @@ __all__ = [
     "range_join",
     "range_join_time",
     "resolve_duplicates",
+    "snapshot_diff",
     "salted_equi_join",
     "salted_latest_per_key",
     "simhash",

@@ -2107,3 +2107,171 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("int").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+_TOKENS = r"""tokv AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents)"""
+
+_VOCAB_SQL = rf"""
+WITH {_TOKENS},
+cnt AS (
+  SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM tokv GROUP BY token)
+SELECT token, cf, df, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY cf DESC, token ASC) AS rk FROM cnt) t
+WHERE rk <= 1000"""
+
+
+@_q("vocab_top_terms", _VOCAB_SQL)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: corpus frequency + document frequency
+    per whitespace token, global top-1000 with deterministic (cf desc,
+    token asc) tie-break.
+
+    The global top-k is the scale trap here: a row_number window with no
+    partition key collapses to one task over the whole vocabulary.
+    Instead ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge — and only the 1000 surviving
+    rows see the (tiny, deliberate) ranking window."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens).alias("token"))
+    cnt = tok.groupBy("token").agg(
+        F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df")
+    )
+    top = cnt.orderBy(F.desc("cf"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("cf"), F.asc("token"))
+    return top.select(
+        "token", "cf", "df", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+_TFIDF_SQL = rf"""
+WITH {_TOKENS},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tokv GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT f.doc_id, f.token, f.tf, d.df,
+         round(f.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS score
+  FROM tf f JOIN dfreq d USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, df, score, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+  FROM s) t
+WHERE rk <= 3"""
+
+
+@_q("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. df comes from the tf frame
+    (one groupBy(token) over per-doc counts — never a second corpus
+    tokenization), the corpus size N is a 1-row aggregate broadcast into
+    the score (no driver action), and ranking is a per-doc window —
+    partitioned, unlike the vocabulary's global one. Scores are rounded
+    to 6 dp BEFORE ranking so a sub-ulp ln() difference can't reorder
+    ties across engines (token breaks exact ties)."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    s = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        s.select("*", F.row_number().over(w).cast("int").alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = r"""
+WITH o AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 13 <> 5),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % 17 <> 3)
+SELECT * FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+         CASE WHEN o.old_fp IS NULL THEN 'added'
+              WHEN n.new_fp IS NULL THEN 'removed'
+              WHEN o.old_fp <> n.new_fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) t
+WHERE status <> 'unchanged'"""
+
+
+@_q("snapshot_diff_docs", _SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delta between two simulated corpus snapshots (additions =
+    doc_id % 13 = 5 missing from old, deletions = % 17 = 3 missing from
+    new, edits = % 7 = 0 text-mutated): `operators.cdc.snapshot_diff`
+    full-outer-joins (key, md5 fingerprint) projections — bodies never
+    shuffle — and emits only churn rows."""
+    from aqi_featurestore_spark.operators.cdc import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 5).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(
+        old, new, key_cols=["doc_id"], fingerprint=F.md5(F.col("text"))
+    )
+
+
+from aqi_featurestore_spark.functions.layout import duck_zorder_key2 as _duck_z
+
+_ZORDER_SQL = (
+    "SELECT event_id, x, y, "
+    + _duck_z("x", "y")
+    + """ AS z
+FROM (SELECT event_id, user_id % 65536 AS x,
+             (epoch_us(ts) // 3600000000) % 65536 AS y
+      FROM events) t"""
+)
+
+
+@_q("zorder_keys", _ZORDER_SQL)
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event-hour) — the
+    write-side layout step behind multi-dimension file pruning
+    (`functions.layout.zorder_layout` range-partitions on this key).
+    Pure codegen'd bit interleaving; the oracle recomputes every bit.
+    Hour derives via integer division of epoch microseconds (`div`) —
+    float division could round the boundary differently per engine."""
+    from aqi_featurestore_spark.functions.layout import zorder_key2
+
+    events = _read(spark, sf_dir, "events")
+    t = events.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("x"),
+        (F.expr("unix_micros(ts) div 3600000000") % 65536).alias("y"),
+    )
+    return t.select("event_id", "x", "y", zorder_key2("x", "y").alias("z"))

@@ -83,6 +83,10 @@ EXTENDED_QUERIES = [
     "funnel_analysis",
     "retention_cohorts",
     "doc_chunks",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "snapshot_diff_docs",
+    "zorder_keys",
 ]
 
 
