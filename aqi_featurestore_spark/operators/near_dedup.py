@@ -103,6 +103,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_len: int = 16,
+    cmp_len: int = 80,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs: ``(d1, d2, dist)`` with
+    ``d1 < d2`` and edit distance over the first ``cmp_len`` normalized
+    chars at most ``max_dist``.
+
+    Levenshtein is O(len^2) per pair, so all-pairs is never an option;
+    the standard blocking trick buckets docs by their normalized
+    ``block_len``-char prefix and compares within buckets only. The
+    shuffle moves (id, block, cmp_len-char snippet) — never bodies —
+    and the candidate join is a plain equi-join on the block key, which
+    AQE skew-splits if one prefix is hot (e.g. boilerplate headers).
+    Recall bound: catches pairs whose edits all fall after the block
+    prefix (head-stable near-dups: appended footers, truncations,
+    trailing edits); prefix-edited dups need a second pass on a suffix
+    or shingle block — that family is `minhash_verified_pairs`."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.substring(norm, 1, block_len).alias("blk"),
+        F.substring(norm, 1, cmp_len).alias("snip"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.snip"), F.col("b.snip"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (same output as `ngram_jaccard_pairs`)
+    via PPJoin-style prefix filtering — the shape that survives when the
+    full shingle self-join doesn't.
+
+    Guarantee: order every doc's shingle set by ascending global
+    document frequency; two sets with Jaccard >= t MUST share a token
+    within each one's first ``|x| - ceil(t*|x|) + 1`` tokens. So the
+    candidate join explodes only that prefix — a ~(1-t) fraction of each
+    set — and, decisively, the corpus-hot shingles (boilerplate, common
+    phrases) sort LAST and almost never enter a prefix: the skewed join
+    buckets that dominate the naive self-join are gone by construction,
+    not by AQE repair. A min/max size filter prunes candidates whose
+    length ratio already caps Jaccard below t; exact verification on
+    sorted 64-bit shingle-hash arrays restores exactness.
+
+    Shuffles: DF count (map-combined, key = shingle hash), rank join,
+    per-doc regroup, prefix candidate join, verify — all on fixed-width
+    hashes. Lossless: output thresholded on TRUE Jaccard."""
+    sh = _doc_shingles(_spread(docs), id_col=id_col, text_col=text_col, k=k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
+    df_cnt = sh.groupBy("h").agg(F.count("*").alias("cnt"))
+    ranked = sh.join(df_cnt, "h")
+    lists = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("cnt", "h"))).alias("toks")
+    )
+    n = F.size("toks")
+    prefix_n = F.greatest(
+        F.lit(1), n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
+    )
+    prefix = lists.select(
+        F.col(id_col),
+        n.alias("n"),
+        F.explode(F.slice("toks", F.lit(1), prefix_n)).alias("tok"),
+    ).select(id_col, "n", F.col("tok.h").alias("h"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter: max achievable Jaccard is min(n1,n2)/max(n1,n2)
+            & (
+                F.least("a.n", "b.n").cast("double") / F.greatest("a.n", "b.n")
+                >= F.lit(threshold)
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
+    return exact.where(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

@@ -445,7 +445,9 @@ def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # unix_micros rejects TIMESTAMP_NTZ; cast via the UTC-pinned
+        # session so the epoch equals the oracle's naive-UTC epoch_us
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(
@@ -2272,6 +2274,222 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events.select(
         "event_id",
         (F.col("user_id") % 65536).alias("x"),
-        (F.expr("unix_micros(ts) div 3600000000") % 65536).alias("y"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 65536).alias("y"),
     )
     return t.select("event_id", "x", "y", zorder_key2("x", "y").alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution monitoring & robust stats (SURVEY §2.11 extensions)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_histogram",
+    """
+SELECT CAST(floor("value" / 25.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c
+FROM events GROUP BY 1""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (25.0) value histogram over events: data-independent
+    floor bins so runs/engines/days align without edge negotiation; exact
+    cent sums. Shuffle key space = bin domain, not row count."""
+    from aqi_featurestore_spark.operators.drift import value_histogram
+
+    return value_histogram(_read(spark, sf_dir, "events"), "value", width=25.0)
+
+
+_PSI_SQL = """
+WITH b AS (
+  SELECT CAST(floor("value" / 25.0) AS BIGINT) AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM events),
+per_bin AS (
+  SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM b GROUP BY bin),
+tot AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(SUM(n_ref) OVER () AS BIGINT) AS tot_ref,
+         CAST(SUM(n_cur) OVER () AS BIGINT) AS tot_cur,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nb
+  FROM per_bin)
+SELECT bin, n_ref, n_cur,
+       round(((n_cur + 1.0) / (tot_cur + 1.0 * nb)
+              - (n_ref + 1.0) / (tot_ref + 1.0 * nb))
+             * ln(((n_cur + 1.0) / (tot_cur + 1.0 * nb))
+                  / ((n_ref + 1.0) / (tot_ref + 1.0 * nb))), 6) AS psi_term
+FROM tot"""
+
+
+@_q("drift_psi", _PSI_SQL)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of the events stream
+    (even event_id = reference, odd = current): single scan, conditional
+    agg per bin, totals via a window over the TINY aggregated bin table
+    (O(bins) rows at any data scale). sum(psi_term) is the drift index."""
+    from aqi_featurestore_spark.operators.drift import psi_drift
+
+    e = _read(spark, sf_dir, "events")
+    return psi_drift(e, "value", F.col("event_id") % 2 == 0, width=25.0)
+
+
+_WINSOR_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         round(quantile_cont("value", 0.01), 4) AS lo_bound,
+         round(quantile_cont("value", 0.99), 4) AS hi_bound
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       any_value(b.lo_bound) AS lo_bound,
+       any_value(b.hi_bound) AS hi_bound,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e."value" < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN e."value" > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(SUM(CAST(round(least(greatest(e."value", b.lo_bound), b.hi_bound) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS sum_wins_c,
+       round(CAST(SUM(CAST(round(least(greatest(e."value", b.lo_bound), b.hi_bound) * 100, 0)
+                      AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0), 6) AS mean_wins
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type"""
+
+
+@_q("winsorized_stats", _WINSOR_SQL)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean: clip at exact p01/p99 (rounded to
+    4dp — the bound IS the spec), count clips, fixed-point sum. Exact
+    percentile is the oracle-parity path; `approx=True` swaps in the
+    mergeable sketch for unbounded key domains at 100 TB."""
+    from aqi_featurestore_spark.operators.robust_stats import winsorized_stats
+
+    return winsorized_stats(_read(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont("value", 0.5), 4) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         round(quantile_cont(abs(e."value" - m.med), 0.5), 4) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+SELECT e.event_type, any_value(d.med) AS med, any_value(d.mad) AS mad,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN abs(e."value" - d.med) > d.mad * 4.4478 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN mad d USING (event_type)
+GROUP BY e.event_type"""
+
+
+@_q("mad_outliers", _MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median + MAD (both exact,
+    rounded 4dp before reuse so engines compare identical doubles),
+    outlier = |v - med| > 4.4478 * MAD (3 Gaussian sigmas). Three
+    key-pruned passes with broadcast one-row-per-key intermediates."""
+    from aqi_featurestore_spark.operators.robust_stats import mad_outliers
+
+    return mad_outliers(_read(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup additions: blocked edit distance + prefix-filter Jaccard
+# ---------------------------------------------------------------------------
+
+_EDIT_DIST_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         substring(lower(trim(text)), 1, 16) AS blk,
+         substring(lower(trim(text)), 1, 80) AS snip
+  FROM documents)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.snip, b.snip) AS INT) AS dist
+FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.snip, b.snip) <= 8"""
+
+
+@_q("edit_distance_pairs", _EDIT_DIST_SQL)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs (16-char prefix block, distance
+    over first 80 normalized chars <= 8). O(len^2)-per-pair metric made
+    tractable by prefix-bucket candidate generation — the shuffle carries
+    80-char snippets, never bodies."""
+    from aqi_featurestore_spark.operators.near_dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_read(spark, sf_dir, "documents"))
+
+
+@_q("jaccard_prefix_filter", _NGRAM_JACCARD_SQL)
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard: same output as
+    `ngram_jaccard_pairs` (the oracle is literally the same brute-force
+    SQL), but candidates come only from each doc's rarest
+    (1-t)-fraction of shingles under a global document-frequency order —
+    hot boilerplate shingles sort last and never generate candidates, so
+    the skewed join buckets of the naive self-join are gone by
+    construction. The lossless scale path for exact near-dedup."""
+    from aqi_featurestore_spark.operators.near_dedup import jaccard_prefix_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, k=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective dim filter -> two-level join -> top-k
+# ---------------------------------------------------------------------------
+
+_SHIP_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 10000, 0) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_c DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10"""
+
+
+@_q("shipping_priority", _SHIP_PRIORITY_SQL)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the segment-filtered customer dim into
+    orders, shuffle-join the date-filtered lineitem on orderkey, partial
+    agg below the exchange, global top-10 via take-ordered (no full
+    sort). Ship/order date predicates reach the parquet scans as pushed
+    filters."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev_i = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_i).alias("revenue_c"))
+        .select("l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -87,6 +87,13 @@ EXTENDED_QUERIES = [
     "tfidf_top_terms",
     "snapshot_diff_docs",
     "zorder_keys",
+    "value_histogram",
+    "drift_psi",
+    "winsorized_stats",
+    "mad_outliers",
+    "edit_distance_pairs",
+    "jaccard_prefix_filter",
+    "shipping_priority",
 ]
 
 
