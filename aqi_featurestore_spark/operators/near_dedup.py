@@ -173,8 +173,13 @@ def jaccard_prefix_pairs(
     sorted 64-bit shingle-hash arrays restores exactness.
 
     Shuffles: DF count (map-combined, key = shingle hash), rank join,
-    per-doc regroup, prefix candidate join, verify — all on fixed-width
-    hashes. Lossless: output thresholded on TRUE Jaccard."""
+    per-doc regroup, prefix candidate join — all on fixed-width hashes.
+    The prefix rows CARRY the doc's full sorted shingle-hash set
+    (~few hundred bytes/doc), so candidates verify inline off the join's
+    own columns — the alternative (re-joining shingle sets per side, one
+    subtree recompute each; join keys d1/d2 defeat exchange reuse) was
+    3x the shingle passes. Lossless: output thresholded on TRUE
+    Jaccard."""
     sh = _doc_shingles(_spread(docs), id_col=id_col, text_col=text_col, k=k).select(
         F.col(id_col), F.xxhash64("shingle").alias("h")
     )
@@ -190,8 +195,9 @@ def jaccard_prefix_pairs(
     prefix = lists.select(
         F.col(id_col),
         n.alias("n"),
+        F.sort_array(F.transform("toks", lambda t: t["h"])).alias("sh"),
         F.explode(F.slice("toks", F.lit(1), prefix_n)).alias("tok"),
-    ).select(id_col, "n", F.col("tok.h").alias("h"))
+    ).select(id_col, "n", "sh", F.col("tok.h").alias("h"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -204,11 +210,26 @@ def jaccard_prefix_pairs(
                 >= F.lit(threshold)
             ),
         )
-        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
         .dropDuplicates(["d1", "d2"])
     )
-    exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
-    return exact.where(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.select(
+            "d1", "d2",
+            inter.alias("inter"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_signatures(
@@ -259,9 +280,19 @@ def _band_buckets(
     bands: int,
     rows_per_band: int,
     scheme: str,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """Explode a signature frame into ``(id, band, bucket)`` rows — the
-    equi-join key space for LSH candidate generation."""
+    equi-join key space for LSH candidate generation.
+
+    ``carry_sig=True`` keeps the full ``sig`` array on every band row.
+    That widens the banding shuffle (~8 KB/doc for 64 hashes x 16 bands
+    vs ~130 B/doc), but lets the consumer compute signature agreement
+    straight off the candidate join — without it, attaching estimates
+    means TWO more joins that each recompute the whole signature subtree
+    (self-join exchange reuse doesn't apply: the estimate joins key on
+    d1/d2, a different partitioning). Recomputing the md5-affine
+    signatures is the dominant cost at any scale, so carrying wins."""
     if scheme == "md5":
         band_hashes = F.array(
             *[
@@ -296,9 +327,10 @@ def _band_buckets(
         )
     else:
         raise ValueError(f"unknown banding scheme {scheme!r}")
-    return signatures.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    cols = [F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")]
+    if carry_sig:
+        cols.append(F.col("sig"))
+    return signatures.select(*cols)
 
 
 def minhash_lsh_candidates(
@@ -397,7 +429,14 @@ def minhash_dedup_pairs(
     scheme: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures -> banding ->
-    candidate pairs -> estimate filter."""
+    candidate pairs -> estimate filter.
+
+    The band rows CARRY their signature (see ``_band_buckets``), so the
+    estimate is one `zip_with` over the candidate join's own columns —
+    the alternative (re-joining the signature table per side, as
+    `minhash_estimated_jaccard` does for externally-supplied pairs)
+    recomputes the signature subtree twice and was the whole-query
+    bottleneck (~10x) under the md5-portable scheme."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         _spread(docs),
@@ -407,11 +446,36 @@ def minhash_dedup_pairs(
         num_hashes=num_hashes,
         scheme=scheme,
     )
-    cand = minhash_lsh_candidates(
-        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band, scheme=scheme
+    buckets = _band_buckets(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scheme=scheme, carry_sig=True,
     )
-    est = minhash_estimated_jaccard(cand, sigs, id_col=id_col)
-    return est.where(F.col("est_jaccard") >= threshold)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.size("sig1"))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", "est_jaccard")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -2421,19 +2421,24 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(_read(spark, sf_dir, "documents"))
 
 
-@_q("jaccard_prefix_filter", _NGRAM_JACCARD_SQL)
+@_q("jaccard_prefix_filter", _NGRAM_JACCARD_SQL.replace(">= 0.2", ">= 0.7"))
 def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin-style prefix-filtered EXACT Jaccard: same output as
-    `ngram_jaccard_pairs` (the oracle is literally the same brute-force
-    SQL), but candidates come only from each doc's rarest
-    (1-t)-fraction of shingles under a global document-frequency order —
-    hot boilerplate shingles sort last and never generate candidates, so
-    the skewed join buckets of the naive self-join are gone by
-    construction. The lossless scale path for exact near-dedup."""
+    """PPJoin-style prefix-filtered EXACT Jaccard at threshold 0.7: same
+    semantics as `ngram_jaccard_pairs` (the oracle is the same
+    brute-force SQL at the same threshold), but candidates come only
+    from each doc's rarest ``n - ceil(t*n) + 1`` shingles (~30% at
+    t=0.7) under a global document-frequency order — hot boilerplate
+    shingles sort last and never generate candidates, so the skewed join
+    buckets of the naive self-join are gone by construction. Prefix
+    filtering's pruning power is proportional to t (at t=0.2 the prefix
+    is 80% of the set and prunes nothing), which is why this is the
+    DUP-DETECTION configuration; threshold-0.2 similarity mining stays
+    on the shingle self-join path. Lossless: thresholded on TRUE
+    Jaccard."""
     from aqi_featurestore_spark.operators.near_dedup import jaccard_prefix_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return jaccard_prefix_pairs(d, k=3, threshold=0.2)
+    return jaccard_prefix_pairs(d, k=3, threshold=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -2492,4 +2497,133 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue_c"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series densification + kNN classification (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+WITH pb AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, COUNT(*) AS n,
+         CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM pb),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds)
+SELECT s.bucket, COALESCE(pb.n, 0) AS n, pb.sum_value_c
+FROM spine s LEFT JOIN pb USING (bucket)"""
+
+
+@_q("gap_filled_hourly", _GAP_FILL_SQL)
+def q_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup: empty hours surface as n=0 rows instead of
+    silently missing (which would shift every downstream lag feature by
+    one slot). The spine explodes from a single-row min/max aggregate —
+    O(time-range) rows regardless of fact size."""
+    from aqi_featurestore_spark.operators.timeseries import fill_time_gaps
+
+    e = _read(spark, sf_dir, "events")
+    return fill_time_gaps(
+        e,
+        "ts",
+        step="1 hour",
+        trunc="hour",
+        aggs=(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_c"
+            ),
+        ),
+    )
+
+
+_INTER_ARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"""
+
+
+@_q("inter_arrival_stats", _INTER_ARRIVAL_SQL)
+def q_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap summary (microsecond integers end to
+    end — no float time math): one window sort per user partition, then
+    a hash aggregate. The monitoring counterpart to sessionization:
+    max_gap is the outage detector, sum/n is the mean cadence."""
+    from aqi_featurestore_spark.operators.timeseries import inter_arrival_stats
+
+    e = _read(spark, sf_dir, "events")
+    return inter_arrival_stats(e, "ts", ["user_id"], tie_break="event_id")
+
+
+_KNN_VOTE_SQL = f"""
+WITH {_SIM_NORM_CTE},
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM norm WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_SIM_NORM_DOT.format(a='q.q_vec', b='c.v')}, 6) AS cos_sim
+  FROM q CROSS JOIN norm c
+  WHERE q.q_id <> c.vec_id),
+topk AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= 10),
+votes AS (
+  SELECT t.q_id, e.label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON t.n_id = e.vec_id
+  GROUP BY 1, 2),
+pick AS (
+  SELECT q_id, label AS pred_label, votes,
+         row_number() OVER (
+             PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT p.q_id, CAST(p.pred_label AS INT) AS pred_label, p.votes,
+       CAST(e.label AS INT) AS true_label,
+       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM pick p JOIN embeddings e ON p.q_id = e.vec_id
+WHERE p.rn = 1"""
+
+
+@_q("knn_label_vote", _KNN_VOTE_SQL)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote over the exact cosine top-10
+    (ties: most votes, then smallest label): the standard label-quality /
+    weak-supervision probe over an embedded corpus. Reuses the
+    brute-force top-k operator; the label join is a broadcast (labels
+    are (id, int) pairs)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    topk = cosine_topk_bruteforce(q, e, k=10)
+    labels = e.select(F.col("vec_id").alias("n_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "n_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    pick = (
+        votes.select(
+            "q_id",
+            F.col("label").alias("pred_label"),
+            "votes",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    truth = e.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return pick.join(F.broadcast(truth), "q_id").select(
+        "q_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )

@@ -184,6 +184,38 @@ def run_dedup_ingest_stream(
     q.awaitTermination()
 
 
+def run_sessionization_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming sessionization: the SAME `sessionized_activity` plan as
+    the batch `session_windows` query, run over a file stream in append
+    mode. The watermark is what finalizes sessions — a session window
+    emits exactly once, when the watermark passes its end (so the tail
+    sessions of a bounded run stay open in state, by design: a later run
+    against the same checkpoint closes them as newer data arrives).
+    State per key is one open-session aggregate, evicted on emission —
+    O(active sessions), never O(history)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = sessionized_activity(stream.withWatermark("ts", watermark))
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def attribution_stream(
     clicks: DataFrame, purchases: DataFrame, *, window: str = "1 hour"
 ) -> DataFrame:
