@@ -94,6 +94,9 @@ EXTENDED_QUERIES = [
     "edit_distance_pairs",
     "jaccard_prefix_filter",
     "shipping_priority",
+    "gap_filled_hourly",
+    "inter_arrival_stats",
+    "knn_label_vote",
 ]
 
 
