@@ -2627,3 +2627,326 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join / distinct-agg / dedup-resolution compositions
+# ---------------------------------------------------------------------------
+
+_ORDER_PRIORITY_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority"""
+
+
+@_q("order_priority_check", _ORDER_PRIORITY_SQL)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS correlated subquery as a LEFT SEMI join:
+    orders in a date window having at least one lineitem shipped after
+    the order date. The semi join short-circuits on first match (never
+    multiplies rows, no post-join dedup), and both date predicates reach
+    the parquet scans."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_BRAND_SUPPLIER_SQL = """
+SELECT p.p_brand, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 15
+GROUP BY p.p_brand, p.p_size"""
+
+
+@_q("brand_supplier_distinct", _BRAND_SUPPLIER_SQL)
+def q_brand_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT(DISTINCT) (TPC-H Q16 shape): Spark plans it as the
+    two-phase expand/partial-distinct aggregate — the distinct set never
+    materializes per group. part is the broadcast dim; the size filter
+    prunes it before the join."""
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_EMB_RESOLVE_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                 sqrt(list_reduce(
+                   list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                   (p, q) -> p + q))) AS v
+        FROM embeddings) a
+  JOIN (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                 sqrt(list_reduce(
+                   list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                   (p, q) -> p + q))) AS v
+        FROM embeddings) b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i]), (p, q) -> p + q), 6) >= 0.92),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+labels AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS canonical_id
+FROM labels WHERE node <> cluster"""
+
+
+@_q("embedding_dedup_resolve", _EMB_RESOLVE_SQL)
+def q_embedding_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: exact cosine near-dup pairs (>= 0.92) -> connected
+    components (label propagation) -> every non-canonical vector mapped
+    to its cluster's min id. The full dedup-resolution pipeline for an
+    embedded corpus in one plan; the oracle recomputes components with a
+    recursive CTE. Returns (vec_id, canonical_id) for DROPPED vectors
+    only — the keep-list is the anti-join complement."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+    from aqi_featurestore_spark.operators.similarity import embedding_cosine_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(e, threshold=0.92, lsh=False)
+    comp = connected_components(pairs.select("d1", "d2"))
+    return (
+        comp.where(F.col("doc_id") != F.col("group_id"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("group_id").alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit, mergeable-state aggregation, trend features,
+# forward as-of
+# ---------------------------------------------------------------------------
+
+_FK_SQL = """
+SELECT 'orders->customer' AS fk,
+       (SELECT COUNT(*) FROM orders) AS n_child_rows,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))"""
+
+
+@_q("fk_violations", _FK_SQL)
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK edge via
+    LEFT ANTI joins (the NOT EXISTS plan). The parent key sets broadcast;
+    each fact table is scanned once per edge with only its key column.
+    The load-validation step every warehouse runs before promoting a
+    batch."""
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    ok = _read(spark, sf_dir, "orders").select("o_orderkey")
+    r1 = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .crossJoin(o.agg(F.count("*").alias("n_child_rows")))
+        .select(F.lit("orders->customer").alias("fk"), "n_child_rows", "n_orphans")
+    )
+    r2 = (
+        l.join(F.broadcast(ok), l.l_orderkey == ok.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .crossJoin(l.agg(F.count("*").alias("n_child_rows")))
+        .select(F.lit("lineitem->orders").alias("fk"), "n_child_rows", "n_orphans")
+    )
+    return r1.unionByName(r2)
+
+
+_INC_MERGE_SQL = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(MAX(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS max_c
+FROM events GROUP BY user_id"""
+
+
+@_q("incremental_agg_merge", _INC_MERGE_SQL)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial aggregation — the pattern behind incremental
+    materialized views: the already-aggregated 'yesterday' state (events
+    with event_id % 10 != 0, pre-rolled to per-user partials) merges
+    with today's delta partials by SUM/SUM/MAX — the base rows are never
+    re-scanned. The oracle aggregates the union directly, proving
+    merge(partial(A), partial(B)) == aggregate(A ∪ B). Works because
+    count/sum/max are commutative monoids; avg must ship (sum, n), and
+    quantiles need a sketch (see approx_quantiles)."""
+    e = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("sum_c"),
+            F.max(cents).alias("max_c"),
+        )
+
+    base = partial(e.where(F.col("event_id") % 10 != 0))
+    delta = partial(e.where(F.col("event_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_c").alias("sum_c"),
+            F.max("max_c").alias("max_c"),
+        )
+    )
+
+
+_TREND_SQL = """
+WITH xy AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 788918400 AS x,
+         CAST(round("value" * 100, 0) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+  FROM xy GROUP BY user_id)
+SELECT user_id, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS pearson_r
+FROM s"""
+
+
+@_q("trend_features", _TREND_SQL)
+def q_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope + Pearson correlation of value vs time —
+    closed-form from five sums, one hash aggregate, no window/sort/UDF.
+    Per-row products stay in int64 (seconds-since-1995 x cents), the
+    five SUMS accumulate in DECIMAL(38,0)/HUGEINT (exact, order-free),
+    and only the final closed-form arithmetic runs in doubles with
+    engine-identical op order. The forecasting-feature op (is this
+    sensor drifting?) at any scale."""
+    e = _read(spark, sf_dir, "events")
+    x = (F.expr("unix_micros(cast(ts as timestamp)) div 1000000") - F.lit(788918400)).alias("x")
+    y = F.round(F.col("value") * 100, 0).cast("long").alias("y")
+    xy = e.select("user_id", x, y)
+    d38 = "decimal(38,0)"
+
+    def s(col):
+        return F.sum(col.cast(d38)).cast("double")
+
+    agg = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        s(F.col("x")).alias("sx"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("x") * F.col("y")).alias("sxy"),
+        s(F.col("x") * F.col("x")).alias("sxx"),
+        s(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    return agg.select(
+        "user_id",
+        "n",
+        F.round(num / (n * sxx - sx * sx), 8).alias("slope"),
+        F.round(num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8).alias(
+            "pearson_r"
+        ),
+    )
+
+
+_NEXT_OBS_SQL = f"""
+WITH {_FEAT_CTE},
+{_SPINE_CTE},
+nxt AS (
+  SELECT s.entity_id, s.event_timestamp,
+         f.aqi, f.feature_timestamp,
+         row_number() OVER (
+           PARTITION BY s.entity_id, s.event_timestamp
+           ORDER BY f.feature_timestamp ASC, f.event_id ASC) AS rn
+  FROM (SELECT DISTINCT entity_id, event_timestamp FROM spine) s
+  JOIN feat f
+    ON s.entity_id = f.entity_id
+   AND f.feature_timestamp >= s.event_timestamp
+   AND f.feature_timestamp <= s.event_timestamp + INTERVAL '7 days')
+SELECT sp.entity_id, sp.event_timestamp, c.aqi, c.feature_timestamp
+FROM (SELECT DISTINCT entity_id, event_timestamp FROM spine) sp
+LEFT JOIN (SELECT * FROM nxt WHERE rn = 1) c
+  ON sp.entity_id = c.entity_id AND sp.event_timestamp = c.event_timestamp"""
+
+
+@_q("next_observation_join", _NEXT_OBS_SQL)
+def q_next_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of the PIT join: for each spine
+    row, the EARLIEST feature at-or-after the event time within a 7-day
+    horizon (label lookup for forecasting: 'what did the sensor read
+    next'). Same range-join + min_by shape as pit_join's join strategy,
+    ties broken on event_id; left join preserves spine rows with no
+    future observation."""
+    feat = pipeline.derive_features(_read(spark, sf_dir, "events"))
+    spine = pipeline.build_spine(_read(spark, sf_dir, "events")).dropDuplicates(
+        ["entity_id", "event_timestamp"]
+    )
+    horizon = F.expr("INTERVAL 7 DAYS")
+    cand = spine.join(
+        feat.select("entity_id", "feature_timestamp", "aqi", "event_id"),
+        (spine.entity_id == feat.entity_id)
+        & (F.col("feature_timestamp") >= F.col("event_timestamp"))
+        & (F.col("feature_timestamp") <= F.col("event_timestamp") + horizon),
+    ).select(
+        spine.entity_id, "event_timestamp", "aqi", "feature_timestamp", "event_id"
+    )
+    first = cand.groupBy("entity_id", "event_timestamp").agg(
+        F.min_by(
+            F.struct("aqi", "feature_timestamp"),
+            F.struct(F.col("feature_timestamp"), F.col("event_id")),
+        ).alias("f")
+    )
+    return spine.join(first, ["entity_id", "event_timestamp"], "left").select(
+        "entity_id",
+        "event_timestamp",
+        F.col("f.aqi").alias("aqi"),
+        F.col("f.feature_timestamp").alias("feature_timestamp"),
+    )

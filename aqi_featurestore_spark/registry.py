@@ -138,6 +138,11 @@ class Registry:
         new = self.spark.createDataFrame(rows, schema)
         existing = self._read_table(table, schema)
         to_add = append_if_absent(new, existing, keys)
+        # Eager count() is fine HERE: registry tables are catalog-sized
+        # (rows = feature definitions, not data), and the caller needs the
+        # inserted-row count as its return contract. Data-path operators
+        # must never do this — see near_dedup.ngram_jaccard_pairs's
+        # hint-based strategy choice for the pattern at scale.
         n = to_add.count()
         if n:
             to_add.write.mode("append").parquet(self._table_path(table))

@@ -97,6 +97,13 @@ EXTENDED_QUERIES = [
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",
+    "order_priority_check",
+    "brand_supplier_distinct",
+    "embedding_dedup_resolve",
+    "fk_violations",
+    "incremental_agg_merge",
+    "trend_features",
+    "next_observation_join",
 ]
 
 
