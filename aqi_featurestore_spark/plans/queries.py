@@ -2950,3 +2950,455 @@ def q_next_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.aqi").alias("aqi"),
         F.col("f.feature_timestamp").alias("feature_timestamp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes round 2: distribution-of-aggregates, per-group
+# scalar gates, global-scalar anti-join
+# ---------------------------------------------------------------------------
+
+_CUST_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) per_cust
+GROUP BY c_count"""
+
+
+@_q("customer_order_distribution", _CUST_DIST_SQL)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    including zero-order customers (the LEFT OUTER join is load-bearing:
+    an inner join would drop them). Two-level aggregate: the first
+    groupBy is a shuffle on c_custkey, the second reduces to at most
+    max(c_count) rows — negligible. The join-side filter lives in the
+    join condition, not a WHERE (a WHERE would turn the outer join
+    inner)."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_SMALL_QTY_SQL = """
+WITH qc AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+  FROM lineitem),
+s AS (SELECT l_partkey, SUM(qc) AS sum_qc, COUNT(*) AS n
+      FROM qc GROUP BY l_partkey)
+SELECT CAST(SUM(q.pc) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM qc q JOIN s ON q.l_partkey = s.l_partkey
+WHERE q.qc * 5 * s.n < s.sum_qc"""
+
+
+@_q("small_quantity_revenue", _SMALL_QTY_SQL)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from lineitems whose quantity is below
+    20% of the per-part average: the correlated-scalar-subquery pattern
+    as a self-aggregate join. The threshold test is pure int64 cross-
+    multiplication (qc*5*n < sum_qc) — exactly the 0.2*avg gate with no
+    division, no doubles, no ulp risk. One shuffle on l_partkey serves
+    both the aggregate and the join (AQE coalesces); revenue accumulates
+    in exact cents and converts to dollars once at the end."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+    )
+    s = li.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sum_qc"), F.count("*").alias("n")
+    )
+    gated = li.join(s, "l_partkey").where(
+        F.col("qc") * 5 * F.col("n") < F.col("sum_qc")
+    )
+    return gated.agg(
+        (F.sum("pc").cast("double") / 100.0 / 7.0).alias("avg_yearly")
+    )
+
+
+_HIGH_BAL_SQL = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bc
+  FROM customer),
+g AS (SELECT SUM(CASE WHEN bc > 0 THEN bc ELSE 0 END) AS s,
+             SUM(CASE WHEN bc > 0 THEN 1 ELSE 0 END) AS n FROM bal)
+SELECT n.n_name, COUNT(*) AS numcust,
+       CAST(SUM(b.bc) AS DOUBLE) / 100.0 AS totacctbal
+FROM bal b CROSS JOIN g
+JOIN nation n ON b.c_nationkey = n.n_nationkey
+WHERE b.bc * g.n > g.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey)
+GROUP BY n.n_name"""
+
+
+@_q("high_balance_inactive", _HIGH_BAL_SQL)
+def q_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with above-average balance and no
+    orders, grouped by nation. Three classic sub-shapes in one plan: a
+    global scalar aggregate broadcast back (1-row cross join, never a
+    driver action), a NOT EXISTS as LEFT ANTI join, and a broadcast dim
+    join. The above-average test is integer cross-multiplication
+    (bc*n > s) against exact cent sums — no division."""
+    bal = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bc"),
+    )
+    pos = F.when(F.col("bc") > 0, F.col("bc")).otherwise(F.lit(0))
+    g = bal.agg(
+        F.sum(pos).alias("s"),
+        F.sum(F.when(F.col("bc") > 0, 1).otherwise(0)).alias("n"),
+    )
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = (
+        bal.crossJoin(F.broadcast(g))
+        .where(F.col("bc") * F.col("n") > F.col("s"))
+        .join(o, bal.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bc").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (completes the backward/forward family)
+# ---------------------------------------------------------------------------
+
+_NEAREST_OBS_SQL = f"""
+WITH {_FEAT_CTE},
+{_SPINE_CTE},
+sp AS (SELECT DISTINCT entity_id, event_timestamp FROM spine),
+cand AS (
+  SELECT sp.entity_id, sp.event_timestamp, f.aqi, f.feature_timestamp,
+         epoch_us(f.feature_timestamp) - epoch_us(sp.event_timestamp) AS gap_us,
+         row_number() OVER (
+           PARTITION BY sp.entity_id, sp.event_timestamp
+           ORDER BY abs(epoch_us(f.feature_timestamp) - epoch_us(sp.event_timestamp)),
+                    f.feature_timestamp, f.event_id) AS rn
+  FROM sp JOIN feat f
+    ON sp.entity_id = f.entity_id
+   AND f.feature_timestamp >= sp.event_timestamp - INTERVAL '3 days'
+   AND f.feature_timestamp <= sp.event_timestamp + INTERVAL '3 days')
+SELECT sp.entity_id, sp.event_timestamp, c.aqi, c.feature_timestamp,
+       c.gap_us
+FROM sp LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON sp.entity_id = c.entity_id AND sp.event_timestamp = c.event_timestamp"""
+
+
+@_q("nearest_observation_join", _NEAREST_OBS_SQL)
+def q_nearest_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — either direction within a ±3-day horizon,
+    minimizing |gap| (sensor alignment: attach the closest reading, past
+    or future). Same range-join + min_by shape as the backward/forward
+    variants; the ordering struct (abs gap, feature_ts, event_id) is
+    pure int64 so ties are deterministic. Signed gap_us is kept in the
+    output — the caller can tell look-ahead from look-back."""
+    feat = pipeline.derive_features(_read(spark, sf_dir, "events"))
+    spine = pipeline.build_spine(_read(spark, sf_dir, "events")).dropDuplicates(
+        ["entity_id", "event_timestamp"]
+    )
+    horizon = F.expr("INTERVAL 3 DAYS")
+    # Pipeline timestamps are TIMESTAMP_NTZ; unix_micros wants TIMESTAMP.
+    # The session is pinned UTC, so the cast is value-identity.
+    gap = F.unix_micros(
+        F.col("feature_timestamp").cast("timestamp")
+    ) - F.unix_micros(F.col("event_timestamp").cast("timestamp"))
+    cand = spine.join(
+        feat.select("entity_id", "feature_timestamp", "aqi", "event_id"),
+        (spine.entity_id == feat.entity_id)
+        & (F.col("feature_timestamp") >= F.col("event_timestamp") - horizon)
+        & (F.col("feature_timestamp") <= F.col("event_timestamp") + horizon),
+    ).select(
+        spine.entity_id,
+        "event_timestamp",
+        "aqi",
+        "feature_timestamp",
+        gap.alias("gap_us"),
+        "event_id",
+    )
+    best = cand.groupBy("entity_id", "event_timestamp").agg(
+        F.min_by(
+            F.struct("aqi", "feature_timestamp", "gap_us"),
+            F.struct(
+                F.abs(F.col("gap_us")).alias("a"),
+                F.col("feature_timestamp"),
+                F.col("event_id"),
+            ),
+        ).alias("f")
+    )
+    return spine.join(best, ["entity_id", "event_timestamp"], "left").select(
+        "entity_id",
+        "event_timestamp",
+        F.col("f.aqi").alias("aqi"),
+        F.col("f.feature_timestamp").alias("feature_timestamp"),
+        F.col("f.gap_us").alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline round 2: corpus curation, corpus-LM stats, embedding
+# maintenance, inverted index, seasonal anomalies
+# ---------------------------------------------------------------------------
+
+_TOPP_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / n_chars AS score
+  FROM documents WHERE n_chars > 0),
+rk AS (
+  SELECT doc_id, lang, score,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored)
+SELECT doc_id, lang, score, rn FROM rk WHERE rn * 5 <= n_lang"""
+
+
+@_q("corpus_select_topp", _TOPP_SQL)
+def q_corpus_select_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated corpus selection: keep the top 20% of documents per
+    language by alphabetic-character ratio — the curation step that
+    picks a training subset. The cut is integer (rn*5 <= n_lang, floor
+    semantics) and the rank ordering is (score desc, doc_id) so ties
+    are deterministic. Both window functions share one (lang) partition
+    spec — a single sort. Scale: the sort is per-language (bounded
+    partitions), not global; at 100 TB swap row_number for a two-pass
+    quantile cut (corpus_quantiles) if a single language dominates."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    score = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    ).alias("score")
+    scored = docs.select("doc_id", "lang", score)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    wc = Window.partitionBy("lang")
+    rk = scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wc).alias("n_lang"),
+    )
+    return rk.where(F.col("rn") * 5 <= F.col("n_lang")).select(
+        "doc_id", "lang", "score", "rn"
+    )
+
+
+_COMMONNESS_SQL = rf"""
+WITH {_TOKENS},
+cf AS (SELECT token, COUNT(*) AS cf FROM tokv GROUP BY token)
+SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(c.cf) AS BIGINT) AS sum_cf,
+       CAST(SUM(c.cf) AS DOUBLE) / COUNT(*) AS mean_cf
+FROM tokv t JOIN cf c USING (token)
+GROUP BY t.doc_id"""
+
+
+@_q("token_commonness", _COMMONNESS_SQL)
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring (unigram shape): build corpus term
+    frequencies, join them back onto every token occurrence, and reduce
+    per document — mean corpus frequency of a doc's tokens is the
+    boilerplate/jargon signal (high = stopword soup, low = rare-token
+    text). Two shuffles (token, then doc_id), both on fixed-width keys;
+    the frequency table stays distributed (no driver vocab). The sum is
+    exact int64, the mean a single final division — order-free, so it
+    hash-matches the oracle. The log-prob variant is the same plan with
+    a log lookup on cf; mean_cf is kept ulp-exact instead."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens).alias("token"))
+    cf = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            (F.sum("cf").cast("double") / F.count("*")).alias("mean_cf"),
+        )
+    )
+
+
+_CENTROIDS_SQL = """
+SELECT label, CAST(ord - 1 AS INT) AS dim,
+       CAST(s AS DOUBLE) / (n * 1000000.0) AS centroid, n
+FROM (
+  SELECT label, ord,
+         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (SELECT label, generate_subscripts(embedding, 1) AS ord,
+               unnest(embedding) AS v
+        FROM embeddings) x
+  GROUP BY label, ord) agg"""
+
+
+@_q("cluster_centroids", _CENTROIDS_SQL)
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (IVF/k-means centroid refresh as a pure
+    DataFrame reduction — operators/embeddings.py label_centroids).
+    Components accumulate as exact integer micro-units so the reduce is
+    order-free; one posexplode + one hash aggregate; output is
+    |labels| x dim rows, exploded precisely so a second engine can
+    verify every component."""
+    from aqi_featurestore_spark.operators.embeddings import label_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    return label_centroids(e, vec_col="embedding", label_col="label")
+
+
+_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+st AS (SELECT ord, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY ord)
+SELECT x.vec_id, CAST(x.ord - 1 AS INT) AS dim,
+       CAST(CASE WHEN st.mx = st.mn THEN 0
+                 ELSE least(floor((x.v - st.mn) / (st.mx - st.mn) * 255.0), 255)
+            END AS INT) AS code
+FROM x JOIN st USING (ord)"""
+
+
+@_q("embedding_quantize", _QUANTIZE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization against corpus per-dimension
+    min/max (operators/embeddings.py quantize_embeddings) — the 4x
+    index-compression pass before ANN serving. The stats aggregate
+    reduces to exactly dim rows before a driver collect (bounded by
+    dimensionality, NOT corpus size); the per-vector map is one JVM
+    transform against broadcast literal arrays — vectors never shuffle.
+    Output exploded to (vec_id, dim, code) for exact cross-engine
+    verification."""
+    from aqi_featurestore_spark.operators.embeddings import quantize_embeddings
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+    return q.select(
+        "vec_id", F.posexplode(F.col("codes")).alias("dim", "code")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "code")
+
+
+_INV_INDEX_SQL = rf"""
+WITH {_TOKENS},
+tokd AS (SELECT DISTINCT token, doc_id FROM tokv),
+pst AS (
+  SELECT token, COUNT(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM tokd GROUP BY token)
+SELECT token, df, postings FROM pst WHERE df >= 5 AND df <= 1000"""
+
+
+@_q("inverted_index", _INV_INDEX_SQL)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted distinct posting list (as a
+    CSV string so both engines hash the same bytes) + document
+    frequency, banded to 5 <= df <= 1000 — stopword postings are useless
+    and unbounded, hapaxes are noise. The distinct and the groupBy share
+    the (token, doc_id) -> (token) shuffle chain; postings assemble via
+    sort_array(collect_list) per token, bounded by the df cap. The
+    retrieval side of the corpus (contamination_check is the lookup
+    consumer)."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokd = docs.select(
+        F.explode(tokens).alias("token"), "doc_id"
+    ).distinct()
+    pst = tokd.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return pst.where((F.col("df") >= 5) & (F.col("df") <= 1000))
+
+
+_SEASONAL_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+st AS (
+  SELECT event_type, hr, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) AS sqd
+  FROM c GROUP BY event_type, hr),
+z AS (
+  SELECT c.event_id, c.event_type, c.hr, c.vc, st.n,
+         (c.vc - sd / n)
+           / sqrt((sqd - sd * (sd / n)) / (n - 1)) AS zscore
+  FROM c JOIN st USING (event_type, hr) WHERE st.n > 1)
+SELECT event_id, event_type, hr, CAST(vc AS DOUBLE) / 100.0 AS value,
+       round(zscore, 6) AS zscore
+FROM z WHERE abs(zscore) > 3.0"""
+
+
+@_q("seasonal_anomalies", _SEASONAL_SQL)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: per (event_type,
+    hour-of-day) mean/stddev baseline, flag rows beyond 3 sigma. The
+    baseline is a tiny aggregate (types x 24 rows) broadcast back onto
+    the fact — the monitoring pattern for cyclic metrics. Moments
+    accumulate exactly (cents in DECIMAL(38)) and convert to double once,
+    with pinned operand order (m = sd/n; var = (sqd - sd*m)/(n-1)), so
+    the 3-sigma cut lands identically in both engines; zscore rounds to
+    6 dp only at output."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    d38 = "decimal(38,0)"
+    st = c.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vc").cast(d38)).cast(d38).cast("double").alias("sd"),
+        F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+        .cast(d38)
+        .cast("double")
+        .alias("sqd"),
+    )
+    m = F.col("sd") / F.col("n")
+    var = (F.col("sqd") - F.col("sd") * m) / (F.col("n") - 1)
+    z = (
+        c.join(F.broadcast(st), ["event_type", "hr"])
+        .where(F.col("n") > 1)
+        .withColumn("zscore", (F.col("vc") - m) / F.sqrt(var))
+    )
+    return z.where(F.abs(F.col("zscore")) > 3.0).select(
+        "event_id",
+        "event_type",
+        "hr",
+        (F.col("vc").cast("double") / 100.0).alias("value"),
+        F.round("zscore", 6).alias("zscore"),
+    )

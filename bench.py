@@ -104,12 +104,25 @@ EXTENDED_QUERIES = [
     "incremental_agg_merge",
     "trend_features",
     "next_observation_join",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "high_balance_inactive",
+    "nearest_observation_join",
+    "corpus_select_topp",
+    "token_commonness",
+    "cluster_centroids",
+    "embedding_quantize",
+    "inverted_index",
+    "seasonal_anomalies",
 ]
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name](spark, sf_dir)
+    # Time construction AND execution: iterative operators (connected
+    # components) legitimately run Spark jobs at plan-build time — timing
+    # only the final noop write would underreport them by ~100x.
     t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 

@@ -1,0 +1,74 @@
+"""Embedding-maintenance operators: centroid reduction and scalar
+quantization (operators/embeddings.py). The exploded query forms are
+oracle-checked by test_oracle_parity; these pin the array-form API and
+the numeric contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.embeddings import (
+    dim_minmax,
+    label_centroids,
+    quantize_embeddings,
+)
+from aqi_featurestore_spark.sources.testdata import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_centroids_match_local_mean(spark, emb):
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n"])
+        for r in label_centroids(emb).collect()
+    }
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        dim = len(vecs[0])
+        for d in range(dim):
+            want = sum(round(float(v[d]) * 1e6) for v in vecs) / (n * 1e6)
+            c, gn = got[(label, d)]
+            assert gn == n
+            assert math.isclose(c, want, rel_tol=0, abs_tol=1e-12)
+
+
+def test_quantize_codes_bounded_and_reconstructible(spark, emb):
+    mm = dim_minmax(emb)
+    q = quantize_embeddings(emb, minmax=mm)
+    joined = (
+        emb.join(q, "vec_id")
+        .select("vec_id", "embedding", "codes")
+        .limit(50)
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert len(r["codes"]) == len(r["embedding"])
+        for d, (v, code) in enumerate(zip(r["embedding"], r["codes"])):
+            mn, mx = mm[d]
+            assert 0 <= code <= 255
+            if mx > mn:
+                # Dequantized midpoint is within one quantization step.
+                step = (mx - mn) / 255.0
+                deq = mn + code * step
+                assert abs(float(v) - deq) <= step + 1e-9
+
+
+def test_quantize_no_shuffle_of_vectors(spark, emb):
+    """The code-assignment plan must be scan -> project (no Exchange):
+    vectors are mapped in place against broadcast literal stats."""
+    mm = dim_minmax(emb)
+    plan = quantize_embeddings(emb, minmax=mm)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
