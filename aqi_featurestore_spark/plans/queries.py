@@ -3402,3 +3402,323 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vc").cast("double") / 100.0).alias("value"),
         F.round("zscore", 6).alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: integrity digests, sequence transitions, exact medians,
+# graph triangles, weighted sampling, PMI collocations, dedup audit
+# ---------------------------------------------------------------------------
+
+_DIGEST_SQL = f"""
+WITH h AS (
+  SELECT source, lang,
+         md5(CAST(doc_id AS VARCHAR) || '|' || text) AS m
+  FROM documents),
+v AS (SELECT source, lang, {_ph.duck_md5_int63('m')} AS hh FROM h)
+SELECT source, lang, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(hh) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+FROM v GROUP BY source, lang"""
+
+
+@_q("partition_digest", _DIGEST_SQL)
+def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest per (source, lang) partition — the anti-entropy /
+    table-sync primitive: two replicas compare digests and ship only
+    divergent partitions (the Merkle-tree leaf level). The digest is a
+    SUM of per-row md5-derived 63-bit integers — commutative, so it is
+    independent of row order and partitioning (a float or concat digest
+    would not be), and accumulates in DECIMAL(38) so it never overflows.
+    Emitted as a string: the value is an opaque fingerprint, and both
+    engines print decimals identically."""
+    docs = _read(spark, sf_dir, "documents")
+    h = _ph.md5_int63(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    )
+    return (
+        docs.select("source", "lang", h.alias("hh"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("hh").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("digest"),
+        )
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+cnt AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type) AS prob
+FROM cnt"""
+
+
+@_q("event_transitions", _TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within (user, time) order, count per (from, to),
+    row-normalized to probabilities. The normalizing SUM is a window
+    over the already-aggregated |types|^2 frame — negligible. Sequence
+    order ties break on event_id, so the lead chain is deterministic.
+    The session-path model behind next-event prediction features."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("prob"),
+    )
+
+
+_GROUP_MEDIAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events)
+SELECT event_type,
+       quantile_cont(vc, 0.25) / 100.0 AS p25,
+       quantile_cont(vc, 0.50) / 100.0 AS p50,
+       quantile_cont(vc, 0.75) / 100.0 AS p75
+FROM c GROUP BY event_type"""
+
+
+@_q("group_median", _GROUP_MEDIAN_SQL)
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles with linear interpolation. Parity
+    subtlety: Spark computes (1-g)*lo + g*hi, DuckDB lo + (hi-lo)*g —
+    different FP expressions, but over integer cents with g in
+    {0, .25, .5, .75} every term is exactly representable, so both
+    reduce to the same rational and the doubles agree bit-for-bit
+    (this would NOT survive raw-double inputs or arbitrary g). Exact
+    percentile sorts each group — the scale path is approx_quantiles
+    (KLL/GK sketch); this is the small-group exact variant."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    return c.groupBy("event_type").agg(
+        (F.percentile("vc", 0.25) / 100.0).alias("p25"),
+        (F.percentile("vc", 0.50) / 100.0).alias("p50"),
+        (F.percentile("vc", 0.75) / 100.0).alias("p75"),
+    )
+
+
+_EMB_NORM_SUB = """(SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                 sqrt(list_reduce(
+                   list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                   (p, q) -> p + q))) AS v
+        FROM embeddings)"""
+
+_TRIANGLE_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM {_EMB_NORM_SUB} a
+  JOIN {_EMB_NORM_SUB} b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i]), (p, q) -> p + q), 6) >= 0.85)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*)
+        FROM pairs p1 JOIN pairs p2 ON p2.d1 = p1.d2
+        JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2) AS n_triangles"""
+
+
+@_q("similarity_triangles", _TRIANGLE_SQL)
+def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the cosine-similarity graph (>= 0.85) — the
+    clustering-coefficient numerator; high triangle density means the
+    near-dup clusters are tight (transitive), low means chains that
+    connected-components would over-merge. Edges satisfy d1 < d2, so
+    each triangle a<b<c is counted exactly once via the two-join
+    pattern (ab, bc, ac). The edge list is computed once and reused
+    across the three join legs (exchange reuse); joins are on bare int
+    ids — the vectors never enter the triangle phase."""
+    e = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(e, threshold=0.85, lsh=False).select("d1", "d2")
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.d1") == F.col("p1.d2"))
+        .join(
+            p3,
+            (F.col("p3.d1") == F.col("p1.d1")) & (F.col("p3.d2") == F.col("p2.d2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH mx AS (SELECT MAX(n_chars) AS m FROM documents),
+h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS md
+      FROM documents)
+SELECT h.doc_id, h.n_chars
+FROM h CROSS JOIN mx
+WHERE {_ph.duck_hex_int('md', 1, 8)} * mx.m < h.n_chars * 4294967296"""
+
+
+@_q("weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each doc with
+    probability n_chars / max(n_chars) — longer documents
+    proportionally more likely, the standard size-biased curation
+    sampler. The coin is md5(doc_id) as a 32-bit uniform, and the
+    comparison is integer cross-multiplication (u * max < w * 2^32) —
+    no doubles, so reproducible in any engine AND stable under re-runs
+    / repartitioning (rand() would be neither). The global max is a
+    1-row broadcast cross join, never a driver action."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u = _ph.md5_int32(F.col("doc_id").cast("string"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(u * F.col("m") < F.col("n_chars") * F.lit(4294967296))
+        .select("doc_id", "n_chars")
+    )
+
+
+_PMI_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokp AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS token
+  FROM arr),
+uni AS (SELECT token, COUNT(*) AS c FROM tokp GROUP BY token),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+big AS (
+  SELECT t1.token AS t1, t2.token AS t2, COUNT(*) AS n
+  FROM tokp t1 JOIN tokp t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.token, t2.token),
+nb AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM big),
+scored AS (
+  SELECT b.t1, b.t2, b.n,
+         round(ln((CAST(b.n AS DOUBLE) / nb.nb)
+                  / ((CAST(u1.c AS DOUBLE) / nu.nu)
+                     * (CAST(u2.c AS DOUBLE) / nu.nu))), 6) AS pmi
+  FROM big b
+  JOIN uni u1 ON u1.token = b.t1
+  JOIN uni u2 ON u2.token = b.t2
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.n >= 5)
+SELECT t1, t2, n, pmi, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rk
+  FROM scored) t
+WHERE rk <= 100"""
+
+
+@_q("bigram_pmi", _PMI_SQL)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information over
+    adjacent token bigrams (n >= 5): the phrase-mining pass that feeds
+    tokenizer merges. Bigrams come from zip_with of the token array
+    against its own tail (no positional self-join on the Spark side —
+    that's the oracle's shape); unigram marginals join back on each
+    side; PMI is computed in doubles with pinned operand order and
+    rounded to 6 dp BEFORE ranking (tie-break t1, t2) so a sub-ulp
+    ln() divergence can't reorder the board — same discipline as
+    tfidf_top_terms. Global top-k via TakeOrderedAndProject, window
+    only over the 100 survivors."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    arr = docs.select(F.col("doc_id"), toks.alias("a"))
+    bigrams = F.zip_with(
+        F.expr("slice(a, 1, size(a) - 1)"),
+        F.expr("slice(a, 2, size(a) - 1)"),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    tok = arr.select(F.explode("a").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    big = (
+        arr.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 5)
+    )
+    nb = (
+        arr.select((F.size("a") - 1).alias("k"))
+        .where(F.col("k") > 0)
+        .agg(F.sum("k").cast("bigint").alias("nb"))
+    )
+    scored = (
+        big.join(uni.withColumnRenamed("token", "t1").withColumnRenamed("c", "c1"), "t1")
+        .join(uni.withColumnRenamed("token", "t2").withColumnRenamed("c", "c2"), "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t1",
+            "t2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("nu"))
+                        * (F.col("c2").cast("double") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2")).limit(100)
+    w = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+    return top.select(
+        "t1", "t2", "n", "pmi", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+groups AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a),
+sizes AS (SELECT group_id, COUNT(*) AS cluster_size FROM groups GROUP BY group_id)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size"""
+
+
+@_q("dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: histogram of duplicate-cluster sizes (clusters of
+    >= 2 near-identical docs from the exact n-gram Jaccard graph).
+    The report a curation run publishes — 'how much of the corpus is
+    duplicated, and in how big clumps'. Components via label
+    propagation; both follow-up aggregates reduce tiny frames. Oracle
+    recomputes components with a recursive CTE."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
+    comp = connected_components(pairs.select("d1", "d2"))
+    sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))

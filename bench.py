@@ -114,6 +114,13 @@ EXTENDED_QUERIES = [
     "embedding_quantize",
     "inverted_index",
     "seasonal_anomalies",
+    "partition_digest",
+    "event_transitions",
+    "group_median",
+    "similarity_triangles",
+    "weighted_sample",
+    "bigram_pmi",
+    "dedup_cluster_sizes",
 ]
 
 
