@@ -295,3 +295,38 @@ def sessionized_activity(
             "sum_value_c",
         )
     )
+
+
+def run_enrichment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    dim: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    keys: tuple[str, ...] = ("user_id",),
+) -> None:
+    """Stream-static broadcast enrichment: every micro-batch of the
+    event stream left-joins a static dimension (entity profile, config,
+    allow-list) and lands enriched. The static side is broadcast —
+    map-side hash join inside each micro-batch, no shuffle of the
+    stream, no join state kept between batches (unlike stream-stream
+    joins there is nothing to watermark: the dim is re-planned per
+    batch, so an updated dim table is picked up on the next trigger).
+    The third streaming join shape next to stream-stream
+    (attribution_stream) and arbitrary-state (running_aqi_ema).
+
+    Left join: an event whose key is missing from the dim still lands,
+    null-extended — enrichment must never drop stream rows."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim), list(keys), "left")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
