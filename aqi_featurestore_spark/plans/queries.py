@@ -3549,7 +3549,15 @@ def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the three join legs (exchange reuse); joins are on bare int
     ids — the vectors never enter the triangle phase."""
     e = _read(spark, sf_dir, "embeddings")
-    pairs = embedding_cosine_pairs(e, threshold=0.85, lsh=False).select("d1", "d2")
+    # The edge list feeds three join legs; without a cut Spark recomputes
+    # the full O(n^2) cosine subtree once per leg (exchange reuse can't
+    # fire across the differing join keys). localCheckpoint materializes
+    # the (tiny) edge list once — same pattern as connected_components.
+    pairs = (
+        embedding_cosine_pairs(e, threshold=0.85, lsh=False)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
     p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
     tri = (
         p1.join(p2, F.col("p2.d1") == F.col("p1.d2"))
@@ -3722,3 +3730,80 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs.select("d1", "d2"))
     sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample; rolling distinct-user window
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),
+rk AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_ph.duck_hex_int('md', 1, 8)}, doc_id) AS INT) AS rn
+  FROM h)
+SELECT doc_id, lang, rn FROM rk WHERE rn <= 20"""
+
+
+@_q("hash_reservoir_sample", _RESERVOIR_SQL)
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group uniform k-sample without replacement, deterministically:
+    keep each language's 20 docs with the smallest md5(doc_id) — under a
+    random-oracle hash the k smallest hashes ARE a uniform k-subset, but
+    unlike rand() the pick is stable across reruns, retries, and
+    repartitioning (and two engines agree on it, which is the point of
+    the oracle). This is the distributed form of reservoir sampling: no
+    sequential state, one per-group top-k. At scale swap row_number for
+    a groupBy min_by-k or window-free TakeOrdered per group if a single
+    group dominates."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = _ph.md5_int32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("int").alias("rn")
+        )
+        .where(F.col("rn") <= 20)
+    )
+
+
+_ROLLING_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+tgt AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS dau_7d
+FROM tgt
+WHERE day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY day"""
+
+
+@_q("rolling_dau", _ROLLING_DAU_SQL)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-DAU
+    board metric. COUNT(DISTINCT) can't ride a sliding window frame, so
+    the scalable plan reduces FIRST (distinct (day, user) — collapses
+    events to at most |days|x|users|), then fans each row out to the 7
+    target days it supports (sequence+explode, a x7 multiplier on the
+    already-reduced frame — never on raw events), then distinct-counts
+    per target day. Two shuffles on (day-ish, user) keys. Days beyond
+    the data's max date are trimmed against a 1-row broadcast max."""
+    e = _read(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    tgt = daily.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+        "user_id",
+    )
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    return (
+        tgt.crossJoin(F.broadcast(mx))
+        .where(F.col("day") <= F.col("mx"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
