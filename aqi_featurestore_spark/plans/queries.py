@@ -3807,3 +3807,245 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("dau_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical similarity, quantile bucketizer, policy dedup, skew report
+# ---------------------------------------------------------------------------
+
+_SPARSE_TOPK_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokv AS (SELECT doc_id, unnest(a) AS token FROM arr),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokv GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT f.doc_id, f.token,
+         CAST(round(f.tf * ln((n.n + 1.0) / (d.df + 1.0)) * 1000000, 0) AS BIGINT) AS w
+  FROM tf f JOIN dfq d USING (token) CROSS JOIN n
+  WHERE d.df <= 100),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS score_raw,
+         COUNT(*) AS n_shared
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, score_raw, n_shared, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY score_raw DESC, d1 ASC, d2 ASC) AS rk FROM pairs) t
+WHERE rk <= 50"""
+
+
+@_q("sparse_lexical_topk", _SPARSE_TOPK_SQL)
+def q_sparse_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most lexically similar doc pairs by TF-IDF-weighted token
+    overlap — the sparse (BM25-family) counterpart to the dense
+    embedding similarity ops. The posting-list self-join is banded to
+    df <= 100: super-common tokens contribute ~nothing to the score but
+    quadratic join volume (the same insight as the Jaccard prefix
+    filter, applied to weighted retrieval). Weights quantize to integer
+    micro-units so the pair score is an exact int64 sum — order-free
+    across partitions and engines; ranking needs no rounding at all.
+    Global top-k via TakeOrderedAndProject; window over 50 survivors."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokv = docs.select("doc_id", F.explode(toks).alias("token"))
+    tf = tokv.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    w = (
+        tf.join(dfq, "token")
+        .where(F.col("df") <= 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("score_raw"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    top = pairs.orderBy(F.desc("score_raw"), F.asc("d1"), F.asc("d2")).limit(50)
+    wk = Window.orderBy(F.desc("score_raw"), F.asc("d1"), F.asc("d2"))
+    return top.select(
+        "d1", "d2", "score_raw", "n_shared",
+        F.row_number().over(wk).cast("int").alias("rk"),
+    )
+
+
+_BUCKETIZE_SQL = """
+WITH c AS (
+  SELECT event_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc FROM events),
+bp AS (
+  SELECT quantile_cont(vc, 0.25) AS p25,
+         quantile_cont(vc, 0.50) AS p50,
+         quantile_cont(vc, 0.75) AS p75
+  FROM c),
+assigned AS (
+  SELECT c.event_id, c.vc,
+         CASE WHEN c.vc <= bp.p25 THEN 1
+              WHEN c.vc <= bp.p50 THEN 2
+              WHEN c.vc <= bp.p75 THEN 3
+              ELSE 4 END AS bucket
+  FROM c CROSS JOIN bp)
+SELECT bucket, COUNT(*) AS n,
+       CAST(MIN(vc) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(vc) AS DOUBLE) / 100.0 AS hi
+FROM assigned GROUP BY bucket"""
+
+
+@_q("quartile_bucketize", _BUCKETIZE_SQL)
+def q_quartile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase quantile bucketizer — the SCALE path for quantile
+    binning, vs value_deciles' global-sort ntile: phase 1 reduces the
+    corpus to three breakpoints (one aggregate), phase 2 assigns buckets
+    with a broadcast CASE — no global sort, no window, fully parallel.
+    Quartile fractions are dyadic, so exact-percentile interpolation
+    over integer cents is bit-identical across engines (same argument
+    as group_median); bucket edges use <= consistently. Output is the
+    per-bucket audit (count + realized [lo, hi])."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    bp = c.agg(
+        F.percentile("vc", 0.25).alias("p25"),
+        F.percentile("vc", 0.50).alias("p50"),
+        F.percentile("vc", 0.75).alias("p75"),
+    )
+    assigned = c.crossJoin(F.broadcast(bp)).select(
+        "event_id",
+        "vc",
+        F.when(F.col("vc") <= F.col("p25"), 1)
+        .when(F.col("vc") <= F.col("p50"), 2)
+        .when(F.col("vc") <= F.col("p75"), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.min("vc").cast("double") / 100.0).alias("lo"),
+        (F.max("vc").cast("double") / 100.0).alias("hi"),
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+groups AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a),
+ranked AS (
+  SELECT g.doc_id, g.group_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY d.n_chars DESC, g.doc_id ASC) AS rn
+  FROM groups g JOIN documents d USING (doc_id))
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM groups)
+   OR d.doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)"""
+
+
+@_q("dedup_keep_best", _KEEP_BEST_SQL)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based dedup resolution: within each near-dup cluster keep
+    the HIGHEST-QUALITY doc (longest, tie -> lowest id) instead of
+    dedup_resolve_docs' min-id canonical — the rule real curation
+    pipelines want ('keep the best copy, drop the rest'). Winner per
+    cluster via max_by on (n_chars, -doc_id) — a hash aggregate over
+    cluster members, no window sort; survivors = winners + all docs in
+    no cluster (broadcast anti join on the tiny member set)."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
+    comp = connected_components(pairs.select("d1", "d2"))
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    winners = members.groupBy("group_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("doc_id")
+    )
+    keep_clustered = d.join(
+        F.broadcast(winners.select("doc_id")), "doc_id", "left_semi"
+    )
+    unclustered = d.join(
+        F.broadcast(comp.select("doc_id")), "doc_id", "left_anti"
+    )
+    return unclustered.unionByName(keep_clustered).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_SKEW_REPORT_SQL = """
+WITH e AS (
+  SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+l AS (
+  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+o AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+SELECT 'events.user_id' AS key_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS top1_cnt,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top1_share FROM e
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(SUM(c) AS BIGINT), COUNT(*),
+       CAST(MAX(c) AS BIGINT), CAST(MAX(c) AS DOUBLE) / SUM(c) FROM l
+UNION ALL
+SELECT 'orders.o_custkey', CAST(SUM(c) AS BIGINT), COUNT(*),
+       CAST(MAX(c) AS BIGINT), CAST(MAX(c) AS DOUBLE) / SUM(c) FROM o"""
+
+
+@_q("skew_report", _SKEW_REPORT_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report that tells you BEFORE a
+    shuffle join whether to salt (operators/skew.py) or let AQE split:
+    per candidate key, total rows, distinct keys, and the hottest key's
+    share. Each table reduces via one map-combined groupBy to |keys|
+    rows, then to a single stats row — the report costs one scan per
+    table regardless of scale."""
+
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.lit(label).alias("key_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").cast("bigint").alias("top1_cnt"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top1_share"),
+        )
+
+    e = stats(_read(spark, sf_dir, "events"), "user_id", "events.user_id")
+    l = stats(_read(spark, sf_dir, "lineitem"), "l_partkey", "lineitem.l_partkey")
+    o = stats(_read(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
+    return e.unionByName(l).unionByName(o)

@@ -123,6 +123,10 @@ EXTENDED_QUERIES = [
     "dedup_cluster_sizes",
     "hash_reservoir_sample",
     "rolling_dau",
+    "sparse_lexical_topk",
+    "quartile_bucketize",
+    "dedup_keep_best",
+    "skew_report",
 ]
 
 
@@ -134,6 +138,7 @@ ITERATIVE_CONSTRUCTION = {
     "dedup_cluster_sizes",
     "dedup_resolve_docs",
     "similarity_triangles",  # edge-list localCheckpoint at build time
+    "dedup_keep_best",
 }
 
 
