@@ -4049,3 +4049,238 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = stats(_read(spark, sf_dir, "lineitem"), "l_partkey", "lineitem.l_partkey")
     o = stats(_read(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
     return e.unionByName(l).unionByName(o)
+
+
+# ---------------------------------------------------------------------------
+# ML-data-prep round 3: k-fold, negative sampling, feature scaling,
+# contribution analysis, shard packing
+# ---------------------------------------------------------------------------
+
+_KFOLD_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),
+f AS (
+  SELECT CAST({_ph.duck_hex_int('md', 1, 8)} % 5 AS INT) AS fold,
+         n_chars
+  FROM h)
+SELECT fold, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM f GROUP BY fold"""
+
+
+@_q("kfold_assign", _KFOLD_SQL)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) mod 5 — like train_test_split's hash gate but k-way.
+    Membership is a pure row-local function of the id (no RNG, no
+    shuffle, stable under reruns and repartitioning — a distributed
+    `randomSplit` is neither), so every engine and every rerun agrees
+    on the folds. Output is the per-fold audit (count + char mass) that
+    checks balance."""
+    docs = _read(spark, sf_dir, "documents")
+    fold = (_ph.md5_int32(F.col("doc_id").cast("string")) % 5).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_NEG_SAMPLE_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT d.doc_id, i.i,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)) AS md
+  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i),
+neg AS (
+  SELECT a.doc_id, a.i,
+         CAST({_ph.duck_hex_int('md', 1, 8)} % n.n AS BIGINT) AS neg_id
+  FROM anchors a CROSS JOIN n)
+SELECT g.doc_id, g.i, g.neg_id, d.lang AS neg_lang
+FROM neg g JOIN documents d ON d.doc_id = g.neg_id
+WHERE g.neg_id <> g.doc_id"""
+
+
+@_q("negative_sampling", _NEG_SAMPLE_SQL)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws 3 pseudo-random negatives via md5(anchor:i) mod N
+    over the dense id space — reproducible across reruns AND engines
+    (rand() is neither), self-pairs dropped. The negatives join back to
+    the corpus on neg_id (a plain equi-join that co-partitions with any
+    downstream feature fetch); N is a 1-row broadcast, never a driver
+    action. At 100 TB with non-dense ids, compose with zorder_keys'
+    dense-rank to build the id map first."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    anchors = docs.select("doc_id").crossJoin(
+        F.broadcast(n)
+    ).select(
+        "doc_id", "n", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i")
+    )
+    neg_id = (
+        _ph.md5_int32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+        )
+        % F.col("n")
+    ).cast("bigint")
+    neg = anchors.select("doc_id", "i", neg_id.alias("neg_id")).where(
+        F.col("neg_id") != F.col("doc_id")
+    )
+    d2 = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return neg.join(d2, "neg_id").select("doc_id", "i", "neg_id", "neg_lang")
+
+
+_ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+st AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) AS sqd
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+       round((c.vc - sd / n) / sqrt((sqd - sd * (sd / n)) / (n - 1)), 6) AS z
+FROM c JOIN st USING (event_type) WHERE st.n > 1"""
+
+
+@_q("zscore_normalize", _ZSCORE_SQL)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-scaler feature transform: every value z-scored against
+    its event_type's mean/std — the fit-then-transform pattern as ONE
+    plan: the 'fit' is a tiny per-group moments aggregate (exact
+    DECIMAL(38) accumulation), broadcast back onto the fact for the
+    row-wise transform with pinned double operand order (same moment
+    discipline as seasonal_anomalies, which consumes these z-scores'
+    3-sigma tail). No window over the fact — the scaler never sorts."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    d38 = "decimal(38,0)"
+    st = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vc").cast(d38)).cast(d38).cast("double").alias("sd"),
+        F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+        .cast(d38)
+        .cast("double")
+        .alias("sqd"),
+    )
+    m = F.col("sd") / F.col("n")
+    var = (F.col("sqd") - F.col("sd") * m) / (F.col("n") - 1)
+    return (
+        c.join(F.broadcast(st), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("vc") - m) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
+_REV_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name, r.r_name,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name)
+SELECT r_name, n_name,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY r_name) AS share
+FROM rev"""
+
+
+@_q("revenue_share", _REV_SHARE_SQL)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue share within its
+    region — percent-of-total over a two-level dimension. The fact
+    aggregates FIRST (exact cents); the normalizing SUM is a window
+    over the |nations| frame, not the fact. Dim joins broadcast
+    (nation/region/customer are small; at 100 TB customer shuffles,
+    the others still broadcast)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w)).alias("share"),
+    )
+
+
+_SHARD_SQL = """
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM documents),
+s AS (
+  SELECT source, CAST(cum_excl // 65536 AS INT) AS shard_id, n_chars
+  FROM c)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+FROM s GROUP BY source, shard_id"""
+
+
+@_q("media_shard_plan", _SHARD_SQL)
+def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-packing plan for training export: within each source,
+    assign documents (by byte mass — n_chars as the stand-in for blob
+    size; the multimodal payload path uses n_bytes identically) to
+    ~64 KB shards via an exclusive running sum — the 'pack 100 TB into
+    512 MB webdataset shards' step. One window sort per source over
+    METADATA columns only (the payloads themselves never move — the
+    plan ships (doc_id -> shard_id) to the writer); integer cumsum, so
+    both engines agree exactly. Same prefix-sum idea as
+    sequence_packing, applied to file layout."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_excl"),
+    )
+    s = c.select(
+        "source",
+        (F.col("cum_excl") / 65536).cast("int").alias("shard_id"),
+        "n_chars",
+    )
+    return s.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+    )

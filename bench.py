@@ -127,6 +127,11 @@ EXTENDED_QUERIES = [
     "quartile_bucketize",
     "dedup_keep_best",
     "skew_report",
+    "kfold_assign",
+    "negative_sampling",
+    "zscore_normalize",
+    "revenue_share",
+    "media_shard_plan",
 ]
 
 
