@@ -4284,3 +4284,413 @@ def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("shard_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completeness batch: Q6/Q7/Q8/Q10/Q14/Q15/Q18/Q19 shapes, adapted to
+# the testdata schema (no partsupp / shipmode / commitdate columns, so
+# Q2/Q9/Q11/Q12/Q20/Q21 are unexpressible on this dataset; see SURVEY).
+# Money stays in exact integer cents until the final division.
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+@_q("forecast_revenue", _Q6_SQL)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pure scan-filter-aggregate: every predicate (date
+    range, discount band, quantity cap) reaches the parquet scan as a
+    pushed filter, the aggregate is one map-combined sum, zero joins.
+    The query that measures raw scan throughput; at 100 TB it is I/O
+    bound and partition pruning on a date-partitioned layout
+    (offline_store's y/m/d scheme) would skip ~6/7 of the files."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
+                    .cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)"""
+
+
+@_q("volume_shipping", _Q7_SQL)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — bilateral trade volume: the two-role dimension join
+    (nation joined TWICE under different aliases, supplier side and
+    customer side) with a disjunctive cross-nation filter and a
+    year-grained rollup. Both nation copies broadcast; the disjunction
+    is evaluated after the (cheap) dim joins — at 100 TB the win is
+    semi-join pushdown: only the two nations' suppliers/customers
+    survive into the fact join."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg((F.sum("cents").cast("double") / 100.0).alias("revenue"))
+
+
+_Q8_SQL = """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+           AS cents,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS DOUBLE) / SUM(cents) AS mkt_share
+FROM base GROUP BY o_year"""
+
+
+@_q("market_share", _Q8_SQL)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: ratio of conditional sums per
+    year. The numerator is a CASE inside the same aggregate as the
+    denominator — one pass, no self-join, no second scan; both sums are
+    exact cents so the share is a single exact-int division. Seven-table
+    join where every dimension broadcasts and only lineitem/orders
+    shuffle."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("n2_key")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0)
+    )
+    return base.groupBy("o_year").agg(
+        (num.cast("double") / F.sum("cents")).alias("mkt_share")
+    )
+
+
+_Q10_SQL = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name)
+SELECT c_custkey, c_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY cents DESC, c_custkey ASC) AS rk
+      FROM rev) t
+WHERE rk <= 20"""
+
+
+@_q("returned_top_customers", _Q10_SQL)
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — top-20 customers by returned-item revenue in a
+    half-year window. Both filters push to their scans (date on orders,
+    returnflag on lineitem) BEFORE the join; revenue ranks on exact
+    cents with c_custkey tie-break; the global top-20 compiles to
+    TakeOrderedAndProject (per-partition top-k + 20-row merge), the
+    ranking window touches only the 20 survivors."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    top = rev.orderBy(F.desc("cents"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("cents"), F.asc("c_custkey"))
+    return top.select(
+        "c_custkey",
+        "c_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+_Q14_SQL = """
+SELECT (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                                AS BIGINT) ELSE 0 END) AS DOUBLE) * 100.0)
+       / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'"""
+
+
+@_q("promo_revenue", _Q14_SQL)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion revenue percentage: conditional numerator
+    and unconditional denominator in ONE aggregate over one month of
+    shipments. The date filter prunes lineitem at the scan; part
+    broadcasts; both sums are exact cents and the percentage is one
+    pinned double expression (num * 100.0) / den."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    num = F.sum(F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0))
+    return j.agg(
+        ((num.cast("double") * 100.0) / F.sum("cents")).alias("promo_pct")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(cents) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, CAST(r.cents AS DOUBLE) / 100.0 AS total_revenue
+FROM rev r CROSS JOIN mx JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.cents = mx.m"""
+
+
+@_q("top_supplier", _Q15_SQL)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier(s) by quarterly revenue: the
+    global-max-equality pattern (the original's view + subquery). The
+    max is a 1-row broadcast compared back against the per-supplier
+    aggregate — ALL ties surface (exact cents make 'equal revenue'
+    well-defined; a double sum could split ties by partition order);
+    supplier joins after the filter, so only winners fetch names."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("cents"))
+    mx = rev.agg(F.max("cents").alias("m"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("cents") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(b.qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey"""
+
+
+@_q("large_orders", _Q18_SQL)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume orders: HAVING on a grouped fact
+    (orders whose total quantity > 250) driving joins back to orders
+    and customer. The aggregate-then-filter runs FIRST, so the join
+    inputs shrink from |lineitem| to |big orders| before any wide row
+    materializes — the orders join is effectively a semi-join carried
+    by the aggregate. Quantity accumulates in exact cents."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("qty_c"))
+        .where(F.col("qty_c") > 25000)
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            (F.col("qty_c").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)"""
+
+
+@_q("disjunctive_revenue", _Q19_SQL)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — disjunction of conjunctions across BOTH join sides
+    (brand/size terms on part, quantity bands on lineitem). Catalyst
+    extracts the common join key and pushes the per-side residuals it
+    can (brand IN (...) and the quantity hull are derivable); the mixed
+    OR evaluates post-join. The optimizer-stressing shape: a naive
+    planner evaluates the whole disjunction as a filter on a full
+    cross-joined row."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        (F.sum("cents").cast("double") / 100.0).alias("revenue")
+    )

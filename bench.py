@@ -132,6 +132,14 @@ EXTENDED_QUERIES = [
     "zscore_normalize",
     "revenue_share",
     "media_shard_plan",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_top_customers",
+    "promo_revenue",
+    "top_supplier",
+    "large_orders",
+    "disjunctive_revenue",
 ]
 
 
