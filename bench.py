@@ -180,7 +180,7 @@ def main() -> None:
         if name not in QUERIES:
             continue
         run_once(spark, name, sf_dir)  # warm (code paths, file listing)
-        timings[name] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
+        timings[name] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
 
     # Round-2+ additions, timed identically but reported OUTSIDE the
     # headline total so `value` stays comparable across rounds (the
@@ -190,7 +190,7 @@ def main() -> None:
         if name not in QUERIES:
             continue
         run_once(spark, name, sf_dir)
-        extended[name] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
+        extended[name] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
 
     # Skew-mitigation evidence (not part of the headline total): the same
     # hot-key shuffle join plain vs salted (operators/skew.py) on a ~95%-
@@ -201,7 +201,7 @@ def main() -> None:
         if name not in QUERIES:
             continue
         run_once(spark, name, sf_dir)
-        skew_demo[label] = round(min(run_once(spark, name, sf_dir) for _ in range(2)), 4)
+        skew_demo[label] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
