@@ -140,6 +140,17 @@ EXTENDED_QUERIES = [
     "top_supplier",
     "large_orders",
     "disjunctive_revenue",
+    # round-1 registry entries that predated the extended list (skew_join_*
+    # stay out: they are the dedicated skew_demo pair below)
+    "dedup_resolve_docs",
+    "frame_sample",
+    "hourly_rollup",
+    "model_metrics",
+    "revenue_by_nation",
+    "session_windows",
+    "token_count_bpe",
+    "train_test_split",
+    "versioned_pit_multiview",
 ]
 
 
