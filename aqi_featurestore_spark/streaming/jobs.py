@@ -23,13 +23,21 @@ def stream_events(
     dedup_keys: list[str] | None = None,
 ) -> DataFrame:
     """File-source event stream with event-time watermark and duplicate
-    drop (late/duplicate handling the reference lacks, ST6). The watermark
-    bounds dedup state; at scale this is what keeps state O(window), not
-    O(history)."""
+    drop (late/duplicate handling the reference lacks, ST6).
+
+    Dedup uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates(keys)`` only evicts its state when the event-time
+    column is part of the keys — with id-only keys (the normal case:
+    upstream retries resend the same event_id) its state grows
+    O(history) FOREVER, watermark or not. The WithinWatermark variant
+    drops any duplicate arriving within the watermark delay of the
+    first-seen row and evicts state as the watermark passes — state is
+    O(window), which is the property that survives an unbounded
+    stream."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     stream = stream.withWatermark(ts, watermark)
     if dedup_keys:
-        stream = stream.dropDuplicates(dedup_keys)
+        stream = stream.dropDuplicatesWithinWatermark(dedup_keys)
     return stream
 
 
