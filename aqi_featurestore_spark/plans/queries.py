@@ -4694,3 +4694,71 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(cond).agg(
         (F.sum("cents").cast("double") / 100.0).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (SCD1 upsert application) — full-outer coalesce
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH tgt AS (
+  SELECT user_id, vc FROM (
+    SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 10 <> 0) t WHERE rn = 1),
+upd AS (
+  SELECT user_id, vc FROM (
+    SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 10 = 0) t WHERE rn = 1)
+SELECT COALESCE(u.user_id, t.user_id) AS user_id,
+       CAST(COALESCE(u.vc, t.vc) AS DOUBLE) / 100.0 AS value,
+       CASE WHEN u.user_id IS NOT NULL AND t.user_id IS NOT NULL THEN 'update'
+            WHEN u.user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM tgt t FULL OUTER JOIN upd u ON u.user_id = t.user_id"""
+
+
+@_q("merge_upsert", _MERGE_SQL)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert application) as one plan: the
+    incoming batch's latest-per-key rows overwrite matching target keys
+    ('update'), unseen keys append ('insert'), untouched target keys
+    survive ('keep') — the full-outer-join + COALESCE pattern that IS
+    what table formats execute under MERGE. Both sides reduce to
+    latest-per-key via max_by hash aggregates BEFORE the join (never
+    row_number over the fact on the Spark side — the oracle's window is
+    DuckDB's idiom, max_by is Spark's); one shuffle each on user_id,
+    co-partitioned into the join. snapshot_diff_docs detects changes;
+    this APPLIES them."""
+    e = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("vc", F.struct("ts", "event_id")).alias("vc")
+        )
+
+    tgt = latest(e.where(F.col("event_id") % 10 != 0)).select(
+        F.col("user_id").alias("t_user"), F.col("vc").alias("t_vc")
+    )
+    upd = latest(e.where(F.col("event_id") % 10 == 0)).select(
+        F.col("user_id").alias("u_user"), F.col("vc").alias("u_vc")
+    )
+    j = tgt.join(upd, tgt.t_user == upd.u_user, "full_outer")
+    action = (
+        F.when(F.col("u_user").isNotNull() & F.col("t_user").isNotNull(), "update")
+        .when(F.col("u_user").isNotNull(), "insert")
+        .otherwise("keep")
+    )
+    return j.select(
+        F.coalesce("u_user", "t_user").alias("user_id"),
+        (F.coalesce("u_vc", "t_vc").cast("double") / 100.0).alias("value"),
+        action.alias("action"),
+    )

@@ -151,6 +151,7 @@ EXTENDED_QUERIES = [
     "token_count_bpe",
     "train_test_split",
     "versioned_pit_multiview",
+    "merge_upsert",
 ]
 
 
