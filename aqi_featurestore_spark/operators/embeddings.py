@@ -97,9 +97,11 @@ def quantize_embeddings(
     """Scalar (int8-style) quantization: each component mapped to a
     0..255 code against the corpus per-dimension min/max.
 
-    ``code = floor((v - mn) / (mx - mn) * 255)`` clamped to 255 (the
-    max element itself lands exactly on 255); degenerate dimensions
-    (mn == mx) code to 0. All arithmetic is double with pinned operand
+    ``code = floor((v - mn) / (mx - mn) * 255)`` clamped to [0, 255] (the
+    max element itself lands exactly on 255; a caller-supplied ``minmax``
+    that does not bound the data clamps instead of going out of range);
+    degenerate dimensions (mn == mx) code to 0. All arithmetic is double
+    with pinned operand
     order, so codes are engine-reproducible. The per-vector map is a
     single JVM ``transform`` against broadcast literal min/max arrays —
     no join, no shuffle, vectors never leave their input partitions.
@@ -117,7 +119,7 @@ def quantize_embeddings(
         raw = F.floor((v.cast("double") - mn) / (mx - mn) * F.lit(255.0))
         return (
             F.when(mx == mn, F.lit(0))
-            .otherwise(F.least(raw, F.lit(255)))
+            .otherwise(F.greatest(F.least(raw, F.lit(255)), F.lit(0)))
             .cast("int")
         )
 

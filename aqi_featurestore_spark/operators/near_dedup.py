@@ -31,15 +31,21 @@ from aqi_featurestore_spark.functions import portable_hash as ph
 from aqi_featurestore_spark.functions.text import word_shingles
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Repartition a narrow input up to cluster parallelism before
     expensive per-row work (shingle explode, 64-hash signatures). A small
     single-file scan arrives as ONE partition and would serialize the
-    whole pipeline; the extra shuffle moves only the source rows."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
-        return df.repartition(parallelism)
-    return df
+    whole pipeline; the extra shuffle moves only the source rows.
+
+    This is a pure plan hint: ``enabled`` comes from the caller (the
+    public operators' ``spread`` kwarg) — probing the actual partition
+    count would force physical planning through the RDD API on every
+    call. Pass ``spread=False`` when the input already arrives well
+    partitioned (a large multi-file scan), where the round-robin shuffle
+    of source rows is wasted work."""
+    if not enabled:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _doc_shingles(
@@ -64,6 +70,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     broadcast: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over k-word shingle sets for every pair
     sharing at least one shingle. Returns (d1, d2, inter, n1, n2, jaccard)
@@ -79,7 +86,7 @@ def ngram_jaccard_pairs(
     knows the corpus is small says so."""
     small = broadcast
     if small:
-        docs = _spread(docs)
+        docs = _spread(docs, spread)
     sh = _doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -156,6 +163,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    spread: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs (same output as `ngram_jaccard_pairs`)
     via PPJoin-style prefix filtering — the shape that survives when the
@@ -180,9 +188,9 @@ def jaccard_prefix_pairs(
     subtree recompute each; join keys d1/d2 defeat exchange reuse) was
     3x the shingle passes. Lossless: output thresholded on TRUE
     Jaccard."""
-    sh = _doc_shingles(_spread(docs), id_col=id_col, text_col=text_col, k=k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("h")
-    )
+    sh = _doc_shingles(
+        _spread(docs, spread), id_col=id_col, text_col=text_col, k=k
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     df_cnt = sh.groupBy("h").agg(F.count("*").alias("cnt"))
     ranked = sh.join(df_cnt, "h")
     lists = ranked.groupBy(id_col).agg(
@@ -280,19 +288,21 @@ def _band_buckets(
     bands: int,
     rows_per_band: int,
     scheme: str,
-    carry_sig: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode a signature frame into ``(id, band, bucket)`` rows — the
     equi-join key space for LSH candidate generation.
 
-    ``carry_sig=True`` keeps the full ``sig`` array on every band row.
+    ``carry`` keeps the named payload columns (e.g. the full ``sig``
+    array, or the exact shingle-hash set ``sh``) on every band row.
     That widens the banding shuffle (~8 KB/doc for 64 hashes x 16 bands
-    vs ~130 B/doc), but lets the consumer compute signature agreement
-    straight off the candidate join — without it, attaching estimates
-    means TWO more joins that each recompute the whole signature subtree
-    (self-join exchange reuse doesn't apply: the estimate joins key on
-    d1/d2, a different partitioning). Recomputing the md5-affine
-    signatures is the dominant cost at any scale, so carrying wins."""
+    vs ~130 B/doc), but lets the consumer compute signature agreement or
+    exact overlap straight off the candidate join — without it,
+    attaching estimates means TWO more joins that each recompute the
+    whole signature subtree (self-join exchange reuse doesn't apply: the
+    estimate joins key on d1/d2, a different partitioning). Recomputing
+    the md5-affine signatures / shingle sets is the dominant cost at any
+    scale, so carrying wins."""
     if scheme == "md5":
         band_hashes = F.array(
             *[
@@ -328,8 +338,7 @@ def _band_buckets(
     else:
         raise ValueError(f"unknown banding scheme {scheme!r}")
     cols = [F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")]
-    if carry_sig:
-        cols.append(F.col("sig"))
+    cols.extend(F.col(c) for c in carry)
     return signatures.select(*cols)
 
 
@@ -427,6 +436,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     scheme: str = "md5",
+    spread: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures -> banding ->
     candidate pairs -> estimate filter.
@@ -439,7 +449,7 @@ def minhash_dedup_pairs(
     bottleneck (~10x) under the md5-portable scheme."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        _spread(docs),
+        _spread(docs, spread),
         id_col=id_col,
         text_col=text_col,
         k=k,
@@ -448,7 +458,7 @@ def minhash_dedup_pairs(
     )
     buckets = _band_buckets(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
-        scheme=scheme, carry_sig=True,
+        scheme=scheme, carry=("sig",),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -534,6 +544,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     scheme: str = "md5",
+    spread: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found without
     a pairwise scan: split the 64-bit signature into (max_hamming + 1)
@@ -542,7 +553,7 @@ def simhash_near_dup_pairs(
     (band, band_bits)."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
-    sigs = _spread(docs).select(
+    sigs = _spread(docs, spread).select(
         F.col(id_col), simhash(text_col, scheme=scheme).alias("sig")
     )
     bands = F.array(
@@ -586,6 +597,7 @@ def exact_jaccard_for_pairs(
     text_col: str = "text",
     k: int = 3,
     docs2: DataFrame | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Exact k-shingle Jaccard computed ONLY for the given candidate pairs
     (d1, d2) — the verification half of detect-approx -> verify-exact.
@@ -603,7 +615,9 @@ def exact_jaccard_for_pairs(
         # collect_set dedups (map-side, via partial aggregation) — the
         # dropDuplicates exchange would be a second, redundant shuffle.
         return (
-            _doc_shingles(_spread(d), id_col=id_col, text_col=text_col, k=k, dedup=False)
+            _doc_shingles(
+                _spread(d, spread), id_col=id_col, text_col=text_col, k=k, dedup=False
+            )
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("sh"))
         )
@@ -634,24 +648,86 @@ def minhash_verified_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     scheme: str = "md5",
+    spread: bool = True,
 ) -> DataFrame:
     """The production near-dedup shape at 100 TB: MinHash-LSH generates
     candidates (no pairwise scan), exact Jaccard verifies each candidate
     (no estimation error in the final answer). Output rows carry the TRUE
-    jaccard, thresholded exactly."""
-    sigs = minhash_signatures(
-        _spread(docs),
-        id_col=id_col,
-        text_col=text_col,
-        k=k,
-        num_hashes=num_hashes,
-        scheme=scheme,
+    jaccard, thresholded exactly: ``(d1, d2, inter, n1, n2, jaccard)``.
+
+    Single shingle pass: ONE groupBy computes both the MinHash mins and
+    the exact sorted shingle-hash set (min aggregates and collect_set are
+    both duplicate-insensitive, so they share the non-deduped shingle
+    explode and its partial-aggregated shuffle). The band rows then CARRY
+    the shingle set (see ``_band_buckets``), so exact verification is an
+    ``array_intersect`` off the candidate join's own columns. The
+    composed detect-then-verify alternative
+    (``exact_jaccard_for_pairs(docs, minhash_lsh_candidates(...))``)
+    shingles the corpus twice and re-joins the sets per pair side — it
+    measured 1.6x slower at sf0.1."""
+    rows_per_band = num_hashes // bands
+    sh = _doc_shingles(
+        _spread(docs, spread), id_col=id_col, text_col=text_col, k=k, dedup=False
     )
-    cand = minhash_lsh_candidates(
-        sigs, id_col=id_col, bands=bands, rows_per_band=num_hashes // bands, scheme=scheme
+    if scheme == "md5":
+        base = sh.select(
+            id_col,
+            (ph.md5_int32("shingle") % F.lit(ph.MERSENNE31)).alias("hb"),
+            F.xxhash64("shingle").alias("xh"),
+        )
+        mins = [
+            F.min(ph.affine(F.col("hb"), a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(ph.hash_family(num_hashes))
+        ]
+    elif scheme == "xxhash64":
+        base = sh.select(id_col, "shingle", F.xxhash64("shingle").alias("xh"))
+        mins = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
+    per_doc = (
+        base.groupBy(id_col)
+        .agg(*mins, F.sort_array(F.collect_set("xh")).alias("sh"))
+        .select(
+            id_col,
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+            "sh",
+        )
     )
-    exact = exact_jaccard_for_pairs(docs, cand, id_col=id_col, text_col=text_col, k=k)
-    return exact.where(F.col("jaccard") >= threshold)
+    buckets = _band_buckets(
+        per_doc, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scheme=scheme, carry=("sh",),
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.select(
+            "d1", "d2",
+            inter.alias("inter"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_incremental_pairs(
@@ -665,6 +741,7 @@ def minhash_incremental_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     scheme: str = "md5",
+    spread: bool = True,
 ) -> DataFrame:
     """Incremental ingestion dedup gate: which NEW documents near-
     duplicate something already in the corpus. MinHash-LSH candidates
@@ -680,13 +757,14 @@ def minhash_incremental_pairs(
     sig_kw = dict(
         id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, scheme=scheme
     )
-    new_sigs = minhash_signatures(_spread(new_docs), **sig_kw)
-    corpus_sigs = minhash_signatures(_spread(corpus_docs), **sig_kw)
+    new_sigs = minhash_signatures(_spread(new_docs, spread), **sig_kw)
+    corpus_sigs = minhash_signatures(_spread(corpus_docs, spread), **sig_kw)
     cand = minhash_lsh_candidates_between(
         new_sigs, corpus_sigs, id_col=id_col, bands=bands,
         rows_per_band=num_hashes // bands, scheme=scheme,
     )
     exact = exact_jaccard_for_pairs(
-        new_docs, cand, id_col=id_col, text_col=text_col, k=k, docs2=corpus_docs
+        new_docs, cand, id_col=id_col, text_col=text_col, k=k, docs2=corpus_docs,
+        spread=spread,
     )
     return exact.where(F.col("jaccard") >= threshold)

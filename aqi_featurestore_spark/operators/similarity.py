@@ -34,34 +34,23 @@ def _as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (deterministic summation order)."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-
-
-def _normalized(a: Column) -> Column:
-    """Unit-normalize once per vector (array<double>), so every downstream
-    pair computation is a single dot fold — at n^2 pair counts, the norms
-    must never be recomputed per pair."""
-    n = _norm(a)
-    return F.transform(a, lambda x: x / n)
-
-
-# -- Vectorized (Arrow) twins of the fold expressions -----------------------
+# -- Vectorized (Arrow) dot / normalize ------------------------------------
 #
-# The pure-expression fold/transform forms above are interpreted per
-# element (~100 ns/op, no codegen for higher-order functions), and worse,
-# Catalyst inlines a norm used inside a `transform` lambda so it
-# re-evaluates PER ELEMENT (64x per row). The pandas_udf twins below are
-# numpy over Arrow batches — and stay BIT-IDENTICAL to the folds (and to
-# DuckDB's list_reduce) because `np.cumsum` accumulates sequentially:
+# The semantic spec for both is the sequential left fold
+#   dot(a, b)  = aggregate(zip_with(a, b, *), 0.0, +)       (seed-left)
+#   norm(a)    = sqrt(aggregate(transform(a, x*x), 0.0, +))
+# which is also exactly what the DuckDB oracle SQL evaluates. The pure
+# Catalyst fold forms are interpreted per element (~100 ns/op, no codegen
+# for higher-order functions), and Catalyst inlines a norm used inside a
+# `transform` lambda so it re-evaluates PER ELEMENT (64x per row). The
+# pandas_udf implementations below are numpy over Arrow batches — and stay
+# BIT-IDENTICAL to the folds (and to DuckDB's list_reduce) because
+# `np.cumsum` accumulates sequentially:
 # cumsum[-1] = (((x0 + x1) + x2) + ...), the exact same IEEE operation
 # order as the left fold seeded with 0.0 (0.0 + x0 == x0). No pairwise
 # summation, no BLAS reassociation — same doubles, 10-50x faster.
+# Oracle parity for every query scoring through these is hash-verified
+# (tests/test_oracle_parity.py), which is the bit-parity proof.
 
 
 def _normalized_arrow(col: Column | str) -> Column:
@@ -119,7 +108,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("n_id"), _normalized_arrow(vec_col).alias("n_vec")
     )
     pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
-    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
+    cos = _dot_arrow(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = pairs.select(
         "q_id", "n_id", F.round(cos, round_scores).alias("cos_sim")
     )
@@ -232,7 +221,7 @@ def cosine_topk_lsh(
         .dropDuplicates(["q_id", "n_id"])
     )
     cand = cand_ids.join(F.broadcast(qv), "q_id").join(nv, "n_id")
-    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
+    cos = _dot_arrow(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return scored.select("q_id", "n_id", "cos_sim", F.row_number().over(w).alias("rk")).where(
@@ -317,7 +306,7 @@ def embedding_cosine_pairs(
         )
         b_ = v.select(F.col("id").alias("d2"), F.col("vec").alias("v2"))
         cand = a.join(F.broadcast(b_), F.col("d1") < F.col("d2"))
-    cos = _dot(F.col("v1"), F.col("v2"))  # vectors are unit-normalized
+    cos = _dot_arrow(F.col("v1"), F.col("v2"))  # vectors are unit-normalized
     return (
         cand.select("d1", "d2", F.round(cos, round_scores).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
@@ -458,7 +447,7 @@ def cosine_topk_ivf(
     # corpus assignments never shuffle, and the 16-distinct-value
     # list_id key (worst-case skew as a shuffle key) never becomes one.
     cand = F.broadcast(q).join(c, "list_id").where(F.col("q_id") != F.col("n_id"))
-    cos = _dot(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
+    cos = _dot_arrow(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = cand.select("q_id", "n_id", F.round(cos, round_scores).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return scored.select(

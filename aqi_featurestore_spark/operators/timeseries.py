@@ -35,13 +35,22 @@ def fill_time_gaps(
     """Dense per-bucket aggregate: truncate ``ts_col`` to ``trunc``,
     aggregate ``aggs`` per bucket, then left-join onto the complete
     ``step``-spaced spine from min to max bucket so empty buckets
-    surface as rows (count-like aggs coalesced to 0).
+    surface as rows.
 
     Returns one row per spine bucket: ``(bucket, n, *aggs)`` with ``n``
-    the row count (0 for gaps)."""
-    bucket = F.date_trunc(trunc, F.col(ts_col)).alias("bucket")
-    per_bucket = df.select(bucket, "*").groupBy("bucket").agg(
-        F.count("*").alias("n"), *aggs
+    the row count, coalesced to 0 for gap rows. User-supplied ``aggs``
+    stay NULL on gap rows (only ``n`` is zero-filled — a NULL mean/min
+    for an empty bucket is correct; a fabricated 0 would not be).
+
+    The grouping column is computed under an internal name so an input
+    that already has a ``bucket`` column cannot collide; the output
+    column is still named ``bucket``."""
+    tmp = "__fill_time_gaps_bucket__"
+    per_bucket = (
+        df.withColumn(tmp, F.date_trunc(trunc, F.col(ts_col)))
+        .groupBy(tmp)
+        .agg(F.count("*").alias("n"), *aggs)
+        .withColumnRenamed(tmp, "bucket")
     )
     bounds = df.select(F.date_trunc(trunc, F.col(ts_col)).alias("b")).agg(
         F.min("b").alias("lo"), F.max("b").alias("hi")

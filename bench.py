@@ -164,6 +164,7 @@ ITERATIVE_CONSTRUCTION = {
     "dedup_resolve_docs",
     "similarity_triangles",  # edge-list localCheckpoint at build time
     "dedup_keep_best",
+    "embedding_quantize",  # corpus min/max aggregate + collect at build time
 }
 
 
@@ -216,6 +217,28 @@ def main() -> None:
         skew_demo[label] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a file (the round-2 driver artifact was
+    # lost because the extended dict pushed the JSON line past the driver's
+    # tail capture). The stdout contract line stays compact: the frozen
+    # 24-query headline dict (~1 KB, parsed fine in round 1) plus totals.
+    details = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "extended_queries": extended,
+        "extended_total": round(sum(extended.values()), 4),
+        "skew_demo": skew_demo,
+        "sf": sf_val,
+    }
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    print(f"per-query detail written to {details_path}", file=sys.stderr)
+
+    # Driver contract line — MUST be the last stdout line and stay small.
     print(
         json.dumps(
             {
@@ -223,10 +246,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 4),
                 "skew_demo": skew_demo,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
