@@ -2700,6 +2700,171 @@ def q_brand_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q21 / Q12 shapes on a DERIVED column (SURVEY §2.11 notes the
+# testdata schema lacks l_commitdate/l_receiptdate/l_shipmode; both
+# queries derive the missing attribute deterministically from
+# md5(l_orderkey|l_linenumber) — mirrored exactly in the oracle SQL — so
+# the distinct PLAN SHAPES get exercised without inventing data).
+# ---------------------------------------------------------------------------
+
+# late flag: 1 for ~1/3 of lineitems, keyed on (orderkey, linenumber) so
+# it varies within an order. Identical md5-hex-parse arithmetic on both
+# engines (functions/portable_hash.py).
+_LATE_DUCK = (
+    _ph.duck_hex_int(
+        "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))",
+        1, 8,
+    )
+    + " % 3 = 0"
+)
+
+_SUPPLIERS_WAITING_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN {_LATE_DUCK} THEN 1 ELSE 0 END AS late
+  FROM lineitem)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN li l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.late = 1
+  AND EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late = 1)
+  AND n.n_name = 'NATION_7'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100"""
+
+
+def _late_flag() -> F.Column:
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber")
+    return (_ph.md5_int32(key) % 3 == 0).cast("int")
+
+
+@_q("suppliers_kept_waiting", _SUPPLIERS_WAITING_SQL)
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the one plan the registry otherwise never
+    exercises: TWO correlated subqueries on the SAME fact per outer row
+    (EXISTS another-supplier lineitem -> LEFT SEMI; NOT EXISTS
+    another-supplier LATE lineitem -> LEFT ANTI), both keyed on
+    l_orderkey with a suppkey<> residual.
+
+    Scale shape: the late filter (~1/3) and orderstatus='F' prune the
+    outer side first; the orders join, the semi join, and the anti join
+    all hash-partition on the SAME key (l_orderkey / o_orderkey), so
+    after the first shuffle the outer side never re-exchanges — Spark
+    chains the three joins within one partitioning. supplier and nation
+    are broadcast dims. The oracle is DuckDB's native correlated
+    EXISTS/NOT EXISTS."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _late_flag().alias("late")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nat = (
+        _read(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = li.where(F.col("late") == 1).join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "late",
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others.where(F.col("late") == 1),
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_SHIPMODE_DUCK = _ph.duck_hex_int(
+    "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    " || '|m')",
+    1, 8,
+)
+
+_SHIPMODE_PRIORITY_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_shipdate, {_SHIPMODE_DUCK} % 7 AS shipmode
+  FROM lineitem)
+SELECT l.shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN li l ON o.o_orderkey = l.l_orderkey
+WHERE l.shipmode IN (2, 5)
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.shipmode
+ORDER BY l.shipmode"""
+
+
+@_q("shipmode_priority", _SHIPMODE_PRIORITY_SQL)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact equi-join (lineitem x orders on
+    orderkey) feeding a conditional two-way pivot aggregate
+    (SUM(CASE...)). The shipmode IN-filter (derived column, ~2/7
+    selectivity) and the shipdate year window prune the probe side
+    before the join; the priority CASE folds into the partial aggregate
+    below the exchange."""
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber", F.lit("m"))
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", (_ph.md5_int32(key) % 7).alias("shipmode"))
+        .where(F.col("shipmode").isin(2, 5))
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
 _EMB_RESOLVE_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2

@@ -94,6 +94,8 @@ EXTENDED_QUERIES = [
     "edit_distance_pairs",
     "jaccard_prefix_filter",
     "shipping_priority",
+    "suppliers_kept_waiting",
+    "shipmode_priority",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",
