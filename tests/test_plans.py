@@ -1,0 +1,208 @@
+"""Physical-plan pinning: assert the plan properties that matter at
+100 TB so a regression fails CI instead of surfacing as a bench diff.
+
+Pinned invariants (measured at sf0.001 — plan construction only; the
+few ITERATIVE_CONSTRUCTION queries run their small label-propagation
+jobs at build time):
+
+- **No CartesianProduct, ever.** Every pairwise comparison must go
+  through an equi-join (banding, blocking) or an explicit broadcast
+  nested loop with a documented bound.
+- **No row-at-a-time Python** (BatchEvalPython): Python boundaries are
+  Arrow-batched (`ArrowEvalPython`/`MapInPandas`) and only in the
+  explicitly allowlisted queries (vector scoring / sketching /
+  multimodal decode — places where a numpy batch op replaces an
+  interpreted per-element Catalyst fold, docs/PLANS.md).
+- **BroadcastNestedLoopJoin only where documented**: 1-row scalar
+  broadcasts (corpus-total denominators, thresholds) and the
+  brute-force pair scans whose streamed side is the parallelism source.
+- **Exchange-count ceilings per query**: shuffles are the scale-out
+  cost center; an extra exchange means a new shuffle of the fact
+  stream. Ceilings are the measured counts — intentionally breakable,
+  update the table when a plan change is deliberate.
+
+These assertions run against the SAME plans the driver executes (the
+registry callables), not against internal helpers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aqi_featurestore_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose plans legitimately cross into Python via Arrow batches
+# (numpy matmul / popcount per batch — see docs/PLANS.md "Python
+# boundaries"). Anything else must stay pure JVM.
+ARROW_EVAL_OK = {
+    "embedding_cosine_dedup",
+    "embedding_cosine_dedup_lsh",
+    "knn_label_vote",
+    "simhash_dedup",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+}
+MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample"}
+
+# BroadcastNestedLoopJoin allowlist: 1-row scalar crossJoins (totals /
+# breakpoint literals) or documented brute-force pair scans where the
+# broadcast side is bounded and the streamed side carries parallelism.
+BNLJ_OK = {
+    "bigram_pmi",            # 1-row corpus-total denominator
+    "embedding_cosine_dedup",  # exact all-pairs baseline (oracle of the LSH path)
+    "fk_violations",         # 1-row count scalars
+    "high_balance_inactive",  # 1-row avg-balance scalar
+    "knn_label_vote",        # brute-force top-k baseline underneath
+    "model_metrics",         # 1-row mean scalars
+    "negative_sampling",     # 1-row positive-count scalar
+    "online_lookup",         # 1-row as-of timestamp scalar
+    "quartile_bucketize",    # 1-row quartile-breakpoint array
+    "rolling_dau",           # day-spine range join (spine is day-domain-sized)
+    "similarity_topk_cosine",  # exact brute-force baseline
+    "similarity_triangles",  # 1-row threshold scalar
+    "sparse_lexical_topk",   # 1-row corpus-total denominator
+    "tfidf_top_terms",       # 1-row doc-count denominator
+    "weighted_sample",       # 1-row total-weight scalar
+}
+
+# Measured exchange (shuffle) counts per query at sf0.001. The ceiling
+# IS the measured value: one more shuffle = one more full pass over the
+# stream at scale, so it should never appear by accident.
+EXCHANGE_CEILING = {
+    "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
+    "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
+    "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
+    "customer_order_distribution": 2, "daily_cube": 1,
+    "dedup_cluster_sizes": 2, "dedup_exact_docs": 1, "dedup_gate": 1,
+    "dedup_keep_best": 1, "dedup_resolve_docs": 4, "disjunctive_revenue": 1,
+    "doc_chunks": 0, "doc_fingerprint": 0, "domain_mixture": 2,
+    "drift_psi": 2, "edit_distance_pairs": 0, "ema_features": 1,
+    "embedding_cosine_dedup": 1, "embedding_cosine_dedup_lsh": 1,
+    "embedding_dedup_resolve": 0, "embedding_quantize": 0, "event_pivot": 2,
+    "event_transitions": 3, "event_unpivot": 1, "feature_derivation": 0,
+    "fk_violations": 4, "forecast_revenue": 1, "frame_sample": 0,
+    "funnel_analysis": 2, "gap_filled_hourly": 3, "group_median": 1,
+    "hash_reservoir_sample": 1, "high_balance_inactive": 2,
+    "hourly_rollup": 1, "incremental_agg_merge": 2, "incremental_dedup": 8,
+    "inter_arrival_stats": 1, "inverted_index": 2,
+    "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
+    "knn_label_vote": 1, "lag_features": 1, "lang_id": 0,
+    "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
+    "mad_outliers": 3, "market_share": 1, "media_shard_plan": 1,
+    "merge_upsert": 2, "minhash_lsh_dedup": 4, "minhash_verified_dedup": 4,
+    "model_metrics": 6, "multimodal_features": 0,
+    "nearest_observation_join": 3, "negative_sampling": 1,
+    "next_observation_join": 3, "ngram_jaccard_pairs": 11,
+    "online_lookup": 3, "order_priority_check": 1, "partition_digest": 1,
+    "pii_redaction": 0, "pit_join": 1, "promo_revenue": 1,
+    "q1_pricing_summary": 1, "quality_score": 0, "quartile_bucketize": 2,
+    "range_join_agg": 2, "repetition_stats": 6, "retention_cohorts": 4,
+    "returned_top_customers": 1, "revenue_by_nation": 1,
+    "revenue_rollup": 1, "revenue_share": 2, "rolling_dau": 4,
+    "running_stats": 1, "scd2_state_history": 1, "seasonal_anomalies": 1,
+    "sequence_packing": 3, "session_windows": 1, "shipmode_priority": 2,
+    "shipping_priority": 1, "simhash_dedup": 3,
+    "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
+    "similarity_topk_lsh": 2, "similarity_triangles": 6,
+    "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
+    "sliding_windows": 1, "small_quantity_revenue": 2,
+    "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
+    "stratified_sample": 0, "suppliers_kept_waiting": 1,
+    "table_profile": 12, "text_stats": 0, "tfidf_top_terms": 5,
+    "token_commonness": 2, "token_count_bpe": 0, "top_k_per_group": 1,
+    "top_supplier": 3, "trailing_hour_stats": 1, "train_test_split": 0,
+    "training_set": 1, "trend_features": 1, "value_deciles": 1,
+    "value_histogram": 1, "versioned_pit_multiview": 5,
+    "vocab_top_terms": 2, "volume_shipping": 1, "weighted_sample": 1,
+    "winsorized_stats": 2, "zorder_keys": 0, "zscore_normalize": 1,
+}
+# Headroom for queries added after this table was measured: they still
+# get the global invariants; add an explicit ceiling when they land.
+DEFAULT_CEILING = 8
+
+
+@pytest.fixture(scope="session")
+def plan_props(spark):
+    """One formatted-explain pass over every registry query."""
+    props = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        props[name] = {
+            "joins": set(
+                re.findall(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                    r"BroadcastNestedLoopJoin|CartesianProduct)",
+                    plan,
+                )
+            ),
+            "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+            "python": set(
+                re.findall(
+                    r"(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                    r"FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState)",
+                    plan,
+                )
+            ),
+        }
+    return props
+
+
+def test_no_cartesian_product(plan_props):
+    offenders = [n for n, p in plan_props.items() if "CartesianProduct" in p["joins"]]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_no_row_at_a_time_python(plan_props):
+    offenders = [n for n, p in plan_props.items() if "BatchEvalPython" in p["python"]]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_arrow_boundaries_allowlisted(plan_props):
+    offenders = {
+        n: p["python"]
+        for n, p in plan_props.items()
+        if ("ArrowEvalPython" in p["python"] and n not in ARROW_EVAL_OK)
+        or (
+            p["python"] & {"MapInPandas", "FlatMapGroupsInPandas",
+                           "FlatMapGroupsInPandasWithState"}
+            and n not in MAP_IN_PANDAS_OK
+        )
+    }
+    assert not offenders, (
+        f"undocumented Python boundary in: {offenders} — if intentional, "
+        "add to the allowlist AND docs/PLANS.md"
+    )
+
+
+def test_bnlj_allowlisted(plan_props):
+    offenders = [
+        n
+        for n, p in plan_props.items()
+        if "BroadcastNestedLoopJoin" in p["joins"] and n not in BNLJ_OK
+    ]
+    assert not offenders, (
+        f"BroadcastNestedLoopJoin in: {offenders} — only 1-row scalar "
+        "joins and documented brute-force baselines may nested-loop"
+    )
+
+
+def test_exchange_ceilings(plan_props):
+    over = {
+        n: (p["exchanges"], EXCHANGE_CEILING.get(n, DEFAULT_CEILING))
+        for n, p in plan_props.items()
+        if p["exchanges"] > EXCHANGE_CEILING.get(n, DEFAULT_CEILING)
+    }
+    assert not over, (
+        f"exchange count above pinned ceiling (measured, ceiling): {over} — "
+        "a new shuffle appeared; if deliberate, update EXCHANGE_CEILING"
+    )
