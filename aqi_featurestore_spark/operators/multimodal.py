@@ -3,14 +3,17 @@ processed with Arrow-batched ``mapInPandas``.
 
 Extension operators (BASELINE.json): image/audio/video ride along as
 ``binary`` columns with typed metadata (schemas.MEDIA). The Spark-side
-contract — schema, partitioning, UDF signature, batch shape — is real and
-tested; the codec step itself is stubbed because no image/audio libraries
-exist in this container:
+contract — schema, partitioning, UDF signature, batch shape — is real
+and tested. Two decode paths:
 
-- ``decode_media`` raises NotImplementedError per-kind unless
-  ``fake=True``, in which case it produces a deterministic fake feature
-  vector from the payload bytes (stable across runs/executors, so tests
-  can assert on it).
+- ``fake=True`` (default, the oracle-verified path): a deterministic
+  md5-seeded feature vector from the payload bytes — stable across
+  runs/executors, reproducible in SQL.
+- ``fake=False``: REAL decoding via ``functions.codecs`` — stdlib PNG
+  (zlib chunk walk + filter reconstruction) and WAV PCM decoders, PIL
+  preferred when importable. Unsupported formats (e.g. video, which
+  needs a demuxer no stdlib module provides) raise
+  ``UnsupportedMediaError`` per ROW-BATCH, not per import.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 round-trip through Python row objects; ``maxRecordsPerBatch`` bounds
@@ -40,30 +43,74 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [digest[i % 16] / 256.0 for i in range(dim)]
 
 
+def _real_features(kind: str, payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Decode the payload with the real (stdlib/PIL) codecs and summarize
+    it into a fixed-width feature vector. Image: geometry + intensity
+    stats. Audio: duration/rate + energy stats. Raises
+    UnsupportedMediaError for formats the available decoders can't
+    handle (notably video)."""
+    import numpy as np
+
+    from aqi_featurestore_spark.functions import codecs
+
+    if kind == "image":
+        px = codecs.decode_image(payload).astype(np.float64) / 255.0
+        h, w, c = px.shape
+        return [
+            float(h), float(w), float(c),
+            float(px.mean()), float(px.std()),
+            float(px[:, :, 0].mean()),
+            float(px[:, :, min(1, c - 1)].mean()),
+            float(px[:, :, min(2, c - 1)].mean()),
+        ][:dim]
+    if kind == "audio":
+        x, rate = codecs.decode_wav(payload)
+        n, ch = x.shape
+        mono = x.mean(axis=1)
+        zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+        return [
+            float(n), float(rate), float(ch),
+            float(np.sqrt(np.mean(mono**2))), zc,
+            float(np.abs(mono).mean()), float(np.abs(mono).max(initial=0.0)),
+            float(n) / float(rate),
+        ][:dim]
+    from aqi_featurestore_spark.functions.codecs import UnsupportedMediaError
+
+    raise UnsupportedMediaError(
+        f"no real decoder for kind={kind!r} (video needs a container "
+        "demuxer; use fake=True for the plumbing-only path)"
+    )
+
+
 def extract_media_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
     Input: schemas.MEDIA-shaped DataFrame (payload as string/binary).
     Output: (media_id, kind, n_bytes, features array<double>).
+
+    ``fake=True`` emits the deterministic md5 stand-in (oracle-verified);
+    ``fake=False`` runs the real stdlib/PIL decoders — PNG images and
+    PCM WAV audio produce real statistics, unsupported payloads raise.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; pass fake=True for the deterministic stub"
-                )
             payloads = [
                 p if isinstance(p, (bytes, bytearray)) else str(p).encode()
                 for p in pdf["payload"]
             ]
+            if fake:
+                feats = [_fake_features(p) for p in payloads]
+            else:
+                feats = [
+                    _real_features(k, p) for k, p in zip(pdf["kind"], payloads)
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in payloads],
-                    "features": [_fake_features(p) for p in payloads],
+                    "features": feats,
                 }
             )
 

@@ -188,7 +188,9 @@ def test_media_features_stub(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000]
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+    # fake=False now runs the REAL stdlib decoders (tests/test_codecs.py);
+    # a payload that isn't a decodable format is refused, not mis-decoded.
+    with pytest.raises(Exception, match="UnsupportedMediaError|not a PNG"):
         extract_media_features(media, fake=False).collect()
 
 
