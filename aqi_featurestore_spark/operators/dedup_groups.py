@@ -34,9 +34,31 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    method: str = "label",
 ) -> DataFrame:
     """(doc_id, group_id) for every vertex appearing in ``pairs``;
-    group_id = min doc id in the component (deterministic canonical)."""
+    group_id = min doc id in the component (deterministic canonical).
+
+    ``method`` picks the iteration scheme — both reach the SAME fixpoint
+    (labels constant per component at the component min; property-tested
+    equivalent on random graphs in tests/test_llm_ops.py):
+
+    - ``"label"`` (default): plain min-label propagation — one join +
+      one aggregate per round, converges in O(diameter) rounds. Right
+      for near-dup clusters, which are shallow (dozens of docs, diameter
+      a handful).
+    - ``"doubling"``: Shiloach-Vishkin hook + shortcut — each round
+      also compresses pointer chains via ``label <- label(label)``
+      (one extra self-join per round), converging in O(log diameter)
+      rounds. Crossover: pays 2 shuffles/round instead of 1, so it wins
+      once diameter exceeds ~2x the expected round count — deep chain
+      topologies (drifting boilerplate: v1~v2~...~vN near-dup chains)
+      where propagation would need hundreds of rounds or silently hit
+      ``max_iter``. A 60-deep path converges in 6 doubling rounds vs 60
+      propagation rounds.
+    """
+    if method not in ("label", "doubling"):
+        raise ValueError(f"unknown connected-components method {method!r}")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -52,14 +74,29 @@ def connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        hooked = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "new_label"
+            ),
+            "label",
+        )
+        if method == "doubling":
+            # shortcut: new_label <- new_label(new_label). Label values
+            # are always vertex ids present in the frame (they start as
+            # ids and only min-combine), so the self-join is total; the
+            # coalesce is belt-and-braces.
+            m = hooked.select(
+                F.col("id").alias("m_id"), F.col("new_label").alias("m_label")
+            )
+            hooked = hooked.join(
+                m, hooked["new_label"] == m["m_id"], "left"
+            ).select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                F.coalesce("m_label", "new_label").alias("new_label"),
                 "label",
             )
-        ).localCheckpoint()
+        updated = hooked.localCheckpoint()
         changed = updated.where(F.col("new_label") != F.col("label")).count()
         labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
@@ -85,11 +122,12 @@ def resolve_duplicates(
     id_col: str = "doc_id",
     src: str = "d1",
     dst: str = "d2",
+    method: str = "label",
 ) -> DataFrame:
     """Keep one canonical document per duplicate cluster (min id) plus
     every document not implicated in any pair. Output = deduplicated
     corpus with the original columns."""
-    groups = connected_components(pairs, src=src, dst=dst)
+    groups = connected_components(pairs, src=src, dst=dst, method=method)
     survivors = groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id")
     implicated = groups.select("doc_id")
     untouched = docs.join(implicated, docs[id_col] == implicated["doc_id"], "left_anti")

@@ -215,6 +215,64 @@ def test_connected_components_and_resolution(spark):
     assert kept == [1, 4, 5, 7]  # canonical per cluster + untouched docs
 
 
+def _union_find_components(n, edges):
+    """Reference implementation: per-vertex component-min via union-find."""
+    parent = list(range(n))
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    return {v: find(v) for v in touched}
+
+
+def test_cc_methods_equivalent_on_random_graphs(spark):
+    """Property: label propagation and pointer doubling reach the same
+    fixpoint (= union-find ground truth) on random graphs."""
+    import random
+
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 40
+        edges = list(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)}
+        )
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        expected = _union_find_components(n, edges)
+        for method in ("label", "doubling"):
+            got = {
+                r["doc_id"]: r["group_id"]
+                for r in connected_components(
+                    pairs, method=method, max_iter=60
+                ).collect()
+            }
+            assert got == expected, (seed, method)
+
+
+def test_cc_doubling_converges_logarithmically(spark):
+    """A 64-deep path needs ~64 propagation rounds but only ~6 doubling
+    rounds: with max_iter=8 the doubling variant must fully converge
+    (this is the documented crossover for deep-chain topologies)."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    path = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(path, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(pairs, method="doubling", max_iter=8).collect()
+    }
+    assert got == {v: 0 for v in range(65)}
+
+
 def test_minhash_verified_agrees_with_exact(spark):
     from aqi_featurestore_spark.operators.near_dedup import minhash_verified_pairs
 
