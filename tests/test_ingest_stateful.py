@@ -241,3 +241,66 @@ def test_attribution_stream_stream_join(spark, tmp_path):
         spark.read.parquet(str(cdir)), spark.read.parquet(str(pdir))
     )
     assert {(r["purchase_id"], r["click_id"]) for r in batch.collect()} == got
+
+
+def test_attribution_stream_matches_range_join(spark, tmp_path):
+    """Equivalence on REAL data: the watermark-bounded stream-stream
+    interval join (attribution_stream over sf0.001 events, availableNow)
+    emits exactly the candidate set the independent bucketed range-join
+    operator (range_join_time) computes in batch — the same cross-check
+    sessionization has against its batch plan."""
+    from aqi_featurestore_spark.operators.range_join import range_join_time
+    from aqi_featurestore_spark.sources.testdata import read_table
+    from aqi_featurestore_spark.streaming.jobs import attribution_stream
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks need TIMESTAMP, not NTZ
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    clicks.write.parquet(str(cdir))
+    purchases.write.parquet(str(pdir))
+    sch = clicks.schema
+
+    out = attribution_stream(
+        spark.readStream.schema(sch).parquet(str(cdir)),
+        spark.readStream.schema(sch).parquet(str(pdir)),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attrib_rj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib_rj").collect()
+    }
+
+    # independent batch reference: bucketed range join, clicks as points,
+    # purchases as [purchase_ts - 1h, purchase_ts] intervals, same user
+    pts = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    iv = purchases.select(
+        F.col("user_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    ranged = {
+        (r["purchase_id"], r["click_id"])
+        for r in range_join_time(
+            pts, iv,
+            point="click_ts", start="w_start", end="w_end",
+            bucket_width_seconds=3600, equi_keys=["user_id"],
+        ).collect()
+    }
+    assert streamed == ranged and len(streamed) > 0
