@@ -2811,6 +2811,77 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVAIL_DUCK = _ph.duck_hex_int(
+    "md5(CAST(l.l_partkey AS VARCHAR) || '#' || CAST(l.l_suppkey AS VARCHAR))",
+    1, 8,
+)
+
+_EXCESS_STOCK_SQL = f"""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+         min({_AVAIL_DUCK} % 20) AS availqty
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+  HAVING SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) >= 30)
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM shipped sh
+  JOIN part p ON p.p_partkey = sh.l_partkey
+  WHERE sh.l_suppkey = s.s_suppkey
+    AND p.p_name LIKE '%red%'
+    AND sh.availqty > sh.qty / 2)
+ORDER BY s.s_name"""
+
+
+@_q("excess_stock_suppliers", _EXCESS_STOCK_SQL)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — EXISTS over an AGGREGATE subquery: suppliers
+    holding excess stock (derived availqty > half the quantity they
+    shipped of some 'red' part in a year window). The nested structure —
+    semi join against a grouped-and-HAVING-filtered fact aggregate that
+    itself joins a filtered dim — is the remaining distinct TPC-H plan
+    family (the schema lacks partsupp, so availqty derives from
+    md5(partkey#suppkey), mirrored in the oracle).
+
+    Scale shape: the aggregate reduces lineitem to (part, supp) pairs
+    BEFORE any join; the part dim is broadcast after its name filter;
+    the final supplier probe is a left-semi against the distinct
+    qualifying suppkeys (itself a map-side aggregate output)."""
+    avail = _ph.md5_int32(F.concat_ws("#", "l_partkey", "l_suppkey")) % 20
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    shipped = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", qty_i.alias("q"), avail.alias("av"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qty"), F.min("av").alias("availqty"))
+        .where(F.col("qty") >= 30)
+    )
+    red_parts = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("availqty") > F.col("qty") / 2)
+        .select("l_suppkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
 _SHIPMODE_DUCK = _ph.duck_hex_int(
     "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
     " || '|m')",
@@ -3860,6 +3931,86 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
     return top.select(
         "t1", "t2", "n", "pmi", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+_BIGRAM_FAM_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokp AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS token
+  FROM arr),
+bg AS (
+  SELECT t1.doc_id, t1.token AS t1, t2.token AS t2
+  FROM tokp t1 JOIN tokp t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+df AS (
+  SELECT t1, t2, COUNT(DISTINCT doc_id) AS df
+  FROM bg GROUP BY t1, t2),
+per AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM bg b JOIN df d ON b.t1 = d.t1 AND b.t2 = d.t2
+  GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, n_common,
+       round(CAST(n_common AS DOUBLE) / n_bigrams, 6) AS familiarity
+FROM per"""
+
+
+@_q("bigram_familiarity", _BIGRAM_FAM_SQL)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score per document: the fraction of a doc's
+    adjacent-token bigram occurrences that also appear in at least one
+    OTHER document (document frequency >= 2). Garbled / machine-mangled
+    text scores low; natural prose scores high — the exact-integer
+    stand-in for an n-gram LM perplexity filter (counts and the df
+    threshold are integers end-to-end; the single final division is the
+    only float op, so the score is engine-reproducible bit-for-bit).
+
+    Scale shape: bigrams explode once from the token-array zip (no
+    positional self-join — that's the oracle's shape); df is a distinct
+    + count keyed on the bigram; the join back to occurrences is an
+    equi-join on the same key (AQE splits the boilerplate-bigram skew);
+    per-doc reduction is a hash aggregate. Token arrays never shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(a, 1, size(a) - 1)"),
+        F.expr("slice(a, 2, size(a) - 1)"),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    bg = (
+        docs.select(F.col("doc_id"), toks.alias("a"))
+        .where(F.size("a") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+    )
+    df = (
+        bg.dropDuplicates(["doc_id", "t1", "t2"])
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("df"))
+    )
+    per = (
+        bg.join(df, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_bigrams"), 6).alias(
+            "familiarity"
+        ),
     )
 
 

@@ -96,6 +96,8 @@ EXTENDED_QUERIES = [
     "shipping_priority",
     "suppliers_kept_waiting",
     "shipmode_priority",
+    "excess_stock_suppliers",
+    "bigram_familiarity",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -75,6 +75,7 @@ BNLJ_OK = {
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
+    "bigram_familiarity": 3,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
     "customer_order_distribution": 2, "daily_cube": 1,
@@ -84,7 +85,8 @@ EXCHANGE_CEILING = {
     "drift_psi": 2, "edit_distance_pairs": 0, "ema_features": 1,
     "embedding_cosine_dedup": 1, "embedding_cosine_dedup_lsh": 1,
     "embedding_dedup_resolve": 0, "embedding_quantize": 0, "event_pivot": 2,
-    "event_transitions": 3, "event_unpivot": 1, "feature_derivation": 0,
+    "event_transitions": 3, "event_unpivot": 1,
+    "excess_stock_suppliers": 2, "feature_derivation": 0,
     "fk_violations": 4, "forecast_revenue": 1, "frame_sample": 0,
     "funnel_analysis": 2, "gap_filled_hourly": 3, "group_median": 1,
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
