@@ -3934,6 +3934,184 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 512, 4
+_CMS_FAM = _ph.hash_family(_CMS_D, seed=0xC31)
+
+_CMS_SQL = rf"""
+WITH tokv AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+t1 AS (SELECT token, md5(token) AS h, COUNT(*) AS true_cnt FROM tokv GROUP BY token),
+hbase AS (
+  SELECT token, true_cnt,
+         ({_ph.duck_hex_int('h', 1, 8)}) % {_ph.MERSENNE31} AS hb
+  FROM t1),
+fam AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_FAM))})
+  AS t(j, a, b)),
+occ AS (SELECT h.hb FROM tokv v JOIN hbase h USING (token)),
+cms AS (
+  SELECT f.j, ((f.a * o.hb + f.b) % {_ph.MERSENNE31}) % {_CMS_W} AS col,
+         COUNT(*) AS c
+  FROM occ o CROSS JOIN fam f GROUP BY 1, 2),
+probe AS (
+  SELECT h.token, h.true_cnt, f.j,
+         ((f.a * h.hb + f.b) % {_ph.MERSENNE31}) % {_CMS_W} AS col
+  FROM hbase h CROSS JOIN fam f),
+est AS (
+  SELECT p.token, p.true_cnt, MIN(c.c) AS est
+  FROM probe p JOIN cms c ON p.j = c.j AND p.col = c.col
+  GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n FROM tokv)
+SELECT token, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+FROM est CROSS JOIN tot
+WHERE est * 256 >= n
+ORDER BY est DESC, token ASC"""
+
+
+@_q("cms_heavy_hitters", _CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over corpus tokens: a {_CMS_D}x{_CMS_W}
+    sketch (affine universal hashes over the 32-bit md5 base — the same
+    portable family as MinHash, so the DuckDB oracle rebuilds every cell
+    bit-for-bit), point-queried for every distinct token; tokens whose
+    CMS estimate clears total/256 are reported with their exact count
+    alongside (est >= true always — the CMS one-sided error).
+
+    Scale shape: the SKETCH is the point. The cms table is at most
+    d x w = 2048 cells regardless of corpus size — it broadcasts, so
+    the estimate join is map-side; the only corpus-proportional shuffles
+    are the token count aggregates (map-combined, fixed-width keys).
+    The threshold compare is integer cross-multiplication (est*256 >=
+    total) against a 1-row broadcast scalar — no floats anywhere in the
+    operator."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = _read(spark, sf_dir, "documents").select(F.explode(toks).alias("token"))
+    hb = (_ph.md5_int32("token") % F.lit(_ph.MERSENNE31)).alias("hb")
+
+    def cols(hb_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (_ph.affine(hb_col, a, b) % F.lit(_CMS_W)).alias("col"),
+                )
+                for j, (a, b) in enumerate(_CMS_FAM)
+            ]
+        )
+
+    occ = tok.select(hb)
+    cms = (
+        occ.select(F.explode(cols(F.col("hb"))).alias("e"))
+        .select("e.j", "e.col")
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    per_tok = tok.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    probe = per_tok.select(
+        "token", "true_cnt", F.explode(cols(_ph.md5_int32("token") % F.lit(_ph.MERSENNE31))).alias("e")
+    ).select("token", "true_cnt", "e.j", "e.col")
+    est = (
+        probe.join(F.broadcast(cms), ["j", "col"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    tot = tok.agg(F.count("*").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("est") * 256 >= F.col("n"))
+        .select("token", "est", "true_cnt")
+        .orderBy(F.desc("est"), F.asc("token"))
+    )
+
+
+# m deliberately undersized for the corpus (~0.6 fill) so the
+# deterministic false-positive set is non-empty and visible in output.
+_BLOOM_M, _BLOOM_K = 2048, 4
+_BLOOM_FAM = _ph.hash_family(_BLOOM_K, seed=0xB100)
+
+_BLOOM_SQL = rf"""
+WITH d0 AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+d AS (SELECT doc_id, ({_ph.duck_hex_int('h', 1, 8)}) % {_ph.MERSENNE31} AS hb FROM d0),
+fam AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_BLOOM_FAM))})
+  AS t(j, a, b)),
+corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+newb AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+bits AS (
+  SELECT DISTINCT ((f.a * c.hb + f.b) % {_ph.MERSENNE31}) % {_BLOOM_M} AS bit
+  FROM corpus c CROSS JOIN fam f),
+probe AS (
+  SELECT n.doc_id, n.hb,
+         ((f.a * n.hb + f.b) % {_ph.MERSENNE31}) % {_BLOOM_M} AS bit
+  FROM newb n CROSS JOIN fam f),
+hit AS (
+  SELECT p.doc_id,
+         CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INT) AS maybe_dup
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id)
+SELECT h.doc_id, h.maybe_dup,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM corpus c JOIN newb n2 ON c.hb = n2.hb
+         WHERE n2.doc_id = h.doc_id) THEN 1 ELSE 0 END AS INT) AS exact_dup
+FROM hit h"""
+
+
+@_q("bloom_dedup_gate", _BLOOM_SQL)
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion gate: probe each new-batch document's
+    content fingerprint against a {_BLOOM_K}-hash / {_BLOOM_M}-bit Bloom
+    filter of the corpus. ``maybe_dup`` is the Bloom answer (one-sided:
+    never 0 for a true duplicate; deterministic false positives the
+    oracle reproduces bit-for-bit via the same affine family);
+    ``exact_dup`` is the ground truth, so the query also EXHIBITS the
+    false-positive set (maybe_dup=1, exact_dup=0).
+
+    Scale shape: the filter is the point — the corpus collapses to at
+    most m distinct set-bit rows (a map-combined distinct), which
+    broadcast; probing is a map-side left join + per-doc min. The
+    exact-dup leg is a fingerprint semi-join (fixed-width keys). At
+    100 TB the bits table would be built once and reused per batch."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (_ph.md5_int32(F.lower(F.trim(F.col("text")))) % F.lit(_ph.MERSENNE31)).alias("hb"),
+    )
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    newb = d.where(F.col("doc_id") % 10 == 7)
+
+    def bits_arr(hb_col):
+        return F.array(
+            *[
+                (_ph.affine(hb_col, a, b) % F.lit(_BLOOM_M)).alias(f"b{j}")
+                for j, (a, b) in enumerate(_BLOOM_FAM)
+            ]
+        )
+
+    bits = (
+        corpus.select(F.explode(bits_arr(F.col("hb"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = newb.select("doc_id", "hb", F.explode(bits_arr(F.col("hb"))).alias("bit"))
+    hit = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "hb")
+        .agg(F.min(F.coalesce("present", F.lit(0))).cast("int").alias("maybe_dup"))
+    )
+    exact = corpus.select(F.col("hb").alias("c_hb")).distinct()
+    return (
+        hit.join(F.broadcast(exact), hit["hb"] == exact["c_hb"], "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.when(F.col("c_hb").isNotNull(), 1).otherwise(0).cast("int").alias("exact_dup"),
+        )
+    )
+
+
 _BIGRAM_FAM_SQL = r"""
 WITH arr AS (
   SELECT doc_id,

@@ -98,6 +98,8 @@ EXTENDED_QUERIES = [
     "shipmode_priority",
     "excess_stock_suppliers",
     "bigram_familiarity",
+    "cms_heavy_hitters",
+    "bloom_dedup_gate",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

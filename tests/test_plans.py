@@ -54,6 +54,7 @@ MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample"}
 # broadcast side is bounded and the streamed side carries parallelism.
 BNLJ_OK = {
     "bigram_pmi",            # 1-row corpus-total denominator
+    "cms_heavy_hitters",     # 1-row total-tokens threshold scalar
     "embedding_cosine_dedup",  # exact all-pairs baseline (oracle of the LSH path)
     "fk_violations",         # 1-row count scalars
     "high_balance_inactive",  # 1-row avg-balance scalar
@@ -75,7 +76,7 @@ BNLJ_OK = {
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
-    "bigram_familiarity": 3,
+    "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
     "customer_order_distribution": 2, "daily_cube": 1,
