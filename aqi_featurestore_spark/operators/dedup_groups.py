@@ -65,8 +65,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    # Initialization fuses the first hooking round: label(v) = min(v,
+    # min neighbor) straight out of the edge aggregate (edges are
+    # symmetrized, so every vertex appears as `a`). For the common
+    # shallow near-dup graphs (pair/star clusters) this IS the fixpoint,
+    # so the loop below runs only the single confirming round — half the
+    # jobs of the identity-init formulation.
+    labels = edges.groupBy(F.col("a").alias("id")).agg(
+        F.min(F.least("a", "b")).alias("label")
     )
     for _ in range(max_iter):
         nbr_min = (
