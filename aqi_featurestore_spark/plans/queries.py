@@ -4028,6 +4028,93 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000_000_000  # rank mass in integer micro-units
+_PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Unrolled integer PageRank oracle: 5 iterations of
+    rank' = (3*SCALE) // (20*n) + (17 * sum(rank//deg over in-edges)) // 20
+    (d = 0.85 = 17/20 kept rational; every op is integral division on
+    positive integers, identical semantics in Spark's `div` and
+    DuckDB's `//`)."""
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""it{i} AS (
+  SELECT d.node, d.deg,
+         CAST((3 * {_PR_SCALE}) // (20 * nn.n)
+              + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // r.deg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) s ON s.node = d.node)""")
+        prev = f"it{i}"
+    return f"""WITH pairs AS ({approx_oracles.embedding_cosine_lsh_sql()}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, deg, CAST({_PR_SCALE} // nn.n AS BIGINT) AS rank
+       FROM deg CROSS JOIN nn),
+{", ".join(its)}
+SELECT CAST(node AS BIGINT) AS node, rank AS rank_u
+FROM {prev} ORDER BY rank_u DESC, node ASC"""
+
+
+@_q("similarity_pagerank", _pagerank_sql())
+def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the embedding similarity graph: {_PR_ITERS}
+    PageRank iterations (d = 17/20) on the symmetrized LSH cosine-pair
+    edges, in EXACT integer arithmetic — ranks live in 1e12 micro-units
+    and every damping/contribution step is integral division, so the
+    rank vector is bit-identical across engines, partitionings, and
+    reruns (a float PageRank could never hash-match an oracle).
+
+    Scale shape: fixed-iteration rounds over (node, deg, rank) triples;
+    the 1-row node count broadcasts; edges shuffle once per round on
+    src/dst (bare id pairs). The edge list is localCheckpoint-ed once —
+    the plan references it 6 times (5 contribution rounds + degrees),
+    and without the lineage cut each reference would re-run the whole
+    LSH pair pipeline (sketch UDF included)."""
+    e = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(
+        e, threshold=0.4, lsh=True, n_planes=32, bands=4
+    ).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    base = deg.crossJoin(F.broadcast(nn))
+    ranks = base.select(
+        "node", "deg", "n", F.expr(f"{_PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        msgs = edges.join(ranks, edges["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
+        s = msgs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(s, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.expr(f"(3 * {_PR_SCALE}) div (20 * n)")
+                    + F.expr("(17 * coalesce(s, 0)) div 20")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("rank_u")).orderBy(
+        F.desc("rank_u"), F.asc("node")
+    )
+
+
 # m deliberately undersized for the corpus (~0.6 fill) so the
 # deterministic false-positive set is non-empty and visible in output.
 _BLOOM_M, _BLOOM_K = 2048, 4

@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "bigram_familiarity",
     "cms_heavy_hitters",
     "bloom_dedup_gate",
+    "similarity_pagerank",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",
@@ -171,6 +172,7 @@ ITERATIVE_CONSTRUCTION = {
     "similarity_triangles",  # edge-list localCheckpoint at build time
     "dedup_keep_best",
     "embedding_quantize",  # corpus min/max aggregate + collect at build time
+    "similarity_pagerank",  # edge-list localCheckpoint at build time
 }
 
 

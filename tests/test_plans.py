@@ -64,6 +64,7 @@ BNLJ_OK = {
     "online_lookup",         # 1-row as-of timestamp scalar
     "quartile_bucketize",    # 1-row quartile-breakpoint array
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
+    "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
     "similarity_triangles",  # 1-row threshold scalar
     "sparse_lexical_topk",   # 1-row corpus-total denominator
@@ -110,6 +111,7 @@ EXCHANGE_CEILING = {
     "running_stats": 1, "scd2_state_history": 1, "seasonal_anomalies": 1,
     "sequence_packing": 3, "session_windows": 1, "shipmode_priority": 2,
     "shipping_priority": 1, "simhash_dedup": 3,
+    "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
     "similarity_topk_lsh": 2, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
