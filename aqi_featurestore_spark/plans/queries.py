@@ -1808,6 +1808,65 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_activity(events, gap="30 minutes")
 
 
+_SESSION_REL_SQL = r"""
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT event_id, user_id, CAST(sid AS BIGINT) AS sid,
+       CAST(row_number() OVER ws AS INT) AS pos_in_session,
+       CAST(epoch_us(ts) - epoch_us(min(ts) OVER ws2) AS BIGINT)
+         AS us_into_session
+FROM s
+WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+       ws2 AS (PARTITION BY user_id, sid)"""
+
+
+@_q("session_relative_features", _SESSION_REL_SQL)
+def q_session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session-relative features (the row-level complement of
+    the per-session `session_windows` aggregate): session ordinal per
+    user, position within the session, and integer-microsecond offset
+    from session start. The standard gaps-and-islands composite — lag
+    gap flag -> running-sum session id -> per-session windows.
+
+    Scale shape: all four windows partition by user_id (the two
+    session-scoped ones by (user_id, sid), a refinement) — Spark plans
+    ONE exchange on user_id and sorts once per window ordering; no
+    global windows, no joins. Time math is integer microseconds end to
+    end."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+               >= 1_800_000_000),
+            1,
+        ).otherwise(0)
+    )
+    s = e.select("event_id", "user_id", "ts", new_s.alias("new_s")).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy(F.asc("ts"), F.asc("event_id"))
+    ws2 = Window.partitionBy("user_id", "sid")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("sid").cast("long").alias("sid"),
+        F.row_number().over(ws).cast("int").alias("pos_in_session"),
+        (us - F.min(us).over(ws2)).cast("long").alias("us_into_session"),
+    )
+
+
 _HOURLY_ROLLUP_SQL = r"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -101,6 +101,7 @@ EXTENDED_QUERIES = [
     "cms_heavy_hitters",
     "bloom_dedup_gate",
     "similarity_pagerank",
+    "session_relative_features",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -304,3 +304,100 @@ def test_attribution_stream_matches_range_join(spark, tmp_path):
         ).collect()
     }
     assert streamed == ranged and len(streamed) > 0
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's Python state-server protocol speaks protobuf;
+    # the sandbox image ships pyspark without the google.protobuf dep.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python worker needs google.protobuf, "
+    "absent from this container",
+)
+def test_running_extrema_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): typed
+    ValueState per key, update semantics across microbatches via the
+    checkpoint, terminal state equal to the batch twin on the same
+    input."""
+    from aqi_featurestore_spark.streaming.stateful import (
+        batch_extrema,
+        running_extrema_tws,
+    )
+
+    src = tmp_path / "ext_src"
+    src.mkdir()
+    schema = "entity_id string, aqi double, feature_timestamp timestamp"
+    b1 = spark.createDataFrame(
+        [("a", 10.0, "2023-01-01 00:00:00"), ("a", 20.0, "2023-01-01 01:00:00"),
+         ("b", 50.0, "2023-01-01 00:00:00"), ("b", None, "2023-01-01 02:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            out[r["entity_id"]] = r
+
+    def run():
+        q = (
+            running_extrema_tws(
+                spark.readStream.schema(schema).parquet(str(src)),
+                state_ttl_ms=None,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ext_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert out["a"]["n_obs"] == 2 and out["a"]["min_value"] == 10.0
+    assert out["a"]["max_value"] == 20.0
+    assert out["b"]["n_obs"] == 1 and out["b"]["max_value"] == 50.0
+
+    # state persists across restarts: second increment widens the range
+    b2 = spark.createDataFrame(
+        [("a", 5.0, "2023-01-01 03:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    assert out["a"]["n_obs"] == 3 and out["a"]["min_value"] == 5.0
+    assert out["a"]["last_ts"].hour == 3
+
+    # terminal state == batch twin on the full input
+    batch = {
+        r["entity_id"]: r
+        for r in batch_extrema(spark.read.parquet(str(src))).collect()
+    }
+    for k in ("a", "b"):
+        assert out[k]["n_obs"] == batch[k]["n_obs"]
+        assert out[k]["min_value"] == batch[k]["min_value"]
+        assert out[k]["max_value"] == batch[k]["max_value"]
+
+
+def test_batch_extrema_twin(spark):
+    """The batch twin of running_extrema_tws (always runnable — the
+    streaming side needs protobuf, see skipif above)."""
+    from aqi_featurestore_spark.streaming.stateful import batch_extrema
+
+    df = spark.createDataFrame(
+        [("a", 10.0, "2023-01-01 00:00:00"), ("a", 20.0, "2023-01-01 01:00:00"),
+         ("b", 50.0, "2023-01-01 00:00:00"), ("b", None, "2023-01-01 02:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    got = {r["entity_id"]: r for r in batch_extrema(df).collect()}
+    assert got["a"]["n_obs"] == 2 and got["a"]["min_value"] == 10.0
+    assert got["a"]["max_value"] == 20.0
+    assert got["b"]["n_obs"] == 1 and got["b"]["last_ts"].hour == 0

@@ -109,7 +109,8 @@ EXCHANGE_CEILING = {
     "returned_top_customers": 1, "revenue_by_nation": 1,
     "revenue_rollup": 1, "revenue_share": 2, "rolling_dau": 4,
     "running_stats": 1, "scd2_state_history": 1, "seasonal_anomalies": 1,
-    "sequence_packing": 3, "session_windows": 1, "shipmode_priority": 2,
+    "sequence_packing": 3, "session_relative_features": 1,
+    "session_windows": 1, "shipmode_priority": 2,
     "shipping_priority": 1, "simhash_dedup": 3,
     "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
