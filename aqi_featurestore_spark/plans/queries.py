@@ -1867,6 +1867,198 @@ def q_session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Hyperfunction family (TimescaleDB-style continuous analytics) ----------
+
+_TWAP_SQL = r"""
+WITH o AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, ts,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+seg AS (
+  SELECT user_id, day, vc,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+  FROM o WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, vc)),
+agg AS (
+  SELECT user_id, day,
+         COUNT(*) AS n_segments,
+         CAST(SUM(vc * dur_us) AS BIGINT) AS sum_prod,
+         CAST(SUM(dur_us) AS BIGINT) AS total_us
+  FROM seg WHERE dur_us IS NOT NULL
+  GROUP BY user_id, day
+  HAVING SUM(dur_us) > 0)
+SELECT user_id, day, n_segments,
+       round(CAST(sum_prod AS DOUBLE) / total_us / 100, 6) AS twap
+FROM agg"""
+
+
+@_q("time_weighted_avg", _TWAP_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (entity, day) — the TimescaleDB
+    `time_weight('LOCF')` hyperfunction: each observation's value is
+    held until the next one, so the average weights values by how LONG
+    they were current, not how OFTEN they were sampled (a plain avg
+    over-counts bursts). The integral accumulates exactly —
+    centi-value x integer-microsecond products summed as BIGINT — with
+    the single final division the only float op.
+
+    Scale shape: one window (lead) per (entity, day) partition, then a
+    hash aggregate on the same key — one exchange total."""
+    e = _read(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    o = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"), "ts", vc.alias("vc")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(F.asc("ts"), F.asc("vc"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lead_us = F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+    seg = o.select("user_id", "day", "vc", (lead_us - us).alias("dur_us"))
+    agg = (
+        seg.where(F.col("dur_us").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("vc") * F.col("dur_us")).alias("sum_prod"),
+            F.sum("dur_us").alias("total_us"),
+        )
+        .where(F.col("total_us") > 0)
+    )
+    return agg.select(
+        "user_id", "day", "n_segments",
+        F.round(
+            F.col("sum_prod").cast("double") / F.col("total_us") / 100, 6
+        ).alias("twap"),
+    )
+
+
+_COUNTER_RATE_SQL = r"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+d AS (
+  SELECT user_id, vc - lag(vc) OVER w AS delta
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+span AS (
+  SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM o GROUP BY user_id HAVING epoch_us(max(ts)) - epoch_us(min(ts)) > 0)
+SELECT d.user_id,
+       CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT)
+         AS increase_c,
+       round(CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS DOUBLE)
+             / s.span_us * 1000000, 6) AS rate_c_per_sec
+FROM d JOIN span s ON d.user_id = s.user_id
+WHERE delta IS NOT NULL
+GROUP BY d.user_id, s.span_us"""
+
+
+@_q("counter_rate", _COUNTER_RATE_SQL)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-agg rate (the monitoring hyperfunction): treat the value
+    as a cumulative counter per entity; negative deltas are RESETS
+    (process restarts) counted separately, and the rate is the sum of
+    positive deltas over the observation span — the semantics of
+    PromQL's `rate()` / Timescale's `counter_agg`. Integer centi-deltas
+    end to end; one division per entity.
+
+    Scale shape: one lag window per entity partition + a hash aggregate
+    on the same key; the span aggregate broadcasts back (entity-domain
+    sized)."""
+    e = _read(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    o = e.select("user_id", "ts", "event_id", vc.alias("vc"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    d = o.select(
+        "user_id", (F.col("vc") - F.lag("vc").over(w)).alias("delta")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = (
+        o.groupBy("user_id")
+        .agg((F.max(us) - F.min(us)).alias("span_us"))
+        .where(F.col("span_us") > 0)
+    )
+    inc = F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0))
+    return (
+        d.where(F.col("delta").isNotNull())
+        .join(F.broadcast(span), "user_id")
+        .groupBy("user_id", "span_us")
+        .agg(
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("n_resets"),
+            inc.alias("increase_c"),
+            F.round(
+                inc.cast("double") / F.col("span_us") * 1_000_000, 6
+            ).alias("rate_c_per_sec"),
+        )
+        .drop("span_us")
+        .select("user_id", "n_resets", "increase_c", "rate_c_per_sec")
+    )
+
+
+_LOCF_SQL = r"""
+WITH o AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, ts, event_id,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+pb AS (
+  SELECT bucket, vc AS last_vc FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn
+    FROM o) t WHERE rn = 1),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM pb),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+  FROM bounds)
+SELECT s.bucket, pb.last_vc AS carried_vc,
+       CAST(CASE WHEN pb2.bucket IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM spine s
+ASOF LEFT JOIN pb ON s.bucket >= pb.bucket
+LEFT JOIN pb pb2 ON s.bucket = pb2.bucket"""
+
+
+@_q("locf_gap_fill", _LOCF_SQL)
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF interpolation onto a dense 5-minute spine: every empty
+    bucket carries the last observed bucket's final value forward
+    (Timescale `locf()` / the standard sensor-panel gap fill), with
+    ``is_gap`` marking fabricated rows. The oracle is DuckDB's native
+    ASOF JOIN — the Spark side expresses the same as-of semantics with
+    a last-non-null window over the spine.
+
+    Scale shape: the per-bucket last-value reduction is the only
+    fact-proportional work (one window per bucket partition). The spine
+    and the carried-forward window are O(time-range) — a bounded domain
+    (8.6k rows per month at 5-minute grain, 53k for 6 years of hours) —
+    so the single-partition LOCF window over the spine is deliberate
+    and safe, same as gap_filled_hourly's spine."""
+    e = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step = 300_000_000  # 5 minutes in µs
+    bucket = F.timestamp_micros(
+        (F.floor(us / F.lit(step)) * F.lit(step)).cast("long")
+    )
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    o = e.select(bucket.alias("bucket"), "ts", "event_id", vc.alias("vc"))
+    wb = Window.partitionBy("bucket").orderBy(F.desc("ts"), F.desc("event_id"))
+    pb = (
+        o.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("bucket", F.col("vc").alias("last_vc"))
+    )
+    bounds = pb.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bucket")
+    )
+    joined = spine.join(pb, "bucket", "left")
+    w_locf = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.last("last_vc", ignorenulls=True).over(w_locf).alias("carried_vc"),
+        F.when(F.col("last_vc").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
 _HOURLY_ROLLUP_SQL = r"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

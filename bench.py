@@ -102,6 +102,9 @@ EXTENDED_QUERIES = [
     "bloom_dedup_gate",
     "similarity_pagerank",
     "session_relative_features",
+    "time_weighted_avg",
+    "counter_rate",
+    "locf_gap_fill",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -80,6 +80,7 @@ EXCHANGE_CEILING = {
     "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
+    "counter_rate": 2,
     "customer_order_distribution": 2, "daily_cube": 1,
     "dedup_cluster_sizes": 2, "dedup_exact_docs": 1, "dedup_gate": 1,
     "dedup_keep_best": 1, "dedup_resolve_docs": 4, "disjunctive_revenue": 1,
@@ -97,6 +98,7 @@ EXCHANGE_CEILING = {
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
+    "locf_gap_fill": 3,
     "mad_outliers": 3, "market_share": 1, "media_shard_plan": 1,
     "merge_upsert": 2, "minhash_lsh_dedup": 4, "minhash_verified_dedup": 4,
     "model_metrics": 6, "multimodal_features": 0,
@@ -120,6 +122,7 @@ EXCHANGE_CEILING = {
     "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
     "stratified_sample": 0, "suppliers_kept_waiting": 1,
     "table_profile": 12, "text_stats": 0, "tfidf_top_terms": 5,
+    "time_weighted_avg": 1,
     "token_commonness": 2, "token_count_bpe": 0, "top_k_per_group": 1,
     "top_supplier": 3, "trailing_hour_stats": 1, "train_test_split": 0,
     "training_set": 1, "trend_features": 1, "value_deciles": 1,
