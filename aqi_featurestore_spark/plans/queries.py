@@ -2059,6 +2059,121 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTTB_SQL = r"""
+WITH mn AS (SELECT user_id, epoch_us(min(ts)) AS x0 FROM events GROUP BY user_id),
+o AS (
+  SELECT e.user_id, time_bucket(INTERVAL '1 hour', e.ts) AS bucket,
+         e.ts, e.event_id,
+         epoch_us(e.ts) - m.x0 AS x,
+         CAST(round(e."value" * 100, 0) AS BIGINT) AS vc
+  FROM events e JOIN mn m ON e.user_id = m.user_id),
+bstats AS (
+  SELECT user_id, bucket, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(vc) AS BIGINT) AS sy
+  FROM o GROUP BY user_id, bucket),
+bseq AS (
+  SELECT *, lag(n) OVER w AS pn, lag(sx) OVER w AS psx, lag(sy) OVER w AS psy,
+         lead(n) OVER w AS nn, lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy
+  FROM bstats WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+cand AS (
+  SELECT o.user_id, o.bucket, o.ts, o.event_id, o.vc, o.x,
+         b.pn, b.psx, b.psy, b.nn, b.nsx, b.nsy
+  FROM o JOIN bseq b ON o.user_id = b.user_id AND o.bucket = b.bucket),
+picked AS (
+  SELECT user_id, bucket, event_id, vc,
+         CASE WHEN pn IS NULL THEN 'first'
+              WHEN nn IS NULL THEN 'last'
+              ELSE 'area' END AS kind,
+         row_number() OVER (
+           PARTITION BY user_id, bucket
+           ORDER BY
+             CASE WHEN pn IS NULL THEN x
+                  WHEN nn IS NULL THEN -x
+                  ELSE -abs((x * pn - psx) * (nsy * pn - psy * nn)
+                            - (nsx * pn - psx * nn) * (vc * pn - psy)) END,
+             ts, event_id) AS rn
+  FROM cand)
+SELECT user_id, bucket, event_id, vc, kind
+FROM picked WHERE rn = 1"""
+
+
+@_q("lttb_downsample", _LTTB_SQL)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (fixed-anchor
+    variant) per entity: one representative point per hour bucket — the
+    one spanning the largest triangle against the NEIGHBOR buckets'
+    centroids (series first/last buckets keep their first/last point,
+    as in Steinarsson's original). Exact LTTB anchors on the previously
+    SELECTED point, a sequential dependency; anchoring on the previous
+    bucket's centroid is the standard parallel relaxation — every
+    bucket picks independently.
+
+    The triangle area is computed in EXACT integers: x is microseconds
+    from the entity's first observation (offset keeps products inside
+    int64), y is centi-value; the centroid fractions are cleared by
+    scaling the cross product with pn^2*nn (constant within a bucket,
+    so the argmax is unchanged). Shapes: one (user, bucket) aggregate,
+    one bucket-sequence window, one (user, bucket) candidate join + one
+    rank window on the same key — fact rows shuffle twice."""
+    e = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn = e.groupBy("user_id").agg(F.min(us).alias("x0"))
+    step = 3_600_000_000
+    bucket = F.timestamp_micros((F.floor(us / F.lit(step)) * F.lit(step)).cast("long"))
+    o = (
+        e.join(F.broadcast(mn), "user_id")
+        .select(
+            "user_id",
+            bucket.alias("bucket"),
+            "ts",
+            "event_id",
+            (us - F.col("x0")).alias("x"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    bstats = o.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("vc").alias("sy")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("bucket")
+    bseq = bstats.select(
+        "user_id", "bucket",
+        F.lag("n").over(wseq).alias("pn"),
+        F.lag("sx").over(wseq).alias("psx"),
+        F.lag("sy").over(wseq).alias("psy"),
+        F.lead("n").over(wseq).alias("nn"),
+        F.lead("sx").over(wseq).alias("nsx"),
+        F.lead("sy").over(wseq).alias("nsy"),
+    )
+    cand = o.join(bseq, ["user_id", "bucket"])
+    area = F.abs(
+        (F.col("x") * F.col("pn") - F.col("psx"))
+        * (F.col("nsy") * F.col("pn") - F.col("psy") * F.col("nn"))
+        - (F.col("nsx") * F.col("pn") - F.col("psx") * F.col("nn"))
+        * (F.col("vc") * F.col("pn") - F.col("psy"))
+    )
+    order_key = (
+        F.when(F.col("pn").isNull(), F.col("x"))
+        .when(F.col("nn").isNull(), -F.col("x"))
+        .otherwise(-area)
+    )
+    wpick = Window.partitionBy("user_id", "bucket").orderBy(
+        order_key.asc(), F.asc("ts"), F.asc("event_id")
+    )
+    kind = (
+        F.when(F.col("pn").isNull(), "first")
+        .when(F.col("nn").isNull(), "last")
+        .otherwise("area")
+    )
+    return (
+        cand.select(
+            "user_id", "bucket", "event_id", "vc", kind.alias("kind"),
+            F.row_number().over(wpick).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 _HOURLY_ROLLUP_SQL = r"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

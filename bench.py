@@ -105,6 +105,7 @@ EXTENDED_QUERIES = [
     "time_weighted_avg",
     "counter_rate",
     "locf_gap_fill",
+    "lttb_downsample",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

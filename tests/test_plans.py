@@ -98,7 +98,7 @@ EXCHANGE_CEILING = {
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
-    "locf_gap_fill": 3,
+    "locf_gap_fill": 3, "lttb_downsample": 4,
     "mad_outliers": 3, "market_share": 1, "media_shard_plan": 1,
     "merge_upsert": 2, "minhash_lsh_dedup": 4, "minhash_verified_dedup": 4,
     "model_metrics": 6, "multimodal_features": 0,
