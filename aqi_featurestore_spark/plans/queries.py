@@ -2059,6 +2059,171 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_P = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+
+_BENFORD_SQL = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
+cnt AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY digit),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cnt),
+exp AS (
+  SELECT * FROM (VALUES {", ".join(f"({i + 1}, CAST({p!r} AS DOUBLE))" for i, p in enumerate(_BENFORD_P))})
+  AS t(digit, p))
+SELECT e.digit, COALESCE(c.obs, 0) AS obs,
+       round(e.p, 6) AS exp_p,
+       round((COALESCE(c.obs, 0) - t.n * e.p) * (COALESCE(c.obs, 0) - t.n * e.p)
+             / (t.n * e.p), 6) AS chi_term
+FROM exp e LEFT JOIN cnt c ON e.digit = c.digit CROSS JOIN tot t
+ORDER BY e.digit"""
+
+
+@_q("benford_audit", _BENFORD_SQL)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over monetary amounts — the classic
+    fabricated-data detector: observed first-digit counts vs the Benford
+    expectation log10(1+1/d), with per-digit chi-square terms. The
+    expected probabilities are PYTHON-computed literals embedded in BOTH
+    plans (repr round-trips doubles exactly), so the only runtime float
+    work is the identically-ordered chi term, rounded to 6 dp.
+
+    Scale shape: first digit via integer-to-string prefix (exact in any
+    engine — no log10 on data), one map-combined 9-group aggregate, a
+    1-row total broadcast; output is always exactly 9 rows."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = li.select(F.substring(c.cast("string"), 1, 1).cast("int").alias("digit"))
+    cnt = d.groupBy("digit").agg(F.count("*").alias("obs"))
+    tot = cnt.agg(F.sum("obs").cast("long").alias("n"))
+    exp = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_P)], "digit int, p double"
+    )
+    obs = F.coalesce("obs", F.lit(0))
+    return (
+        exp.join(F.broadcast(cnt), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            obs.alias("obs"),
+            F.round("p", 6).alias("exp_p"),
+            F.round(
+                (obs - F.col("n") * F.col("p"))
+                * (obs - F.col("n") * F.col("p"))
+                / (F.col("n") * F.col("p")),
+                6,
+            ).alias("chi_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# Station coordinates derived from md5(user_id) in integer MICRO-degrees
+# over the reference's northern-Vietnam AQI grid extent (SURVEY §1:
+# lat 19.5-23.5, lon 102-108.5) — the testdata schema has no coords, so
+# both engines derive identical ones.
+_LAT_DUCK = (
+    "(19500000 + ("
+    + _ph.duck_hex_int("md5('lat|' || CAST(user_id AS VARCHAR))", 1, 8)
+    + ") % 4000000)"
+)
+_LON_DUCK = (
+    "(102000000 + ("
+    + _ph.duck_hex_int("md5('lon|' || CAST(user_id AS VARCHAR))", 1, 8)
+    + ") % 6500000)"
+)
+_CELL_UDEG = 500_000  # 0.5 degree blocking cells
+
+_NEAREST_STATION_SQL = f"""
+WITH s AS (
+  SELECT DISTINCT user_id AS sid FROM events),
+pt AS (
+  SELECT sid, {_LAT_DUCK.replace("user_id", "sid")} AS lat_u,
+         {_LON_DUCK.replace("user_id", "sid")} AS lon_u
+  FROM s),
+cells AS (
+  SELECT p.*, (p.lat_u // {_CELL_UDEG}) + dy AS cy,
+         (p.lon_u // {_CELL_UDEG}) + dx AS cx
+  FROM pt p
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) a
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) b),
+home AS (
+  SELECT sid, lat_u, lon_u,
+         lat_u // {_CELL_UDEG} AS cy, lon_u // {_CELL_UDEG} AS cx
+  FROM pt),
+cand AS (
+  SELECT h.sid, c.sid AS nbr,
+         (h.lat_u - c.lat_u) * (h.lat_u - c.lat_u)
+         + (h.lon_u - c.lon_u) * (h.lon_u - c.lon_u) AS dist2
+  FROM home h JOIN cells c ON h.cy = c.cy AND h.cx = c.cx AND h.sid <> c.sid),
+ranked AS (
+  SELECT sid, nbr, CAST(dist2 AS BIGINT) AS dist2_udeg2,
+         row_number() OVER (
+             PARTITION BY sid ORDER BY dist2, nbr) AS rk
+  FROM (SELECT DISTINCT sid, nbr, dist2 FROM cand) t)
+SELECT sid, nbr, dist2_udeg2, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3"""
+
+
+@_q("nearest_station_join", _NEAREST_STATION_SQL)
+def q_nearest_station_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-nearest-neighbor join (k=3) over the sensor-station
+    grid via CELL BLOCKING: each station only compares against stations
+    whose 0.5-degree cell is within its 3x3 neighborhood — the spatial
+    analogue of LSH banding that replaces the O(n^2) distance scan with
+    an equi-join on cell ids. Distances are exact integer squared
+    micro-degrees (equirectangular — honest at this extent; no float
+    trig). Recall bound, like every blocked method here: a true
+    neighbor farther than one cell (0.5 deg) away is not surfaced.
+
+    Scale shape: each station explodes to its 9 neighbor cells (the
+    build side), the probe side keeps one row per station; the join key
+    is a fixed-width (cy, cx) pair and AQE splits dense-city cells. At
+    100 TB-of-stations this is the standard geospatial bin join."""
+    s = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("sid")
+    ).distinct()
+    lat = 19_500_000 + _ph.md5_int32(F.concat(F.lit("lat|"), F.col("sid").cast("string"))) % 4_000_000
+    lon = 102_000_000 + _ph.md5_int32(F.concat(F.lit("lon|"), F.col("sid").cast("string"))) % 6_500_000
+    pt = s.select("sid", lat.alias("lat_u"), lon.alias("lon_u"))
+    offs = F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    cells = pt.select(
+        "sid", "lat_u", "lon_u",
+        F.explode(offs).alias("dy"),
+    ).select(
+        "sid", "lat_u", "lon_u", "dy", F.explode(offs).alias("dx")
+    ).select(
+        F.col("sid").alias("c_sid"),
+        F.col("lat_u").alias("c_lat"),
+        F.col("lon_u").alias("c_lon"),
+        (F.expr(f"lat_u div {_CELL_UDEG}") + F.col("dy")).alias("cy"),
+        (F.expr(f"lon_u div {_CELL_UDEG}") + F.col("dx")).alias("cx"),
+    )
+    home = pt.select(
+        "sid", "lat_u", "lon_u",
+        F.expr(f"lat_u div {_CELL_UDEG}").alias("cy"),
+        F.expr(f"lon_u div {_CELL_UDEG}").alias("cx"),
+    )
+    dist2 = (F.col("lat_u") - F.col("c_lat")) * (F.col("lat_u") - F.col("c_lat")) + (
+        F.col("lon_u") - F.col("c_lon")
+    ) * (F.col("lon_u") - F.col("c_lon"))
+    cand = (
+        home.join(cells, ["cy", "cx"])
+        .where(F.col("sid") != F.col("c_sid"))
+        .select("sid", F.col("c_sid").alias("nbr"), dist2.alias("dist2"))
+        .dropDuplicates(["sid", "nbr"])
+    )
+    w = Window.partitionBy("sid").orderBy(F.asc("dist2"), F.asc("nbr"))
+    return (
+        cand.select(
+            "sid", "nbr", F.col("dist2").cast("long").alias("dist2_udeg2"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
 _LTTB_SQL = r"""
 WITH mn AS (SELECT user_id, epoch_us(min(ts)) AS x0 FROM events GROUP BY user_id),
 o AS (

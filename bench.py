@@ -106,6 +106,8 @@ EXTENDED_QUERIES = [
     "counter_rate",
     "locf_gap_fill",
     "lttb_downsample",
+    "benford_audit",
+    "nearest_station_join",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -53,6 +53,7 @@ MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample"}
 # breakpoint literals) or documented brute-force pair scans where the
 # broadcast side is bounded and the streamed side carries parallelism.
 BNLJ_OK = {
+    "benford_audit",         # 1-row total-count scalar over a 9-row frame
     "bigram_pmi",            # 1-row corpus-total denominator
     "cms_heavy_hitters",     # 1-row total-tokens threshold scalar
     "embedding_cosine_dedup",  # exact all-pairs baseline (oracle of the LSH path)
@@ -77,7 +78,9 @@ BNLJ_OK = {
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
+    "benford_audit": 4,
     "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
+    "nearest_station_join": 2,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
     "counter_rate": 2,
