@@ -1621,6 +1621,53 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(q, e, k=10)
 
 
+_ANN_RECALL_SQL = f"""
+WITH exact_tk AS ({_SIM_TOPK_SQL}),
+lsh_tk AS ({approx_oracles.similarity_topk_lsh_sql()}),
+hits AS (
+  SELECT e.q_id, COUNT(l.n_id) AS n_hits
+  FROM exact_tk e
+  LEFT JOIN lsh_tk l ON e.q_id = l.q_id AND e.n_id = l.n_id
+  GROUP BY e.q_id)
+SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall_at_10
+FROM hits"""
+
+
+@_q("ann_recall", _ANN_RECALL_SQL)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN against the brute-force
+    ground truth, per query vector — the evaluation harness that turns
+    "approximate" from an assumption into a measured number (ANN without
+    recall measurement is how silent quality regressions ship). Both
+    legs are the exact plans served by their own registry entries; the
+    overlap join runs on (q_id, n_id) pairs only.
+
+    Scale shape: ground truth on a SAMPLE of queries is how this runs at
+    100 TB (exact top-k per sampled query is O(corpus) per query, the
+    accepted audit cost); the recall aggregate itself is k-bounded."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact_tk = cosine_topk_bruteforce(q, e, k=10).select("q_id", "n_id")
+    lsh_tk = cosine_topk_lsh(q, e, k=10).select(
+        F.col("q_id").alias("l_q"), F.col("n_id").alias("l_n")
+    )
+    hits = (
+        exact_tk.join(
+            lsh_tk,
+            (F.col("q_id") == F.col("l_q")) & (F.col("n_id") == F.col("l_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("l_n").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 10, 6).alias("recall_at_10"),
+    )
+
+
 _EMB_COS_PAIRS_SQL = f"""
 WITH {_SIM_NORM_CTE},
 pairs AS (

@@ -108,6 +108,7 @@ EXTENDED_QUERIES = [
     "lttb_downsample",
     "benford_audit",
     "nearest_station_join",
+    "ann_recall",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

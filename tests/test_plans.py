@@ -39,6 +39,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # (numpy matmul / popcount per batch — see docs/PLANS.md "Python
 # boundaries"). Anything else must stay pure JVM.
 ARROW_EVAL_OK = {
+    "ann_recall",
     "embedding_cosine_dedup",
     "embedding_cosine_dedup_lsh",
     "knn_label_vote",
@@ -53,6 +54,7 @@ MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample"}
 # breakpoint literals) or documented brute-force pair scans where the
 # broadcast side is bounded and the streamed side carries parallelism.
 BNLJ_OK = {
+    "ann_recall",            # brute-force ground-truth leg (audit cost)
     "benford_audit",         # 1-row total-count scalar over a 9-row frame
     "bigram_pmi",            # 1-row corpus-total denominator
     "cms_heavy_hitters",     # 1-row total-tokens threshold scalar
@@ -77,6 +79,7 @@ BNLJ_OK = {
 # IS the measured value: one more shuffle = one more full pass over the
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
+    "ann_recall": 6,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
     "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
