@@ -2324,9 +2324,13 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the entity's first observation (offset keeps products inside
     int64), y is centi-value; the centroid fractions are cleared by
     scaling the cross product with pn^2*nn (constant within a bucket,
-    so the argmax is unchanged). Shapes: one (user, bucket) aggregate,
-    one bucket-sequence window, one (user, bucket) candidate join + one
-    rank window on the same key — fact rows shuffle twice."""
+    so the argmax is unchanged). Integer-range bound: the scaled area
+    is O(span_us * vc_max * n_bucket^2), inside int64 up to ~250 points
+    per bucket on a month span — denser buckets should pre-aggregate
+    (finer buckets or a per-bucket pre-sample), which LTTB at a sane
+    target resolution implies anyway. Shapes: one (user, bucket)
+    aggregate, one bucket-sequence window, one (user, bucket) candidate
+    join + one rank window on the same key — fact rows shuffle twice."""
     e = _read(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     mn = e.groupBy("user_id").agg(F.min(us).alias("x0"))
