@@ -2106,6 +2106,132 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKET_BASKET_SQL = r"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+pc AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS pair_cnt
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+scored AS (
+  SELECT p.p1, p.p2, p.pair_cnt,
+         round(CAST(p.pair_cnt * n.n_orders AS DOUBLE) / (c1.c * c2.c), 6)
+           AS lift
+  FROM pairs p
+  JOIN pc c1 ON p.p1 = c1.l_partkey
+  JOIN pc c2 ON p.p2 = c2.l_partkey
+  CROSS JOIN n)
+SELECT p1, p2, pair_cnt, lift, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, p1, p2) AS rk
+  FROM scored) t
+WHERE rk <= 100"""
+
+
+@_q("market_basket", _MARKET_BASKET_SQL)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining (market basket): top-100 part pairs by LIFT —
+    P(p1,p2) / (P(p1)P(p2)) — over co-occurrence in the same order, with
+    min support pair_cnt >= 3. Lift is one double division rounded
+    BEFORE ranking (tie-break p1, p2) so a sub-ulp divergence can't
+    reorder the board.
+
+    Scale shape: the within-order self-join is bounded by order SIZE
+    (baskets are small — the classic a-priori observation), never a
+    corpus cross product; pair counts partial-aggregate map-side; the
+    marginals join is on single part keys; global top-100 compiles to
+    TakeOrderedAndProject."""
+    b = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    pc = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 3)
+    )
+    scored = (
+        pairs.join(
+            pc.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1"
+        )
+        .join(pc.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1", "p2", "pair_cnt",
+            F.round(
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2")).limit(100)
+    w = Window.orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"))
+    return top.select(
+        "p1", "p2", "pair_cnt", "lift", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = r"""
+WITH o AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS vc,
+         CAST(round(l_quantity, 0) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE l_quantity > 0),
+c AS (
+  SELECT *, SUM(w) OVER (PARTITION BY grp ORDER BY vc, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM o)
+SELECT grp, CAST(min(vc) AS BIGINT) AS median_price_c,
+       CAST(min(tw) AS BIGINT) AS total_w
+FROM c WHERE 2 * cw >= tw GROUP BY grp"""
+
+
+@_q("weighted_median", _WEIGHTED_MEDIAN_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (price weighted by quantity): the
+    first value whose cumulative weight reaches half the group total —
+    all integer arithmetic (centi-prices, integer weights, the 2*cw >= tw
+    test avoids any division), deterministic under the pinned
+    (vc, orderkey, linenumber) total order.
+
+    Scale shape: one sort per group partition (same documented
+    small-group exact variant as group_median — approx_percentile is
+    the billion-row path), one running-sum window sharing that sort,
+    then a hash aggregate."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    o = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("vc"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+        "l_orderkey", "l_linenumber",
+    )
+    word = Window.partitionBy("grp").orderBy("vc", "l_orderkey", "l_linenumber")
+    c = o.select(
+        "grp", "vc",
+        F.sum("w").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("tw"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("vc").alias("median_price_c"),
+            F.min("tw").alias("total_w"),
+        )
+    )
+
+
 _BENFORD_P = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
 
 _BENFORD_SQL = f"""

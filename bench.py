@@ -109,6 +109,8 @@ EXTENDED_QUERIES = [
     "benford_audit",
     "nearest_station_join",
     "ann_recall",
+    "market_basket",
+    "weighted_median",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -62,6 +62,7 @@ BNLJ_OK = {
     "fk_violations",         # 1-row count scalars
     "high_balance_inactive",  # 1-row avg-balance scalar
     "knn_label_vote",        # brute-force top-k baseline underneath
+    "market_basket",         # 1-row order-count scalar
     "model_metrics",         # 1-row mean scalars
     "negative_sampling",     # 1-row positive-count scalar
     "online_lookup",         # 1-row as-of timestamp scalar
@@ -105,7 +106,8 @@ EXCHANGE_CEILING = {
     "knn_label_vote": 1, "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
     "locf_gap_fill": 3, "lttb_downsample": 4,
-    "mad_outliers": 3, "market_share": 1, "media_shard_plan": 1,
+    "mad_outliers": 3, "market_basket": 9, "market_share": 1,
+    "media_shard_plan": 1,
     "merge_upsert": 2, "minhash_lsh_dedup": 4, "minhash_verified_dedup": 4,
     "model_metrics": 6, "multimodal_features": 0,
     "nearest_observation_join": 3, "negative_sampling": 1,
@@ -133,7 +135,8 @@ EXCHANGE_CEILING = {
     "top_supplier": 3, "trailing_hour_stats": 1, "train_test_split": 0,
     "training_set": 1, "trend_features": 1, "value_deciles": 1,
     "value_histogram": 1, "versioned_pit_multiview": 5,
-    "vocab_top_terms": 2, "volume_shipping": 1, "weighted_sample": 1,
+    "vocab_top_terms": 2, "volume_shipping": 1, "weighted_median": 1,
+    "weighted_sample": 1,
     "winsorized_stats": 2, "zorder_keys": 0, "zscore_normalize": 1,
 }
 # Headroom for queries added after this table was measured: they still
