@@ -2106,6 +2106,76 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AB_TEST_SQL = r"""
+WITH assign AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(max(CASE WHEN event_type = 'purchase' AND "value" >= 150
+                       THEN 1 ELSE 0 END) AS INT) AS converted
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY arm),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN conv END) AS c0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM arms)
+SELECT CAST(n0 AS BIGINT) AS n0, c0, CAST(n1 AS BIGINT) AS n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6)
+         AS z_score
+FROM wide"""
+
+
+@_q("ab_test_zscore", _AB_TEST_SQL)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: two-proportion z-test on per-user conversion
+    (converted = any HIGH-VALUE purchase, value >= 150 — a non-trivial
+    rate; a degenerate 0%/100% pooled rate makes z undefined in any
+    engine) between arms assigned by a deterministic hash split
+    (user_id % 2 — rerun/repartition-stable, the property real
+    assignment systems need). Counts are exact integers; the
+    pooled-variance z formula is evaluated in doubles with IDENTICAL
+    operand order in both engines and rounded to 6 dp.
+
+    Scale shape: per-user conversion is one map-combined aggregate, the
+    arm rollup is 2 rows, and the final pivot/z computation is a 1-row
+    frame — nothing after the first aggregate is data-sized."""
+    e = _read(spark, sf_dir, "events")
+    hit = (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    assign = e.groupBy("user_id").agg(
+        F.max(F.when(hit, 1).otherwise(0)).cast("int").alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "converted")
+    arms = assign.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1).cast("double") / F.col("n0") + F.lit(1).cast("double") / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n0"), "c0",
+        F.col("n1").cast("long").alias("n1"), "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
 _MARKET_BASKET_SQL = r"""
 WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),

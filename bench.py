@@ -111,6 +111,7 @@ EXTENDED_QUERIES = [
     "ann_recall",
     "market_basket",
     "weighted_median",
+    "ab_test_zscore",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

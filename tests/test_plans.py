@@ -80,7 +80,7 @@ BNLJ_OK = {
 # IS the measured value: one more shuffle = one more full pass over the
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
-    "ann_recall": 6,
+    "ab_test_zscore": 3, "ann_recall": 6,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
     "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
