@@ -51,6 +51,14 @@ def _as_double(col: Column | str) -> Column:
 # summation, no BLAS reassociation — same doubles, 10-50x faster.
 # Oracle parity for every query scoring through these is hash-verified
 # (tests/test_oracle_parity.py), which is the bit-parity proof.
+#
+# WHERE EACH WINS (measured at sf0.1): the Arrow dot pays one Arrow
+# round-trip of BOTH pair vectors per scored row — worth it when pairs
+# are candidate-bounded (LSH/IVF buckets: few pairs, each saved
+# interpreted fold matters) but a LOSS on unbounded cross-product scans
+# (brute-force all-pairs: 2M x 128 doubles of transfer dominates;
+# fold 1.22s vs Arrow 1.66s). The interpreted fold stays the scorer for
+# the brute pair scan; both produce identical bits.
 
 
 def _normalized_arrow(col: Column | str) -> Column:
@@ -69,6 +77,12 @@ def _normalized_arrow(col: Column | str) -> Column:
         return pd.Series(out)
 
     return norm_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot (the semantic spec above), kept for the
+    unbounded pair scans where Arrow transfer would dominate."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
 def _dot_arrow(a: Column, b: Column) -> Column:
@@ -108,7 +122,8 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("n_id"), _normalized_arrow(vec_col).alias("n_vec")
     )
     pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
-    cos = _dot_arrow(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
+    # unbounded |Q| x |N| scan: fold dot (Arrow transfer dominates here)
+    cos = _dot_fold(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = pairs.select(
         "q_id", "n_id", F.round(cos, round_scores).alias("cos_sim")
     )
@@ -306,7 +321,10 @@ def embedding_cosine_pairs(
         )
         b_ = v.select(F.col("id").alias("d2"), F.col("vec").alias("v2"))
         cand = a.join(F.broadcast(b_), F.col("d1") < F.col("d2"))
-    cos = _dot_arrow(F.col("v1"), F.col("v2"))  # vectors are unit-normalized
+    # candidate-bounded LSH pairs score via Arrow; the unbounded brute
+    # scan keeps the fold (Arrow transfer dominates there — see header)
+    dot = _dot_arrow if lsh else _dot_fold
+    cos = dot(F.col("v1"), F.col("v2"))  # vectors are unit-normalized
     return (
         cand.select("d1", "d2", F.round(cos, round_scores).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
