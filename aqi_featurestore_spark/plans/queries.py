@@ -2106,6 +2106,233 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_KEYWORDS_SQL = r"""
+WITH tokv AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokv GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         round(t.tf * ln(CAST(nd.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN nd)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored) t
+WHERE rk <= 3"""
+
+
+@_q("doc_keywords", _DOC_KEYWORDS_SQL)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf-idf per doc
+    (ties: token asc) — the row-level complement of the corpus-global
+    `tfidf_top_terms`, and what a retrieval/tagging pipeline actually
+    stores per document. Same float discipline: one ln() per (doc,
+    token) with pinned operand order, rounded BEFORE the per-doc rank.
+
+    Scale shape: tf is a (doc, token) hash aggregate; df joins back on
+    the token key (AQE splits stopword skew); the rank window partitions
+    by doc_id — millions of small partitions, never a global sort. The
+    1-row doc count broadcasts."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.select(
+            "doc_id", "token", "tf", "df", "tfidf",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+_STAR_EXPORT_SQL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(round(l.l_quantity, 0) AS BIGINT) AS qty,
+       CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+       o.o_orderstatus, o.o_orderpriority,
+       c.c_mktsegment,
+       cn.n_name AS cust_nation,
+       p.p_brand, p.p_type,
+       s.s_name AS supp_name,
+       sn.n_name AS supp_nation
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN part p      ON l.l_partkey = p.p_partkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'"""
+
+
+@_q("star_denormalize", _STAR_EXPORT_SQL)
+def q_star_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-table EXPORT path: denormalize the full star schema
+    around lineitem (orders + customer + both nation roles + part +
+    supplier) into one training-ready frame — what a feature-store
+    offline export materializes before model training. The one
+    fact-to-fact join (lineitem x date-pruned orders) shuffles on
+    orderkey; every true dim (customer, part, supplier, nation twice
+    under different roles) BROADCASTS against the stream, so the fact
+    shuffles exactly once and each scan reads only its projected
+    columns (ReadSchema-pruned)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    o = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "l_orderkey", "l_linenumber", "qty", "price_c",
+            "o_orderstatus", "o_orderpriority", "c_mktsegment",
+            "cust_nation", "p_brand", "p_type",
+            F.col("s_name").alias("supp_name"), "supp_nation",
+        )
+    )
+
+
+_LS_ITERS = 3
+
+
+def _label_spread_sql() -> str:
+    """Unrolled label-spreading oracle: seeds (vec_id % 10 = 0) hold
+    their label; each round an unlabeled node adopts the majority label
+    among its labeled neighbors (ties -> smallest label)."""
+    its = []
+    prev = "l0"
+    for i in range(1, _LS_ITERS + 1):
+        its.append(f"""v{i} AS (
+  SELECT e.dst AS vec_id, l.lab, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON e.src = l.vec_id AND l.lab IS NOT NULL
+  GROUP BY e.dst, l.lab),
+p{i} AS (
+  SELECT vec_id, lab FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c DESC, lab) AS rn
+    FROM v{i}) t WHERE rn = 1),
+l{i} AS (
+  SELECT prev.vec_id, COALESCE(prev.lab, p.lab) AS lab
+  FROM {prev} prev LEFT JOIN p{i} p ON prev.vec_id = p.vec_id)""")
+        prev = f"l{i}"
+    return f"""WITH pairs AS ({approx_oracles.embedding_cosine_lsh_sql(threshold=0.25)}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs),
+l0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 0 THEN CAST(label AS INT) END AS lab
+  FROM embeddings),
+{", ".join(its)}
+SELECT l.vec_id, l.lab AS pred_label,
+       CASE WHEN l.vec_id % 10 = 0 THEN 'seed' ELSE 'spread' END AS src,
+       CAST(CASE WHEN l.lab = e.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM {prev} l JOIN embeddings e ON l.vec_id = e.vec_id
+WHERE l.lab IS NOT NULL"""
+
+
+@_q("label_spreading", _label_spread_sql())
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the embedding similarity
+    graph: 10%% of vectors keep their true label as seeds; {_LS_ITERS}
+    rounds of majority vote among labeled neighbors (deterministic ties:
+    most votes, then smallest label) extend labels along LSH cosine
+    edges. Votes are exact integer counts — no damping floats — so the
+    final assignment is bit-reproducible and the unrolled recursive
+    oracle hash-matches. ``correct`` scores spread labels against the
+    held-out truth: the weak-supervision quality loop.
+
+    Scale shape: like PageRank, the edge list localCheckpoints once
+    (referenced every round); each round is one labeled-neighbor join +
+    a (node, label) vote aggregate + a rank window — all keyed on
+    vec_id-domain pairs, never vectors."""
+    e = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(
+        e, threshold=0.25, lsh=True, n_planes=32, bands=4
+    ).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.col("label").cast("int")).alias("lab"),
+    )
+    for _ in range(_LS_ITERS):
+        votes = (
+            edges.join(
+                labels.where(F.col("lab").isNotNull()),
+                edges["src"] == labels["vec_id"],
+            )
+            .groupBy(F.col("dst").alias("v_id"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("v_id").orderBy(F.desc("c"), F.asc("lab"))
+        pick = (
+            votes.select("v_id", F.col("lab").alias("p_lab"), F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+        )
+        labels = labels.join(pick, labels["vec_id"] == pick["v_id"], "left").select(
+            "vec_id", F.coalesce("lab", "p_lab").alias("lab")
+        )
+    truth = e.select(F.col("vec_id").alias("t_id"), F.col("label").alias("true_label"))
+    return (
+        labels.where(F.col("lab").isNotNull())
+        .join(truth, labels["vec_id"] == truth["t_id"])
+        .select(
+            "vec_id",
+            F.col("lab").alias("pred_label"),
+            F.when(F.col("vec_id") % 10 == 0, "seed").otherwise("spread").alias("src"),
+            (F.col("lab") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
 _AB_TEST_SQL = r"""
 WITH assign AS (
   SELECT user_id, CAST(user_id % 2 AS INT) AS arm,

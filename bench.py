@@ -112,6 +112,9 @@ EXTENDED_QUERIES = [
     "market_basket",
     "weighted_median",
     "ab_test_zscore",
+    "label_spreading",
+    "doc_keywords",
+    "star_denormalize",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",
@@ -184,6 +187,7 @@ ITERATIVE_CONSTRUCTION = {
     "dedup_keep_best",
     "embedding_quantize",  # corpus min/max aggregate + collect at build time
     "similarity_pagerank",  # edge-list localCheckpoint at build time
+    "label_spreading",  # edge-list localCheckpoint at build time
 }
 
 

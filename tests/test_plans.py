@@ -59,6 +59,7 @@ BNLJ_OK = {
     "bigram_pmi",            # 1-row corpus-total denominator
     "cms_heavy_hitters",     # 1-row total-tokens threshold scalar
     "embedding_cosine_dedup",  # exact all-pairs baseline (oracle of the LSH path)
+    "doc_keywords",          # 1-row doc-count idf denominator
     "fk_violations",         # 1-row count scalars
     "high_balance_inactive",  # 1-row avg-balance scalar
     "knn_label_vote",        # brute-force top-k baseline underneath
@@ -91,7 +92,8 @@ EXCHANGE_CEILING = {
     "customer_order_distribution": 2, "daily_cube": 1,
     "dedup_cluster_sizes": 2, "dedup_exact_docs": 1, "dedup_gate": 1,
     "dedup_keep_best": 1, "dedup_resolve_docs": 4, "disjunctive_revenue": 1,
-    "doc_chunks": 0, "doc_fingerprint": 0, "domain_mixture": 2,
+    "doc_chunks": 0, "doc_fingerprint": 0, "doc_keywords": 6,
+    "domain_mixture": 2,
     "drift_psi": 2, "edit_distance_pairs": 0, "ema_features": 1,
     "embedding_cosine_dedup": 1, "embedding_cosine_dedup_lsh": 1,
     "embedding_dedup_resolve": 0, "embedding_quantize": 0, "event_pivot": 2,
@@ -103,7 +105,8 @@ EXCHANGE_CEILING = {
     "hourly_rollup": 1, "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
-    "knn_label_vote": 1, "lag_features": 1, "lang_id": 0,
+    "knn_label_vote": 1, "label_spreading": 21,
+    "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
     "locf_gap_fill": 3, "lttb_downsample": 4,
     "mad_outliers": 3, "market_basket": 9, "market_share": 1,
@@ -128,6 +131,7 @@ EXCHANGE_CEILING = {
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
     "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
+    "star_denormalize": 0,
     "stratified_sample": 0, "suppliers_kept_waiting": 1,
     "table_profile": 12, "text_stats": 0, "tfidf_top_terms": 5,
     "time_weighted_avg": 1,
