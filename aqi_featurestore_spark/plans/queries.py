@@ -2106,6 +2106,184 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_CASCADE_SQL = r"""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         MAX(CAST(round("value" * 100, 0) AS BIGINT)) AS mx
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT user_id, CAST(h AS DATE) AS d,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+         MAX(mx) AS mx
+  FROM hourly GROUP BY 1, 2),
+monthly AS (
+  SELECT user_id, strftime(d, '%Y-%m') AS month,
+         CAST(SUM(n) AS BIGINT) AS n_obs, CAST(SUM(s) AS BIGINT) AS sum_value_c,
+         MAX(mx) AS max_value_c
+  FROM daily GROUP BY 1, 2)
+SELECT user_id, month, n_obs, sum_value_c, max_value_c FROM monthly"""
+
+
+@_q("rollup_cascade", _ROLLUP_CASCADE_SQL)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup CASCADE: monthly aggregates derived from
+    daily, derived from hourly, derived from raw — never re-reading the
+    raw events for the coarser grains. Legal exactly because every
+    aggregate here is MERGEABLE (counts/sums/max in exact integer
+    centi-units); this is the continuous-aggregate / materialized-rollup
+    maintenance pattern, where each grain is a stored table refreshed
+    from the grain below at a fraction of the raw-scan cost.
+
+    Scale shape: the only raw-data pass is the hourly aggregate (one
+    map-combined shuffle on (user, hour)); each subsequent grain
+    reduces the previous one's already-small output. The oracle
+    recomputes the same cascade — and `hourly_rollup`'s independent
+    direct-from-raw query pins the base grain."""
+    e = _read(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        e.select("user_id", F.date_trunc("hour", "ts").alias("h"), vc.alias("vc"))
+        .groupBy("user_id", "h")
+        .agg(F.count("*").alias("n"), F.sum("vc").alias("s"), F.max("vc").alias("mx"))
+    )
+    daily = (
+        hourly.withColumn("d", F.col("h").cast("date"))
+        .groupBy("user_id", "d")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx"))
+    )
+    return (
+        daily.withColumn("month", F.date_format("d", "yyyy-MM"))
+        .groupBy("user_id", "month")
+        .agg(
+            F.sum("n").alias("n_obs"),
+            F.sum("s").alias("sum_value_c"),
+            F.max("mx").alias("max_value_c"),
+        )
+        .select("user_id", "month", "n_obs", "sum_value_c", "max_value_c")
+    )
+
+
+def _rocchio_sql() -> str:
+    """Oracle for nearest-centroid classification. Centroid means
+    accumulate as exact integer micro-units; BOTH the unit-normalized
+    vector and the unit-normalized centroid are then re-quantized to
+    1e6 integer micro-units, so the scoring dot is an exact,
+    order-free BIGINT sum (a float dot under a GROUP BY would depend on
+    each engine's scan order). cos_sim := dot_q / 1e12 rounded to 6."""
+    return """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))) AS vc
+  FROM embeddings),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(vc) AS DOUBLE) / (COUNT(*) * 1000000.0) AS c
+  FROM ex GROUP BY label, dim),
+cnorm AS (
+  SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
+cu AS (
+  SELECT c.label, c.dim,
+         CAST(floor(c.c / n.nrm * 1000000) AS BIGINT) AS cq
+  FROM cent c JOIN cnorm n ON c.label = n.label),
+vn AS (
+  SELECT vec_id, label AS true_label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_reduce(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (p, q) -> p + q))))
+           AS vv
+  FROM embeddings),
+vq AS (
+  SELECT vec_id, true_label, dim,
+         CAST(floor(vv * 1000000) AS BIGINT) AS vq
+  FROM vn),
+scored AS (
+  SELECT v.vec_id, v.true_label, c.label AS cand,
+         CAST(SUM(v.vq * c.cq) AS BIGINT) AS dot_q
+  FROM vq v JOIN cu c ON v.dim = c.dim
+  GROUP BY v.vec_id, v.true_label, c.label),
+pick AS (
+  SELECT vec_id, true_label, cand AS pred_label,
+         round(CAST(dot_q AS DOUBLE) / 1000000000000, 6) AS cos_sim,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY dot_q DESC, cand ASC) AS rn
+  FROM scored)
+SELECT vec_id, CAST(pred_label AS INT) AS pred_label, cos_sim,
+       CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM pick WHERE rn = 1"""
+
+
+@_q("rocchio_classify", _rocchio_sql())
+def q_rocchio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: every vector assigned
+    to the label whose mean-vector centroid it is most cosine-similar
+    to — the third classical classifier next to kNN voting
+    (`knn_label_vote`) and graph spreading (`label_spreading`).
+    Centroid means accumulate as exact integer micro-units; the scoring
+    dot re-quantizes BOTH unit vectors to 1e6 micro-units so it is an
+    exact order-free BIGINT sum (a float dot under a hash aggregate
+    would depend on partial-aggregation order); argmax on the integer
+    dot, ties -> smallest label.
+
+    Scale shape: the centroid build is `label_centroids`'s exploded
+    hash aggregate (|labels| x dim rows); the classification is a map
+    side cosine against the BROADCAST centroid matrix (|labels| x dim
+    literals — dim-bounded, corpus-independent); one rank window per
+    vector over |labels| rows. Vectors never shuffle."""
+    from aqi_featurestore_spark.operators.embeddings import label_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)  # (label, dim, centroid double, n)
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("nrm")
+    )
+    cu = cent.join(cnorm, "label").select(
+        F.col("label").alias("cand"),
+        "dim",
+        F.floor(F.col("centroid") / F.col("nrm") * 1_000_000).cast("long").alias("cq"),
+    )
+    from aqi_featurestore_spark.operators.similarity import _normalized_arrow
+
+    vn = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        _normalized_arrow("embedding").alias("v"),
+    )
+    # explode each vector against the broadcast centroid rows on dim;
+    # both sides quantized, so the dot is an exact integer sum
+    vdim = vn.select(
+        "vec_id", "true_label", F.posexplode("v").alias("dim0", "vv")
+    ).select(
+        "vec_id", "true_label", F.col("dim0").alias("dim"),
+        F.floor(F.col("vv") * 1_000_000).cast("long").alias("vq"),
+    )
+    scored = (
+        vdim.join(F.broadcast(cu), "dim")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(F.sum(F.col("vq") * F.col("cq")).alias("dot_q"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot_q"), F.asc("cand"))
+    return (
+        scored.select(
+            "vec_id", "true_label",
+            F.col("cand").alias("pred_label"),
+            F.round(F.col("dot_q").cast("double") / 1_000_000_000_000, 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("pred_label").cast("int").alias("pred_label"),
+            "cos_sim",
+            (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
 _DOC_KEYWORDS_SQL = r"""
 WITH tokv AS (
   SELECT doc_id,

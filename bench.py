@@ -115,6 +115,8 @@ EXTENDED_QUERIES = [
     "label_spreading",
     "doc_keywords",
     "star_denormalize",
+    "rocchio_classify",
+    "rollup_cascade",
     "gap_filled_hourly",
     "inter_arrival_stats",
     "knn_label_vote",

@@ -41,6 +41,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ARROW_EVAL_OK = {
     "ann_recall",
     "embedding_cosine_dedup",
+    "rocchio_classify",
     "embedding_cosine_dedup_lsh",
     "knn_label_vote",
     "simhash_dedup",
@@ -120,7 +121,8 @@ EXCHANGE_CEILING = {
     "q1_pricing_summary": 1, "quality_score": 0, "quartile_bucketize": 2,
     "range_join_agg": 2, "repetition_stats": 6, "retention_cohorts": 4,
     "returned_top_customers": 1, "revenue_by_nation": 1,
-    "revenue_rollup": 1, "revenue_share": 2, "rolling_dau": 4,
+    "revenue_rollup": 1, "revenue_share": 2, "rocchio_classify": 5,
+    "rolling_dau": 4, "rollup_cascade": 3,
     "running_stats": 1, "scd2_state_history": 1, "seasonal_anomalies": 1,
     "sequence_packing": 3, "session_relative_features": 1,
     "session_windows": 1, "shipmode_priority": 2,
