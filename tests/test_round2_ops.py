@@ -75,3 +75,51 @@ def test_negative_sampling_deterministic_and_bounded(spark):
         assert i in (1, 2, 3)
         per_anchor[doc_id] += 1
     assert max(per_anchor.values()) <= 3
+
+
+def test_weighted_median_property(spark):
+    """Property: the registry's windowed weighted median equals a pure
+    Python reference (sort, accumulate weight, first value crossing
+    half) on random groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    rows = [
+        (f"g{g}", rng.randrange(1, 1000), rng.randrange(1, 20), i)
+        for g in range(5)
+        for i in range(rng.randrange(1, 40))
+    ]
+    df = spark.createDataFrame(rows, "grp string, vc long, w long, i long")
+
+    from pyspark.sql import Window
+
+    word = Window.partitionBy("grp").orderBy("vc", "i")
+    c = df.select(
+        "grp", "vc",
+        F.sum("w").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("tw"),
+    )
+    got = {
+        r["grp"]: r["m"]
+        for r in c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(F.min("vc").alias("m"))
+        .collect()
+    }
+
+    expected = {}
+    by_grp = {}
+    for grp, vc, w, i in rows:
+        by_grp.setdefault(grp, []).append((vc, i, w))
+    for grp, items in by_grp.items():
+        items.sort()
+        total = sum(w for _, _, w in items)
+        acc = 0
+        for vc, _, w in items:
+            acc += w
+            if 2 * acc >= total:
+                expected[grp] = vc
+                break
+    assert got == expected
