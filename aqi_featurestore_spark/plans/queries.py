@@ -2477,27 +2477,13 @@ def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .localCheckpoint()
     )
-    labels = e.select(
+    from aqi_featurestore_spark.operators.graph import spread_labels
+
+    seeds = e.select(
         "vec_id",
         F.when(F.col("vec_id") % 10 == 0, F.col("label").cast("int")).alias("lab"),
     )
-    for _ in range(_LS_ITERS):
-        votes = (
-            edges.join(
-                labels.where(F.col("lab").isNotNull()),
-                edges["src"] == labels["vec_id"],
-            )
-            .groupBy(F.col("dst").alias("v_id"), "lab")
-            .agg(F.count("*").alias("c"))
-        )
-        w = Window.partitionBy("v_id").orderBy(F.desc("c"), F.asc("lab"))
-        pick = (
-            votes.select("v_id", F.col("lab").alias("p_lab"), F.row_number().over(w).alias("rn"))
-            .where(F.col("rn") == 1)
-        )
-        labels = labels.join(pick, labels["vec_id"] == pick["v_id"], "left").select(
-            "vec_id", F.coalesce("lab", "p_lab").alias("lab")
-        )
+    labels = spread_labels(edges, seeds, iters=_LS_ITERS)
     truth = e.select(F.col("vec_id").alias("t_id"), F.col("label").alias("true_label"))
     return (
         labels.where(F.col("lab").isNotNull())

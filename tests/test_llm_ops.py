@@ -442,3 +442,36 @@ def test_incremental_dedup_planted(spark):
     assert all(d1 != 11 for d1, _ in pairs)             # novel doc admitted
     # sides never pair within themselves
     assert all(d1 in (10, 11) and d2 in (1, 2) for d1, d2 in pairs)
+
+
+def test_spread_labels_planted_clusters(spark):
+    """Planted two-cluster graph: seeds at one end of each chain reach
+    every vertex of their component and never cross; a contested vertex
+    with equal votes breaks ties to the smaller label."""
+    from pyspark.sql import functions as F
+
+    from aqi_featurestore_spark.operators.graph import spread_labels
+
+    # component A: 0-1-2-3 (seed 0 -> label 7); component B: 10-11-12
+    # (seed 10 -> label 3); vertex 20 adjacent to both seeds (tie -> 3)
+    undirected = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (0, 20), (10, 20)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "src long, dst long"
+    )
+    vertices = sorted({v for e in undirected for v in e})
+    seeds = spark.createDataFrame(
+        [(v, 7 if v == 0 else (3 if v == 10 else None)) for v in vertices],
+        "vec_id long, lab int",
+    )
+    got = {
+        r["vec_id"]: r["lab"]
+        for r in spread_labels(edges, seeds, iters=3).collect()
+    }
+    assert got == {0: 7, 1: 7, 2: 7, 3: 7, 10: 3, 11: 3, 12: 3, 20: 3}
+
+    # fewer rounds spread fewer hops: after 1 round vertex 3 is unlabeled
+    one = {
+        r["vec_id"]: r["lab"]
+        for r in spread_labels(edges, seeds, iters=1).collect()
+    }
+    assert one[1] == 7 and one[2] is None and one[3] is None
