@@ -123,3 +123,78 @@ def test_weighted_median_property(spark):
                 expected[grp] = vc
                 break
     assert got == expected
+
+
+def test_sketch_one_sidedness(spark):
+    """CMS and Bloom are one-sided by construction: the CMS estimate is
+    never below the true count, and the Bloom gate never misses a true
+    duplicate. Asserted on the registry queries' own outputs."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cms = QUERIES["cms_heavy_hitters"](spark, sf).collect()
+    assert len(cms) > 0
+    assert all(r["est"] >= r["true_cnt"] for r in cms)
+
+    bloom = QUERIES["bloom_dedup_gate"](spark, sf).collect()
+    assert len(bloom) > 0
+    assert all(r["maybe_dup"] == 1 for r in bloom if r["exact_dup"] == 1)
+
+
+def test_lttb_picks_max_area_point(spark):
+    """LTTB fixed-anchor variant vs a pure-Python reference on a small
+    single-entity series: every interior bucket's pick maximizes the
+    triangle area against neighbor-bucket centroids."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from aqi_featurestore_spark.plans import QUERIES  # noqa: F401 (shape ref)
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    vals = [10, 50, 20, 80, 30, 5, 90, 40, 60, 15, 70, 25]
+    for i, v in enumerate(vals):
+        rows.append((i, t0 + timedelta(minutes=17 * i), 7, "view", float(v), None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")  # lttb reads only events
+    out = {(r["user_id"], r["bucket"]): r for r in
+           QUERIES["lttb_downsample"](spark, d).collect()}
+
+    # python reference: same quantization, same anchors
+    import collections
+
+    x0 = min(r[1] for r in rows).timestamp() * 1e6
+    buckets = collections.defaultdict(list)
+    for eid, ts, uid, _, v, _n in rows:
+        us = ts.timestamp() * 1e6
+        b = int(us // 3.6e9 * 3.6e9)
+        buckets[b].append((eid, us - x0, round(v * 100)))
+    bkeys = sorted(buckets)
+    stats = {
+        b: (len(pts), sum(p[1] for p in pts), sum(p[2] for p in pts))
+        for b, pts in buckets.items()
+    }
+    for i, b in enumerate(bkeys):
+        pts = sorted(buckets[b], key=lambda p: (p[1], p[0]))
+        if i == 0:
+            want = pts[0][0]  # first point
+        elif i == len(bkeys) - 1:
+            want = pts[-1][0]  # last point
+        else:
+            pn, psx, psy = stats[bkeys[i - 1]]
+            nn, nsx, nsy = stats[bkeys[i + 1]]
+            def area(p):
+                _, x, vc = p
+                return abs((x * pn - psx) * (nsy * pn - psy * nn)
+                           - (nsx * pn - psx * nn) * (vc * pn - psy))
+            want = max(pts, key=lambda p: (area(p), -p[1], -p[0]))[0]
+        got = [r for (u, bb), r in out.items()
+               if int(bb.timestamp() * 1e6) == b][0]
+        assert got["event_id"] == want, (i, b)
