@@ -65,6 +65,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8:pos + 8 + length]
         if len(body) != length:
             raise UnsupportedMediaError("truncated PNG chunk")
+        crc_bytes = payload[pos + 8 + length:pos + 12 + length]
+        if len(crc_bytes) != 4 or struct.unpack(">I", crc_bytes)[0] != (
+            zlib.crc32(ctype + body) & 0xFFFFFFFF
+        ):
+            raise UnsupportedMediaError(
+                f"PNG chunk {ctype!r} CRC mismatch (corrupted payload)"
+            )
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
@@ -119,10 +126,18 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(H, W, C) uint8 pixels. PIL when importable (all formats), else
-    the stdlib PNG decoder."""
+    """(H, W, C) uint8 pixels with the image's NATIVE channel count
+    (1 grey, 2 grey+alpha, 3 RGB, 4 RGBA) — both paths agree, so the
+    same PNG produces the same feature vector with or without PIL.
+    PIL when importable (covers every format), else the stdlib PNG
+    decoder; palette/other exotic modes normalize to RGB."""
     if _PIL_Image is not None:  # pragma: no cover - PIL absent here
-        arr = np.asarray(_PIL_Image.open(io.BytesIO(payload)).convert("RGBA"))
+        img = _PIL_Image.open(io.BytesIO(payload))
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            img = img.convert("RGB")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
         return arr
     return decode_png(payload)
 

@@ -1,0 +1,1303 @@
+"""Corpus curation and statistics: top-p selection, token commonness,
+centroids, quantization, inverted index, seasonal anomalies, digests,
+transitions, exact medians, graph triangles, weighted sampling, PMI,
+CMS heavy hitters, PageRank, Bloom gate, LM familiarity, reservoir,
+rolling DAU, BM25 top-k, bucketizer, policy dedup, skew report.
+
+Split out of plans/queries.py (round 4); registration still via the
+shared ``@_q`` registry in plans/_base.py. Reference citations live on
+each query docstring.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark import pipeline
+from aqi_featurestore_spark.functions import portable_hash as _ph
+from aqi_featurestore_spark.plans import approx_oracles
+from aqi_featurestore_spark.functions.aqi import aqi_case_sql
+from aqi_featurestore_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from aqi_featurestore_spark.functions.time_features import entity_key
+from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
+from aqi_featurestore_spark.operators.near_dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aqi_featurestore_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from aqi_featurestore_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_cosine_pairs,
+)
+from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
+from aqi_featurestore_spark.plans._base import (  # noqa: F401
+    ORACLE_SQL,
+    QUERIES,
+    _FEAT_CTE,
+    _NGRAM_JACCARD_SQL,
+    _PIT_CTES,
+    _SIM_NORM_CTE,
+    _SIM_NORM_DOT,
+    _SPINE_CTE,
+    _TOKENS,
+    _q,
+    _read,
+)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline round 2: corpus curation, corpus-LM stats, embedding
+# maintenance, inverted index, seasonal anomalies
+# ---------------------------------------------------------------------------
+
+_TOPP_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / n_chars AS score
+  FROM documents WHERE n_chars > 0),
+rk AS (
+  SELECT doc_id, lang, score,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored)
+SELECT doc_id, lang, score, rn FROM rk WHERE rn * 5 <= n_lang"""
+
+
+@_q("corpus_select_topp", _TOPP_SQL)
+def q_corpus_select_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated corpus selection: keep the top 20% of documents per
+    language by alphabetic-character ratio — the curation step that
+    picks a training subset. The cut is integer (rn*5 <= n_lang, floor
+    semantics) and the rank ordering is (score desc, doc_id) so ties
+    are deterministic. Both window functions share one (lang) partition
+    spec — a single sort. Scale: the sort is per-language (bounded
+    partitions), not global; at 100 TB swap row_number for a two-pass
+    quantile cut (corpus_quantiles) if a single language dominates."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    score = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    ).alias("score")
+    scored = docs.select("doc_id", "lang", score)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    wc = Window.partitionBy("lang")
+    rk = scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wc).alias("n_lang"),
+    )
+    return rk.where(F.col("rn") * 5 <= F.col("n_lang")).select(
+        "doc_id", "lang", "score", "rn"
+    )
+
+
+_COMMONNESS_SQL = rf"""
+WITH {_TOKENS},
+cf AS (SELECT token, COUNT(*) AS cf FROM tokv GROUP BY token)
+SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(c.cf) AS BIGINT) AS sum_cf,
+       CAST(SUM(c.cf) AS DOUBLE) / COUNT(*) AS mean_cf
+FROM tokv t JOIN cf c USING (token)
+GROUP BY t.doc_id"""
+
+
+@_q("token_commonness", _COMMONNESS_SQL)
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring (unigram shape): build corpus term
+    frequencies, join them back onto every token occurrence, and reduce
+    per document — mean corpus frequency of a doc's tokens is the
+    boilerplate/jargon signal (high = stopword soup, low = rare-token
+    text). Two shuffles (token, then doc_id), both on fixed-width keys;
+    the frequency table stays distributed (no driver vocab). The sum is
+    exact int64, the mean a single final division — order-free, so it
+    hash-matches the oracle. The log-prob variant is the same plan with
+    a log lookup on cf; mean_cf is kept ulp-exact instead."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens).alias("token"))
+    cf = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            (F.sum("cf").cast("double") / F.count("*")).alias("mean_cf"),
+        )
+    )
+
+
+_CENTROIDS_SQL = """
+SELECT label, CAST(ord - 1 AS INT) AS dim,
+       CAST(s AS DOUBLE) / (n * 1000000.0) AS centroid, n
+FROM (
+  SELECT label, ord,
+         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (SELECT label, generate_subscripts(embedding, 1) AS ord,
+               unnest(embedding) AS v
+        FROM embeddings) x
+  GROUP BY label, ord) agg"""
+
+
+@_q("cluster_centroids", _CENTROIDS_SQL)
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (IVF/k-means centroid refresh as a pure
+    DataFrame reduction — operators/embeddings.py label_centroids).
+    Components accumulate as exact integer micro-units so the reduce is
+    order-free; one posexplode + one hash aggregate; output is
+    |labels| x dim rows, exploded precisely so a second engine can
+    verify every component."""
+    from aqi_featurestore_spark.operators.embeddings import label_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    return label_centroids(e, vec_col="embedding", label_col="label")
+
+
+_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+st AS (SELECT ord, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY ord)
+SELECT x.vec_id, CAST(x.ord - 1 AS INT) AS dim,
+       CAST(CASE WHEN st.mx = st.mn THEN 0
+                 ELSE least(floor((x.v - st.mn) / (st.mx - st.mn) * 255.0), 255)
+            END AS INT) AS code
+FROM x JOIN st USING (ord)"""
+
+
+@_q("embedding_quantize", _QUANTIZE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization against corpus per-dimension
+    min/max (operators/embeddings.py quantize_embeddings) — the 4x
+    index-compression pass before ANN serving. The stats aggregate
+    reduces to exactly dim rows before a driver collect (bounded by
+    dimensionality, NOT corpus size); the per-vector map is one JVM
+    transform against broadcast literal arrays — vectors never shuffle.
+    Output exploded to (vec_id, dim, code) for exact cross-engine
+    verification."""
+    from aqi_featurestore_spark.operators.embeddings import quantize_embeddings
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+    return q.select(
+        "vec_id", F.posexplode(F.col("codes")).alias("dim", "code")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "code")
+
+
+_INV_INDEX_SQL = rf"""
+WITH {_TOKENS},
+tokd AS (SELECT DISTINCT token, doc_id FROM tokv),
+pst AS (
+  SELECT token, COUNT(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM tokd GROUP BY token)
+SELECT token, df, postings FROM pst WHERE df >= 5 AND df <= 1000"""
+
+
+@_q("inverted_index", _INV_INDEX_SQL)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted distinct posting list (as a
+    CSV string so both engines hash the same bytes) + document
+    frequency, banded to 5 <= df <= 1000 — stopword postings are useless
+    and unbounded, hapaxes are noise. The distinct and the groupBy share
+    the (token, doc_id) -> (token) shuffle chain; postings assemble via
+    sort_array(collect_list) per token, bounded by the df cap. The
+    retrieval side of the corpus (contamination_check is the lookup
+    consumer)."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokd = docs.select(
+        F.explode(tokens).alias("token"), "doc_id"
+    ).distinct()
+    pst = tokd.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return pst.where((F.col("df") >= 5) & (F.col("df") <= 1000))
+
+
+_SEASONAL_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+st AS (
+  SELECT event_type, hr, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) AS sqd
+  FROM c GROUP BY event_type, hr),
+z AS (
+  SELECT c.event_id, c.event_type, c.hr, c.vc, st.n,
+         (c.vc - sd / n)
+           / sqrt((sqd - sd * (sd / n)) / (n - 1)) AS zscore
+  FROM c JOIN st USING (event_type, hr) WHERE st.n > 1)
+SELECT event_id, event_type, hr, CAST(vc AS DOUBLE) / 100.0 AS value,
+       round(zscore, 6) AS zscore
+FROM z WHERE abs(zscore) > 3.0"""
+
+
+@_q("seasonal_anomalies", _SEASONAL_SQL)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: per (event_type,
+    hour-of-day) mean/stddev baseline, flag rows beyond 3 sigma. The
+    baseline is a tiny aggregate (types x 24 rows) broadcast back onto
+    the fact — the monitoring pattern for cyclic metrics. Moments
+    accumulate exactly (cents in DECIMAL(38)) and convert to double once,
+    with pinned operand order (m = sd/n; var = (sqd - sd*m)/(n-1)), so
+    the 3-sigma cut lands identically in both engines; zscore rounds to
+    6 dp only at output."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    d38 = "decimal(38,0)"
+    st = c.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vc").cast(d38)).cast(d38).cast("double").alias("sd"),
+        F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+        .cast(d38)
+        .cast("double")
+        .alias("sqd"),
+    )
+    m = F.col("sd") / F.col("n")
+    var = (F.col("sqd") - F.col("sd") * m) / (F.col("n") - 1)
+    z = (
+        c.join(F.broadcast(st), ["event_type", "hr"])
+        .where(F.col("n") > 1)
+        .withColumn("zscore", (F.col("vc") - m) / F.sqrt(var))
+    )
+    return z.where(F.abs(F.col("zscore")) > 3.0).select(
+        "event_id",
+        "event_type",
+        "hr",
+        (F.col("vc").cast("double") / 100.0).alias("value"),
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: integrity digests, sequence transitions, exact medians,
+# graph triangles, weighted sampling, PMI collocations, dedup audit
+# ---------------------------------------------------------------------------
+
+_DIGEST_SQL = f"""
+WITH h AS (
+  SELECT source, lang,
+         md5(CAST(doc_id AS VARCHAR) || '|' || text) AS m
+  FROM documents),
+v AS (SELECT source, lang, {_ph.duck_md5_int63('m')} AS hh FROM h)
+SELECT source, lang, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(hh) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+FROM v GROUP BY source, lang"""
+
+
+@_q("partition_digest", _DIGEST_SQL)
+def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest per (source, lang) partition — the anti-entropy /
+    table-sync primitive: two replicas compare digests and ship only
+    divergent partitions (the Merkle-tree leaf level). The digest is a
+    SUM of per-row md5-derived 63-bit integers — commutative, so it is
+    independent of row order and partitioning (a float or concat digest
+    would not be), and accumulates in DECIMAL(38) so it never overflows.
+    Emitted as a string: the value is an opaque fingerprint, and both
+    engines print decimals identically."""
+    docs = _read(spark, sf_dir, "documents")
+    h = _ph.md5_int63(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    )
+    return (
+        docs.select("source", "lang", h.alias("hh"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("hh").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("digest"),
+        )
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+cnt AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type) AS prob
+FROM cnt"""
+
+
+@_q("event_transitions", _TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within (user, time) order, count per (from, to),
+    row-normalized to probabilities. The normalizing SUM is a window
+    over the already-aggregated |types|^2 frame — negligible. Sequence
+    order ties break on event_id, so the lead chain is deterministic.
+    The session-path model behind next-event prediction features."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("prob"),
+    )
+
+
+_GROUP_MEDIAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events)
+SELECT event_type,
+       quantile_cont(vc, 0.25) / 100.0 AS p25,
+       quantile_cont(vc, 0.50) / 100.0 AS p50,
+       quantile_cont(vc, 0.75) / 100.0 AS p75
+FROM c GROUP BY event_type"""
+
+
+@_q("group_median", _GROUP_MEDIAN_SQL)
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles with linear interpolation. Parity
+    subtlety: Spark computes (1-g)*lo + g*hi, DuckDB lo + (hi-lo)*g —
+    different FP expressions, but over integer cents with g in
+    {0, .25, .5, .75} every term is exactly representable, so both
+    reduce to the same rational and the doubles agree bit-for-bit
+    (this would NOT survive raw-double inputs or arbitrary g). Exact
+    percentile sorts each group — the scale path is approx_quantiles
+    (KLL/GK sketch); this is the small-group exact variant."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    return c.groupBy("event_type").agg(
+        (F.percentile("vc", 0.25) / 100.0).alias("p25"),
+        (F.percentile("vc", 0.50) / 100.0).alias("p50"),
+        (F.percentile("vc", 0.75) / 100.0).alias("p75"),
+    )
+
+
+_EMB_NORM_SUB = """(SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                 sqrt(list_reduce(
+                   list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                   (p, q) -> p + q))) AS v
+        FROM embeddings)"""
+
+_TRIANGLE_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM {_EMB_NORM_SUB} a
+  JOIN {_EMB_NORM_SUB} b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i]), (p, q) -> p + q), 6) >= 0.85)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*)
+        FROM pairs p1 JOIN pairs p2 ON p2.d1 = p1.d2
+        JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2) AS n_triangles"""
+
+
+@_q("similarity_triangles", _TRIANGLE_SQL)
+def q_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the cosine-similarity graph (>= 0.85) — the
+    clustering-coefficient numerator; high triangle density means the
+    near-dup clusters are tight (transitive), low means chains that
+    connected-components would over-merge. Edges satisfy d1 < d2, so
+    each triangle a<b<c is counted exactly once via the two-join
+    pattern (ab, bc, ac). The edge list is computed once and reused
+    across the three join legs (exchange reuse); joins are on bare int
+    ids — the vectors never enter the triangle phase."""
+    e = _read(spark, sf_dir, "embeddings")
+    # The edge list feeds three join legs; without a cut Spark recomputes
+    # the full O(n^2) cosine subtree once per leg (exchange reuse can't
+    # fire across the differing join keys). localCheckpoint materializes
+    # the (tiny) edge list once — same pattern as connected_components.
+    pairs = (
+        embedding_cosine_pairs(e, threshold=0.85, lsh=False)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.d1") == F.col("p1.d2"))
+        .join(
+            p3,
+            (F.col("p3.d1") == F.col("p1.d1")) & (F.col("p3.d2") == F.col("p2.d2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH mx AS (SELECT MAX(n_chars) AS m FROM documents),
+h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS md
+      FROM documents)
+SELECT h.doc_id, h.n_chars
+FROM h CROSS JOIN mx
+WHERE {_ph.duck_hex_int('md', 1, 8)} * mx.m < h.n_chars * 4294967296"""
+
+
+@_q("weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each doc with
+    probability n_chars / max(n_chars) — longer documents
+    proportionally more likely, the standard size-biased curation
+    sampler. The coin is md5(doc_id) as a 32-bit uniform, and the
+    comparison is integer cross-multiplication (u * max < w * 2^32) —
+    no doubles, so reproducible in any engine AND stable under re-runs
+    / repartitioning (rand() would be neither). The global max is a
+    1-row broadcast cross join, never a driver action."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u = _ph.md5_int32(F.col("doc_id").cast("string"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(u * F.col("m") < F.col("n_chars") * F.lit(4294967296))
+        .select("doc_id", "n_chars")
+    )
+
+
+_PMI_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokp AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS token
+  FROM arr),
+uni AS (SELECT token, COUNT(*) AS c FROM tokp GROUP BY token),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+big AS (
+  SELECT t1.token AS t1, t2.token AS t2, COUNT(*) AS n
+  FROM tokp t1 JOIN tokp t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.token, t2.token),
+nb AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM big),
+scored AS (
+  SELECT b.t1, b.t2, b.n,
+         round(ln((CAST(b.n AS DOUBLE) / nb.nb)
+                  / ((CAST(u1.c AS DOUBLE) / nu.nu)
+                     * (CAST(u2.c AS DOUBLE) / nu.nu))), 6) AS pmi
+  FROM big b
+  JOIN uni u1 ON u1.token = b.t1
+  JOIN uni u2 ON u2.token = b.t2
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.n >= 5)
+SELECT t1, t2, n, pmi, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rk
+  FROM scored) t
+WHERE rk <= 100"""
+
+
+@_q("bigram_pmi", _PMI_SQL)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information over
+    adjacent token bigrams (n >= 5): the phrase-mining pass that feeds
+    tokenizer merges. Bigrams come from zip_with of the token array
+    against its own tail (no positional self-join on the Spark side —
+    that's the oracle's shape); unigram marginals join back on each
+    side; PMI is computed in doubles with pinned operand order and
+    rounded to 6 dp BEFORE ranking (tie-break t1, t2) so a sub-ulp
+    ln() divergence can't reorder the board — same discipline as
+    tfidf_top_terms. Global top-k via TakeOrderedAndProject, window
+    only over the 100 survivors."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    arr = docs.select(F.col("doc_id"), toks.alias("a"))
+    bigrams = F.zip_with(
+        F.expr("slice(a, 1, size(a) - 1)"),
+        F.expr("slice(a, 2, size(a) - 1)"),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    tok = arr.select(F.explode("a").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    big = (
+        arr.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 5)
+    )
+    nb = (
+        arr.select((F.size("a") - 1).alias("k"))
+        .where(F.col("k") > 0)
+        .agg(F.sum("k").cast("bigint").alias("nb"))
+    )
+    scored = (
+        big.join(uni.withColumnRenamed("token", "t1").withColumnRenamed("c", "c1"), "t1")
+        .join(uni.withColumnRenamed("token", "t2").withColumnRenamed("c", "c2"), "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t1",
+            "t2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("nu"))
+                        * (F.col("c2").cast("double") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2")).limit(100)
+    w = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+    return top.select(
+        "t1", "t2", "n", "pmi", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+_CMS_W, _CMS_D = 512, 4
+_CMS_FAM = _ph.hash_family(_CMS_D, seed=0xC31)
+
+_CMS_SQL = rf"""
+WITH tokv AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+t1 AS (SELECT token, md5(token) AS h, COUNT(*) AS true_cnt FROM tokv GROUP BY token),
+hbase AS (
+  SELECT token, true_cnt,
+         ({_ph.duck_hex_int('h', 1, 8)}) % {_ph.MERSENNE31} AS hb
+  FROM t1),
+fam AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_FAM))})
+  AS t(j, a, b)),
+occ AS (SELECT h.hb FROM tokv v JOIN hbase h USING (token)),
+cms AS (
+  SELECT f.j, ((f.a * o.hb + f.b) % {_ph.MERSENNE31}) % {_CMS_W} AS col,
+         COUNT(*) AS c
+  FROM occ o CROSS JOIN fam f GROUP BY 1, 2),
+probe AS (
+  SELECT h.token, h.true_cnt, f.j,
+         ((f.a * h.hb + f.b) % {_ph.MERSENNE31}) % {_CMS_W} AS col
+  FROM hbase h CROSS JOIN fam f),
+est AS (
+  SELECT p.token, p.true_cnt, MIN(c.c) AS est
+  FROM probe p JOIN cms c ON p.j = c.j AND p.col = c.col
+  GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n FROM tokv)
+SELECT token, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+FROM est CROSS JOIN tot
+WHERE est * 256 >= n
+ORDER BY est DESC, token ASC"""
+
+
+@_q("cms_heavy_hitters", _CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over corpus tokens: a 4x512
+    sketch (affine universal hashes over the 32-bit md5 base — the same
+    portable family as MinHash, so the DuckDB oracle rebuilds every cell
+    bit-for-bit), point-queried for every distinct token; tokens whose
+    CMS estimate clears total/256 are reported with their exact count
+    alongside (est >= true always — the CMS one-sided error).
+
+    Scale shape: the SKETCH is the point. The cms table is at most
+    d x w = 2048 cells regardless of corpus size — it broadcasts, so
+    the estimate join is map-side; the only corpus-proportional shuffles
+    are the token count aggregates (map-combined, fixed-width keys).
+    The threshold compare is integer cross-multiplication (est*256 >=
+    total) against a 1-row broadcast scalar — no floats anywhere in the
+    operator."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = _read(spark, sf_dir, "documents").select(F.explode(toks).alias("token"))
+    hb = (_ph.md5_int32("token") % F.lit(_ph.MERSENNE31)).alias("hb")
+
+    def cols(hb_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (_ph.affine(hb_col, a, b) % F.lit(_CMS_W)).alias("col"),
+                )
+                for j, (a, b) in enumerate(_CMS_FAM)
+            ]
+        )
+
+    occ = tok.select(hb)
+    cms = (
+        occ.select(F.explode(cols(F.col("hb"))).alias("e"))
+        .select("e.j", "e.col")
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    per_tok = tok.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    probe = per_tok.select(
+        "token", "true_cnt", F.explode(cols(_ph.md5_int32("token") % F.lit(_ph.MERSENNE31))).alias("e")
+    ).select("token", "true_cnt", "e.j", "e.col")
+    est = (
+        probe.join(F.broadcast(cms), ["j", "col"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    tot = tok.agg(F.count("*").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("est") * 256 >= F.col("n"))
+        .select("token", "est", "true_cnt")
+        .orderBy(F.desc("est"), F.asc("token"))
+    )
+
+
+_PR_SCALE = 1_000_000_000_000  # rank mass in integer micro-units
+_PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Unrolled integer PageRank oracle: 5 iterations of
+    rank' = (3*SCALE) // (20*n) + (17 * sum(rank//deg over in-edges)) // 20
+    (d = 0.85 = 17/20 kept rational; every op is integral division on
+    positive integers, identical semantics in Spark's `div` and
+    DuckDB's `//`)."""
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""it{i} AS (
+  SELECT d.node, d.deg,
+         CAST((3 * {_PR_SCALE}) // (20 * nn.n)
+              + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // r.deg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.node
+             GROUP BY e.dst) s ON s.node = d.node)""")
+        prev = f"it{i}"
+    return f"""WITH pairs AS ({approx_oracles.embedding_cosine_lsh_sql()}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, deg, CAST({_PR_SCALE} // nn.n AS BIGINT) AS rank
+       FROM deg CROSS JOIN nn),
+{", ".join(its)}
+SELECT CAST(node AS BIGINT) AS node, rank AS rank_u
+FROM {prev} ORDER BY rank_u DESC, node ASC"""
+
+
+@_q("similarity_pagerank", _pagerank_sql())
+def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the embedding similarity graph: 5
+    PageRank iterations (d = 17/20) on the symmetrized LSH cosine-pair
+    edges, in EXACT integer arithmetic — ranks live in 1e12 micro-units
+    and every damping/contribution step is integral division, so the
+    rank vector is bit-identical across engines, partitionings, and
+    reruns (a float PageRank could never hash-match an oracle).
+
+    Scale shape: fixed-iteration rounds over (node, deg, rank) triples;
+    the 1-row node count broadcasts; edges shuffle once per round on
+    src/dst (bare id pairs). The edge list is localCheckpoint-ed once —
+    the plan references it 6 times (5 contribution rounds + degrees),
+    and without the lineage cut each reference would re-run the whole
+    LSH pair pipeline (sketch UDF included)."""
+    e = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(
+        e, threshold=0.4, lsh=True, n_planes=32, bands=4
+    ).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    base = deg.crossJoin(F.broadcast(nn))
+    ranks = base.select(
+        "node", "deg", "n", F.expr(f"{_PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        msgs = edges.join(ranks, edges["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
+        s = msgs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(s, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.expr(f"(3 * {_PR_SCALE}) div (20 * n)")
+                    + F.expr("(17 * coalesce(s, 0)) div 20")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("rank_u")).orderBy(
+        F.desc("rank_u"), F.asc("node")
+    )
+
+
+# m deliberately undersized for the corpus (~0.6 fill) so the
+# deterministic false-positive set is non-empty and visible in output.
+_BLOOM_M, _BLOOM_K = 2048, 4
+_BLOOM_FAM = _ph.hash_family(_BLOOM_K, seed=0xB100)
+
+_BLOOM_SQL = rf"""
+WITH d0 AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+d AS (SELECT doc_id, ({_ph.duck_hex_int('h', 1, 8)}) % {_ph.MERSENNE31} AS hb FROM d0),
+fam AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_BLOOM_FAM))})
+  AS t(j, a, b)),
+corpus AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+newb AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+bits AS (
+  SELECT DISTINCT ((f.a * c.hb + f.b) % {_ph.MERSENNE31}) % {_BLOOM_M} AS bit
+  FROM corpus c CROSS JOIN fam f),
+probe AS (
+  SELECT n.doc_id, n.hb,
+         ((f.a * n.hb + f.b) % {_ph.MERSENNE31}) % {_BLOOM_M} AS bit
+  FROM newb n CROSS JOIN fam f),
+hit AS (
+  SELECT p.doc_id,
+         CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INT) AS maybe_dup
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id)
+SELECT h.doc_id, h.maybe_dup,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM corpus c JOIN newb n2 ON c.hb = n2.hb
+         WHERE n2.doc_id = h.doc_id) THEN 1 ELSE 0 END AS INT) AS exact_dup
+FROM hit h"""
+
+
+@_q("bloom_dedup_gate", _BLOOM_SQL)
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion gate: probe each new-batch document's
+    content fingerprint against a 4-hash / 2048-bit Bloom
+    filter of the corpus. ``maybe_dup`` is the Bloom answer (one-sided:
+    never 0 for a true duplicate; deterministic false positives the
+    oracle reproduces bit-for-bit via the same affine family);
+    ``exact_dup`` is the ground truth, so the query also EXHIBITS the
+    false-positive set (maybe_dup=1, exact_dup=0).
+
+    Scale shape: the filter is the point — the corpus collapses to at
+    most m distinct set-bit rows (a map-combined distinct), which
+    broadcast; probing is a map-side left join + per-doc min. The
+    exact-dup leg is a fingerprint semi-join (fixed-width keys). At
+    100 TB the bits table would be built once and reused per batch."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (_ph.md5_int32(F.lower(F.trim(F.col("text")))) % F.lit(_ph.MERSENNE31)).alias("hb"),
+    )
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    newb = d.where(F.col("doc_id") % 10 == 7)
+
+    def bits_arr(hb_col):
+        return F.array(
+            *[
+                (_ph.affine(hb_col, a, b) % F.lit(_BLOOM_M)).alias(f"b{j}")
+                for j, (a, b) in enumerate(_BLOOM_FAM)
+            ]
+        )
+
+    bits = (
+        corpus.select(F.explode(bits_arr(F.col("hb"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = newb.select("doc_id", "hb", F.explode(bits_arr(F.col("hb"))).alias("bit"))
+    hit = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "hb")
+        .agg(F.min(F.coalesce("present", F.lit(0))).cast("int").alias("maybe_dup"))
+    )
+    exact = corpus.select(F.col("hb").alias("c_hb")).distinct()
+    return (
+        hit.join(F.broadcast(exact), hit["hb"] == exact["c_hb"], "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.when(F.col("c_hb").isNotNull(), 1).otherwise(0).cast("int").alias("exact_dup"),
+        )
+    )
+
+
+_BIGRAM_FAM_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokp AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS token
+  FROM arr),
+bg AS (
+  SELECT t1.doc_id, t1.token AS t1, t2.token AS t2
+  FROM tokp t1 JOIN tokp t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+df AS (
+  SELECT t1, t2, COUNT(DISTINCT doc_id) AS df
+  FROM bg GROUP BY t1, t2),
+per AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM bg b JOIN df d ON b.t1 = d.t1 AND b.t2 = d.t2
+  GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, n_common,
+       round(CAST(n_common AS DOUBLE) / n_bigrams, 6) AS familiarity
+FROM per"""
+
+
+@_q("bigram_familiarity", _BIGRAM_FAM_SQL)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score per document: the fraction of a doc's
+    adjacent-token bigram occurrences that also appear in at least one
+    OTHER document (document frequency >= 2). Garbled / machine-mangled
+    text scores low; natural prose scores high — the exact-integer
+    stand-in for an n-gram LM perplexity filter (counts and the df
+    threshold are integers end-to-end; the single final division is the
+    only float op, so the score is engine-reproducible bit-for-bit).
+
+    Scale shape: bigrams explode once from the token-array zip (no
+    positional self-join — that's the oracle's shape); df is a distinct
+    + count keyed on the bigram; the join back to occurrences is an
+    equi-join on the same key (AQE splits the boilerplate-bigram skew);
+    per-doc reduction is a hash aggregate. Token arrays never shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(a, 1, size(a) - 1)"),
+        F.expr("slice(a, 2, size(a) - 1)"),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    bg = (
+        docs.select(F.col("doc_id"), toks.alias("a"))
+        .where(F.size("a") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+    )
+    df = (
+        bg.dropDuplicates(["doc_id", "t1", "t2"])
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("df"))
+    )
+    per = (
+        bg.join(df, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_bigrams"), 6).alias(
+            "familiarity"
+        ),
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+groups AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a),
+sizes AS (SELECT group_id, COUNT(*) AS cluster_size FROM groups GROUP BY group_id)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size"""
+
+
+@_q("dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: histogram of duplicate-cluster sizes (clusters of
+    >= 2 near-identical docs from the exact n-gram Jaccard graph).
+    The report a curation run publishes — 'how much of the corpus is
+    duplicated, and in how big clumps'. Components via label
+    propagation; both follow-up aggregates reduce tiny frames. Oracle
+    recomputes components with a recursive CTE."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
+    comp = connected_components(pairs.select("d1", "d2"))
+    sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample; rolling distinct-user window
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),
+rk AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_ph.duck_hex_int('md', 1, 8)}, doc_id) AS INT) AS rn
+  FROM h)
+SELECT doc_id, lang, rn FROM rk WHERE rn <= 20"""
+
+
+@_q("hash_reservoir_sample", _RESERVOIR_SQL)
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group uniform k-sample without replacement, deterministically:
+    keep each language's 20 docs with the smallest md5(doc_id) — under a
+    random-oracle hash the k smallest hashes ARE a uniform k-subset, but
+    unlike rand() the pick is stable across reruns, retries, and
+    repartitioning (and two engines agree on it, which is the point of
+    the oracle). This is the distributed form of reservoir sampling: no
+    sequential state, one per-group top-k. At scale swap row_number for
+    a groupBy min_by-k or window-free TakeOrdered per group if a single
+    group dominates."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = _ph.md5_int32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("int").alias("rn")
+        )
+        .where(F.col("rn") <= 20)
+    )
+
+
+_ROLLING_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+tgt AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS dau_7d
+FROM tgt
+WHERE day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY day"""
+
+
+@_q("rolling_dau", _ROLLING_DAU_SQL)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-DAU
+    board metric. COUNT(DISTINCT) can't ride a sliding window frame, so
+    the scalable plan reduces FIRST (distinct (day, user) — collapses
+    events to at most |days|x|users|), then fans each row out to the 7
+    target days it supports (sequence+explode, a x7 multiplier on the
+    already-reduced frame — never on raw events), then distinct-counts
+    per target day. Two shuffles on (day-ish, user) keys. Days beyond
+    the data's max date are trimmed against a 1-row broadcast max."""
+    e = _read(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    tgt = daily.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+        "user_id",
+    )
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    return (
+        tgt.crossJoin(F.broadcast(mx))
+        .where(F.col("day") <= F.col("mx"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical similarity, quantile bucketizer, policy dedup, skew report
+# ---------------------------------------------------------------------------
+
+_SPARSE_TOPK_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokv AS (SELECT doc_id, unnest(a) AS token FROM arr),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokv GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT f.doc_id, f.token,
+         CAST(round(f.tf * ln((n.n + 1.0) / (d.df + 1.0)) * 1000000, 0) AS BIGINT) AS w
+  FROM tf f JOIN dfq d USING (token) CROSS JOIN n
+  WHERE d.df <= 100),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS score_raw,
+         COUNT(*) AS n_shared
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, score_raw, n_shared, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY score_raw DESC, d1 ASC, d2 ASC) AS rk FROM pairs) t
+WHERE rk <= 50"""
+
+
+@_q("sparse_lexical_topk", _SPARSE_TOPK_SQL)
+def q_sparse_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most lexically similar doc pairs by TF-IDF-weighted token
+    overlap — the sparse (BM25-family) counterpart to the dense
+    embedding similarity ops. The posting-list self-join is banded to
+    df <= 100: super-common tokens contribute ~nothing to the score but
+    quadratic join volume (the same insight as the Jaccard prefix
+    filter, applied to weighted retrieval). Weights quantize to integer
+    micro-units so the pair score is an exact int64 sum — order-free
+    across partitions and engines; ranking needs no rounding at all.
+    Global top-k via TakeOrderedAndProject; window over 50 survivors."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokv = docs.select("doc_id", F.explode(toks).alias("token"))
+    tf = tokv.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    w = (
+        tf.join(dfq, "token")
+        .where(F.col("df") <= 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("score_raw"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    top = pairs.orderBy(F.desc("score_raw"), F.asc("d1"), F.asc("d2")).limit(50)
+    wk = Window.orderBy(F.desc("score_raw"), F.asc("d1"), F.asc("d2"))
+    return top.select(
+        "d1", "d2", "score_raw", "n_shared",
+        F.row_number().over(wk).cast("int").alias("rk"),
+    )
+
+
+_BUCKETIZE_SQL = """
+WITH c AS (
+  SELECT event_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc FROM events),
+bp AS (
+  SELECT quantile_cont(vc, 0.25) AS p25,
+         quantile_cont(vc, 0.50) AS p50,
+         quantile_cont(vc, 0.75) AS p75
+  FROM c),
+assigned AS (
+  SELECT c.event_id, c.vc,
+         CASE WHEN c.vc <= bp.p25 THEN 1
+              WHEN c.vc <= bp.p50 THEN 2
+              WHEN c.vc <= bp.p75 THEN 3
+              ELSE 4 END AS bucket
+  FROM c CROSS JOIN bp)
+SELECT bucket, COUNT(*) AS n,
+       CAST(MIN(vc) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(vc) AS DOUBLE) / 100.0 AS hi
+FROM assigned GROUP BY bucket"""
+
+
+@_q("quartile_bucketize", _BUCKETIZE_SQL)
+def q_quartile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase quantile bucketizer — the SCALE path for quantile
+    binning, vs value_deciles' global-sort ntile: phase 1 reduces the
+    corpus to three breakpoints (one aggregate), phase 2 assigns buckets
+    with a broadcast CASE — no global sort, no window, fully parallel.
+    Quartile fractions are dyadic, so exact-percentile interpolation
+    over integer cents is bit-identical across engines (same argument
+    as group_median); bucket edges use <= consistently. Output is the
+    per-bucket audit (count + realized [lo, hi])."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    bp = c.agg(
+        F.percentile("vc", 0.25).alias("p25"),
+        F.percentile("vc", 0.50).alias("p50"),
+        F.percentile("vc", 0.75).alias("p75"),
+    )
+    assigned = c.crossJoin(F.broadcast(bp)).select(
+        "event_id",
+        "vc",
+        F.when(F.col("vc") <= F.col("p25"), 1)
+        .when(F.col("vc") <= F.col("p50"), 2)
+        .when(F.col("vc") <= F.col("p75"), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.min("vc").cast("double") / 100.0).alias("lo"),
+        (F.max("vc").cast("double") / 100.0).alias("hi"),
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+groups AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a),
+ranked AS (
+  SELECT g.doc_id, g.group_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY d.n_chars DESC, g.doc_id ASC) AS rn
+  FROM groups g JOIN documents d USING (doc_id))
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM groups)
+   OR d.doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)"""
+
+
+@_q("dedup_keep_best", _KEEP_BEST_SQL)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based dedup resolution: within each near-dup cluster keep
+    the HIGHEST-QUALITY doc (longest, tie -> lowest id) instead of
+    dedup_resolve_docs' min-id canonical — the rule real curation
+    pipelines want ('keep the best copy, drop the rest'). Winner per
+    cluster via max_by on (n_chars, -doc_id) — a hash aggregate over
+    cluster members, no window sort; survivors = winners + all docs in
+    no cluster (broadcast anti join on the tiny member set)."""
+    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
+    comp = connected_components(pairs.select("d1", "d2"))
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    winners = members.groupBy("group_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("doc_id")
+    )
+    keep_clustered = d.join(
+        F.broadcast(winners.select("doc_id")), "doc_id", "left_semi"
+    )
+    unclustered = d.join(
+        F.broadcast(comp.select("doc_id")), "doc_id", "left_anti"
+    )
+    return unclustered.unionByName(keep_clustered).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_SKEW_REPORT_SQL = """
+WITH e AS (
+  SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+l AS (
+  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+o AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+SELECT 'events.user_id' AS key_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS top1_cnt,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top1_share FROM e
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(SUM(c) AS BIGINT), COUNT(*),
+       CAST(MAX(c) AS BIGINT), CAST(MAX(c) AS DOUBLE) / SUM(c) FROM l
+UNION ALL
+SELECT 'orders.o_custkey', CAST(SUM(c) AS BIGINT), COUNT(*),
+       CAST(MAX(c) AS BIGINT), CAST(MAX(c) AS DOUBLE) / SUM(c) FROM o"""
+
+
+@_q("skew_report", _SKEW_REPORT_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report that tells you BEFORE a
+    shuffle join whether to salt (operators/skew.py) or let AQE split:
+    per candidate key, total rows, distinct keys, and the hottest key's
+    share. Each table reduces via one map-combined groupBy to |keys|
+    rows, then to a single stats row — the report costs one scan per
+    table regardless of scale."""
+
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.lit(label).alias("key_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").cast("bigint").alias("top1_cnt"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top1_share"),
+        )
+
+    e = stats(_read(spark, sf_dir, "events"), "user_id", "events.user_id")
+    l = stats(_read(spark, sf_dir, "lineitem"), "l_partkey", "lineitem.l_partkey")
+    o = stats(_read(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
+    return e.unionByName(l).unionByName(o)
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,769 @@
+"""ML data prep (k-fold, negative sampling, scaling, revenue share,
+shard packing) and the TPC-H completeness batch Q6/Q7/Q8/Q10/Q14/Q15/
+Q18/Q19 plus MERGE upsert.
+
+Split out of plans/queries.py (round 4); registration still via the
+shared ``@_q`` registry in plans/_base.py. Reference citations live on
+each query docstring.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark import pipeline
+from aqi_featurestore_spark.functions import portable_hash as _ph
+from aqi_featurestore_spark.plans import approx_oracles
+from aqi_featurestore_spark.functions.aqi import aqi_case_sql
+from aqi_featurestore_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from aqi_featurestore_spark.functions.time_features import entity_key
+from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
+from aqi_featurestore_spark.operators.near_dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aqi_featurestore_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from aqi_featurestore_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_cosine_pairs,
+)
+from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
+from aqi_featurestore_spark.plans._base import (  # noqa: F401
+    ORACLE_SQL,
+    QUERIES,
+    _FEAT_CTE,
+    _NGRAM_JACCARD_SQL,
+    _PIT_CTES,
+    _SIM_NORM_CTE,
+    _SIM_NORM_DOT,
+    _SPINE_CTE,
+    _TOKENS,
+    _q,
+    _read,
+)
+
+
+# ML-data-prep round 3: k-fold, negative sampling, feature scaling,
+# contribution analysis, shard packing
+# ---------------------------------------------------------------------------
+
+_KFOLD_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),
+f AS (
+  SELECT CAST({_ph.duck_hex_int('md', 1, 8)} % 5 AS INT) AS fold,
+         n_chars
+  FROM h)
+SELECT fold, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM f GROUP BY fold"""
+
+
+@_q("kfold_assign", _KFOLD_SQL)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) mod 5 — like train_test_split's hash gate but k-way.
+    Membership is a pure row-local function of the id (no RNG, no
+    shuffle, stable under reruns and repartitioning — a distributed
+    `randomSplit` is neither), so every engine and every rerun agrees
+    on the folds. Output is the per-fold audit (count + char mass) that
+    checks balance."""
+    docs = _read(spark, sf_dir, "documents")
+    fold = (_ph.md5_int32(F.col("doc_id").cast("string")) % 5).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_NEG_SAMPLE_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT d.doc_id, i.i,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)) AS md
+  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i),
+neg AS (
+  SELECT a.doc_id, a.i,
+         CAST({_ph.duck_hex_int('md', 1, 8)} % n.n AS BIGINT) AS neg_id
+  FROM anchors a CROSS JOIN n)
+SELECT g.doc_id, g.i, g.neg_id, d.lang AS neg_lang
+FROM neg g JOIN documents d ON d.doc_id = g.neg_id
+WHERE g.neg_id <> g.doc_id"""
+
+
+@_q("negative_sampling", _NEG_SAMPLE_SQL)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws 3 pseudo-random negatives via md5(anchor:i) mod N
+    over the dense id space — reproducible across reruns AND engines
+    (rand() is neither), self-pairs dropped. The negatives join back to
+    the corpus on neg_id (a plain equi-join that co-partitions with any
+    downstream feature fetch); N is a 1-row broadcast, never a driver
+    action. At 100 TB with non-dense ids, compose with zorder_keys'
+    dense-rank to build the id map first."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    anchors = docs.select("doc_id").crossJoin(
+        F.broadcast(n)
+    ).select(
+        "doc_id", "n", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i")
+    )
+    neg_id = (
+        _ph.md5_int32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+        )
+        % F.col("n")
+    ).cast("bigint")
+    neg = anchors.select("doc_id", "i", neg_id.alias("neg_id")).where(
+        F.col("neg_id") != F.col("doc_id")
+    )
+    d2 = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return neg.join(d2, "neg_id").select("doc_id", "i", "neg_id", "neg_lang")
+
+
+_ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round("value" * 100, 0) AS BIGINT) AS vc
+  FROM events),
+st AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) AS sqd
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+       round((c.vc - sd / n) / sqrt((sqd - sd * (sd / n)) / (n - 1)), 6) AS z
+FROM c JOIN st USING (event_type) WHERE st.n > 1"""
+
+
+@_q("zscore_normalize", _ZSCORE_SQL)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-scaler feature transform: every value z-scored against
+    its event_type's mean/std — the fit-then-transform pattern as ONE
+    plan: the 'fit' is a tiny per-group moments aggregate (exact
+    DECIMAL(38) accumulation), broadcast back onto the fact for the
+    row-wise transform with pinned double operand order (same moment
+    discipline as seasonal_anomalies, which consumes these z-scores'
+    3-sigma tail). No window over the fact — the scaler never sorts."""
+    e = _read(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    d38 = "decimal(38,0)"
+    st = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vc").cast(d38)).cast(d38).cast("double").alias("sd"),
+        F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+        .cast(d38)
+        .cast("double")
+        .alias("sqd"),
+    )
+    m = F.col("sd") / F.col("n")
+    var = (F.col("sqd") - F.col("sd") * m) / (F.col("n") - 1)
+    return (
+        c.join(F.broadcast(st), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("vc") - m) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
+_REV_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name, r.r_name,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name)
+SELECT r_name, n_name,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY r_name) AS share
+FROM rev"""
+
+
+@_q("revenue_share", _REV_SHARE_SQL)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue share within its
+    region — percent-of-total over a two-level dimension. The fact
+    aggregates FIRST (exact cents); the normalizing SUM is a window
+    over the |nations| frame, not the fact. Dim joins broadcast
+    (nation/region/customer are small; at 100 TB customer shuffles,
+    the others still broadcast)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w)).alias("share"),
+    )
+
+
+_SHARD_SQL = """
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM documents),
+s AS (
+  SELECT source, CAST(cum_excl // 65536 AS INT) AS shard_id, n_chars
+  FROM c)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+FROM s GROUP BY source, shard_id"""
+
+
+@_q("media_shard_plan", _SHARD_SQL)
+def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-packing plan for training export: within each source,
+    assign documents (by byte mass — n_chars as the stand-in for blob
+    size; the multimodal payload path uses n_bytes identically) to
+    ~64 KB shards via an exclusive running sum — the 'pack 100 TB into
+    512 MB webdataset shards' step. One window sort per source over
+    METADATA columns only (the payloads themselves never move — the
+    plan ships (doc_id -> shard_id) to the writer); integer cumsum, so
+    both engines agree exactly. Same prefix-sum idea as
+    sequence_packing, applied to file layout."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_excl"),
+    )
+    s = c.select(
+        "source",
+        (F.col("cum_excl") / 65536).cast("int").alias("shard_id"),
+        "n_chars",
+    )
+    return s.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completeness batch: Q6/Q7/Q8/Q10/Q14/Q15/Q18/Q19 shapes, adapted to
+# the testdata schema (no partsupp / shipmode / commitdate columns, so
+# Q2/Q9/Q11/Q12/Q20/Q21 are unexpressible on this dataset; see SURVEY).
+# Money stays in exact integer cents until the final division.
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+@_q("forecast_revenue", _Q6_SQL)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pure scan-filter-aggregate: every predicate (date
+    range, discount band, quantity cap) reaches the parquet scan as a
+    pushed filter, the aggregate is one map-combined sum, zero joins.
+    The query that measures raw scan throughput; at 100 TB it is I/O
+    bound and partition pruning on a date-partitioned layout
+    (offline_store's y/m/d scheme) would skip ~6/7 of the files."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
+                    .cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)"""
+
+
+@_q("volume_shipping", _Q7_SQL)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — bilateral trade volume: the two-role dimension join
+    (nation joined TWICE under different aliases, supplier side and
+    customer side) with a disjunctive cross-nation filter and a
+    year-grained rollup. Both nation copies broadcast; the disjunction
+    is evaluated after the (cheap) dim joins — at 100 TB the win is
+    semi-join pushdown: only the two nations' suppliers/customers
+    survive into the fact join."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg((F.sum("cents").cast("double") / 100.0).alias("revenue"))
+
+
+_Q8_SQL = """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+           AS cents,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS DOUBLE) / SUM(cents) AS mkt_share
+FROM base GROUP BY o_year"""
+
+
+@_q("market_share", _Q8_SQL)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: ratio of conditional sums per
+    year. The numerator is a CASE inside the same aggregate as the
+    denominator — one pass, no self-join, no second scan; both sums are
+    exact cents so the share is a single exact-int division. Seven-table
+    join where every dimension broadcasts and only lineitem/orders
+    shuffle."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("n2_key")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0)
+    )
+    return base.groupBy("o_year").agg(
+        (num.cast("double") / F.sum("cents")).alias("mkt_share")
+    )
+
+
+_Q10_SQL = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name)
+SELECT c_custkey, c_name, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY cents DESC, c_custkey ASC) AS rk
+      FROM rev) t
+WHERE rk <= 20"""
+
+
+@_q("returned_top_customers", _Q10_SQL)
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — top-20 customers by returned-item revenue in a
+    half-year window. Both filters push to their scans (date on orders,
+    returnflag on lineitem) BEFORE the join; revenue ranks on exact
+    cents with c_custkey tie-break; the global top-20 compiles to
+    TakeOrderedAndProject (per-partition top-k + 20-row merge), the
+    ranking window touches only the 20 survivors."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    top = rev.orderBy(F.desc("cents"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("cents"), F.asc("c_custkey"))
+    return top.select(
+        "c_custkey",
+        "c_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+_Q14_SQL = """
+SELECT (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                                AS BIGINT) ELSE 0 END) AS DOUBLE) * 100.0)
+       / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'"""
+
+
+@_q("promo_revenue", _Q14_SQL)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion revenue percentage: conditional numerator
+    and unconditional denominator in ONE aggregate over one month of
+    shipments. The date filter prunes lineitem at the scan; part
+    broadcasts; both sums are exact cents and the percentage is one
+    pinned double expression (num * 100.0) / den."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    num = F.sum(F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0))
+    return j.agg(
+        ((num.cast("double") * 100.0) / F.sum("cents")).alias("promo_pct")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(cents) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, CAST(r.cents AS DOUBLE) / 100.0 AS total_revenue
+FROM rev r CROSS JOIN mx JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.cents = mx.m"""
+
+
+@_q("top_supplier", _Q15_SQL)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier(s) by quarterly revenue: the
+    global-max-equality pattern (the original's view + subquery). The
+    max is a 1-row broadcast compared back against the per-supplier
+    aggregate — ALL ties surface (exact cents make 'equal revenue'
+    well-defined; a double sum could split ties by partition order);
+    supplier joins after the filter, so only winners fetch names."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("cents"))
+    mx = rev.agg(F.max("cents").alias("m"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("cents") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(b.qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey"""
+
+
+@_q("large_orders", _Q18_SQL)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume orders: HAVING on a grouped fact
+    (orders whose total quantity > 250) driving joins back to orders
+    and customer. The aggregate-then-filter runs FIRST, so the join
+    inputs shrink from |lineitem| to |big orders| before any wide row
+    materializes — the orders join is effectively a semi-join carried
+    by the aggregate. Quantity accumulates in exact cents."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("qty_c"))
+        .where(F.col("qty_c") > 25000)
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            (F.col("qty_c").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)"""
+
+
+@_q("disjunctive_revenue", _Q19_SQL)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — disjunction of conjunctions across BOTH join sides
+    (brand/size terms on part, quantity bands on lineitem). Catalyst
+    extracts the common join key and pushes the per-side residuals it
+    can (brand IN (...) and the quantity hull are derivable); the mixed
+    OR evaluates post-join. The optimizer-stressing shape: a naive
+    planner evaluates the whole disjunction as a filter on a full
+    cross-joined row."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        (F.sum("cents").cast("double") / 100.0).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (SCD1 upsert application) — full-outer coalesce
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH tgt AS (
+  SELECT user_id, vc FROM (
+    SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 10 <> 0) t WHERE rn = 1),
+upd AS (
+  SELECT user_id, vc FROM (
+    SELECT user_id, CAST(round("value" * 100, 0) AS BIGINT) AS vc,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 10 = 0) t WHERE rn = 1)
+SELECT COALESCE(u.user_id, t.user_id) AS user_id,
+       CAST(COALESCE(u.vc, t.vc) AS DOUBLE) / 100.0 AS value,
+       CASE WHEN u.user_id IS NOT NULL AND t.user_id IS NOT NULL THEN 'update'
+            WHEN u.user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM tgt t FULL OUTER JOIN upd u ON u.user_id = t.user_id"""
+
+
+@_q("merge_upsert", _MERGE_SQL)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert application) as one plan: the
+    incoming batch's latest-per-key rows overwrite matching target keys
+    ('update'), unseen keys append ('insert'), untouched target keys
+    survive ('keep') — the full-outer-join + COALESCE pattern that IS
+    what table formats execute under MERGE. Both sides reduce to
+    latest-per-key via max_by hash aggregates BEFORE the join (never
+    row_number over the fact on the Spark side — the oracle's window is
+    DuckDB's idiom, max_by is Spark's); one shuffle each on user_id,
+    co-partitioned into the join. snapshot_diff_docs detects changes;
+    this APPLIES them."""
+    e = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("vc", F.struct("ts", "event_id")).alias("vc")
+        )
+
+    tgt = latest(e.where(F.col("event_id") % 10 != 0)).select(
+        F.col("user_id").alias("t_user"), F.col("vc").alias("t_vc")
+    )
+    upd = latest(e.where(F.col("event_id") % 10 == 0)).select(
+        F.col("user_id").alias("u_user"), F.col("vc").alias("u_vc")
+    )
+    j = tgt.join(upd, tgt.t_user == upd.u_user, "full_outer")
+    action = (
+        F.when(F.col("u_user").isNotNull() & F.col("t_user").isNotNull(), "update")
+        .when(F.col("u_user").isNotNull(), "insert")
+        .otherwise("keep")
+    )
+    return j.select(
+        F.coalesce("u_user", "t_user").alias("user_id"),
+        (F.coalesce("u_vc", "t_vc").cast("double") / 100.0).alias("value"),
+        action.alias("action"),
+    )

@@ -235,6 +235,11 @@ def running_extrema_tws(
                 )
 
         def close(self) -> None:
+            # Required StatefulProcessor teardown hook, intentionally a
+            # no-op (no resources to release). NOT an exception guard:
+            # errors raised in handleInputRows propagate through the
+            # Python worker and fail the streaming query — see
+            # tests/test_ingest_stateful.py::test_stateful_worker_error_surfaces.
             pass
 
     return events.groupBy(key_col).transformWithStateInPandas(

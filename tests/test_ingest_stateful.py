@@ -401,3 +401,45 @@ def test_batch_extrema_twin(spark):
     assert got["a"]["n_obs"] == 2 and got["a"]["min_value"] == 10.0
     assert got["a"]["max_value"] == 20.0
     assert got["b"]["n_obs"] == 1 and got["b"]["last_ts"].hour == 0
+
+
+def test_stateful_worker_error_surfaces(spark, tmp_path):
+    """A worker-side exception inside a stateful processor must FAIL the
+    streaming query (surface via awaitTermination), never be swallowed
+    into empty/zeroed state — the audit requested by round 3 for the
+    stateful path's teardown hooks (streaming/stateful.py close())."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.utils import StreamingQueryException
+
+    src = tmp_path / "err_src"
+    src.mkdir()
+    schema = "entity_id string, aqi double, feature_timestamp timestamp"
+    batch = spark.createDataFrame(
+        [("a", 10.0, "2023-01-01 00:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+
+    def exploding(key, batches, state):
+        raise RuntimeError("injected stateful worker failure")
+        yield  # pragma: no cover
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream.groupBy("entity_id")
+        .applyInPandasWithState(
+            exploding,
+            outputStructType="entity_id string, ema double",
+            stateStructType="ema double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("err_surface")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "err_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected stateful worker failure"):
+        q.awaitTermination(120)
