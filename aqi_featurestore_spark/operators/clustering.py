@@ -1,0 +1,218 @@
+"""Distributed fixed-iteration k-means (Lloyd's) and SemDeDup-style
+semantic deduplication.
+
+The reference has no clustering at all (its similarity surface is the
+Redis latest-value store); this family completes the LLM-curation stack:
+weekly corpus clustering for mixture balancing, topic pruning, and
+cluster-then-prune semantic dedup (Abbas et al., "SemDeDup", 2023 —
+public paper; no code consulted).
+
+Design — why this survives 100 TB:
+
+- **Centroids never shuffle the corpus.** Each Lloyd round is (1) a pure
+  JVM map assigning every vector to its nearest centroid against
+  BROADCAST LITERAL centroid arrays (no join, no shuffle), and (2) one
+  posexplode + map-side-combined hash aggregate reducing the corpus to
+  exactly ``k x dim`` rows of exact integer micro-unit sums, which are
+  collected. The per-round collect is bounded by ``k x dim`` (512 values
+  here), NEVER by corpus size — the same dim-bounded-collect discipline
+  as ``embeddings.dim_minmax``.
+- **Exact integer accumulation.** Vector components are fixed to
+  ``round(v * 1e6)`` BIGINT micro-units; centroid sums are exact
+  integers, so the reduce is partition-order-free and the whole
+  iteration is bit-reproducible — the unrolled DuckDB oracle
+  hash-matches every assignment. Distances are computed in doubles with
+  pinned operand order (micro-int minus exact-division centroid,
+  squared, left-fold sum), identical IEEE ops on both engines.
+- **Deterministic seeding.** Seeds are the ``k`` vectors with the
+  smallest ``md5('km|' || vec_id)`` (portable_hash md5_int32 — the
+  md5-order both engines can reproduce), ties on vec_id. ``orderBy(h,
+  id).limit(k)`` compiles to TakeOrderedAndProject — no global sort
+  shuffle.
+- **Empty clusters carry forward** their previous centroid (mirrored in
+  the oracle with a LEFT JOIN coalesce), so every round is total.
+
+``semantic_dedup`` then prunes within clusters: unit-normalized cosine
+(same fold as operators/similarity.py) over same-cluster pairs only —
+the candidate set is an equi-join on cluster_id, quadratic only within
+a cluster, which is the SemDeDup contract (k grows with the corpus so
+cluster population stays bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions import portable_hash as _ph
+
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign_col",
+    "kmeans_min_struct",
+    "normalized_jvm",
+    "MICRO",
+]
+
+MICRO = 1_000_000
+
+
+def _micro_arr(vec_col: Column | str) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+    )
+
+
+def _seed_hash(id_col: str) -> Column:
+    return _ph.md5_int32(F.concat(F.lit("km|"), F.col(id_col).cast("string")))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeding: str = "md5",
+) -> list[list[float]]:
+    """Run ``iters`` rounds of Lloyd's and return the final centroids as
+    ``k`` lists of doubles in MICRO units (``sum_micro / n`` per
+    dimension, exact-int division to double).
+
+    Per round: one no-shuffle assignment map + one hash aggregate down
+    to ``k x dim`` rows + one bounded collect. Total Spark work is
+    ``iters`` aggregation jobs over the corpus — the minimum any exact
+    Lloyd's needs — and the driver only ever holds ``k x dim`` numbers.
+
+    ``seeding``:
+
+    - ``"md5"`` (default, what the registry oracle unrolls): the k
+      vectors with smallest md5('km|'||id) — one corpus TakeOrdered(k),
+      the cheapest deterministic pseudo-random pick.
+    - ``"farthest"``: deterministic farthest-point traversal (Gonzalez
+      k-center greedy): seed 0 is the md5-min vector; each next seed is
+      the vector maximizing distance-to-nearest-chosen (ties: smallest
+      id). k-1 extra TakeOrdered(1) passes, but provably one seed per
+      blob when clusters are separated — the quality choice when fit
+      cost is dominated by the Lloyd rounds anyway.
+    """
+    vc = df.select(
+        F.col(id_col).alias("_id"), _micro_arr(vec_col).alias("_v")
+    )
+    if seeding == "farthest":
+        first = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                _micro_arr(vec_col).alias("_v"),
+                _seed_hash(id_col).alias("_h"),
+            )
+            .orderBy("_h", "_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen = [[float(x) for x in first["_v"]]]
+        for _ in range(k - 1):
+            m = kmeans_min_struct(F.col("_v"), chosen)
+            far = (
+                vc.select("_id", "_v", m["d"].alias("_d"))
+                .orderBy(F.desc("_d"), F.asc("_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append([float(x) for x in far["_v"]])
+        centroids: dict[int, list[float]] = dict(enumerate(chosen))
+    elif seeding == "md5":
+        seeds = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                _micro_arr(vec_col).alias("_v"),
+                _seed_hash(id_col).alias("_h"),
+            )
+            .orderBy("_h", "_id")
+            .limit(k)
+            .collect()
+        )
+        # cid order = (hash, id) rank; round-0 centroid = the seed vector
+        centroids = {
+            cid: [float(x) for x in r["_v"]] for cid, r in enumerate(seeds)
+        }
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
+    for _ in range(iters):
+        assigned = vc.select(
+            "_id",
+            "_v",
+            kmeans_assign_col(F.col("_v"), centroids).alias("_cid"),
+        )
+        stats = (
+            assigned.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cid", "_dim")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in stats:
+            # exact-int true division — IEEE-identical to DuckDB's
+            # CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            new.setdefault(r["_cid"], {})[r["_dim"]] = r["_s"] / r["_n"]
+        centroids = {
+            cid: (
+                [new[cid][d] for d in range(len(prev))]
+                if cid in new
+                else prev  # empty cluster: carry the centroid forward
+            )
+            for cid, prev in centroids.items()
+        }
+    return [centroids[c] for c in range(k)]
+
+
+def kmeans_min_struct(
+    micro_vec: Column, centroids: dict[int, list[float]] | list[list[float]]
+) -> Column:
+    """``(d, cid)`` struct of the nearest centroid (ties: smallest
+    squared distance, then smallest cid) for a micro-unit BIGINT vector
+    column against literal centroid arrays — a pure JVM projection, no
+    join, no shuffle.
+
+    Distance per centroid: left-fold over dims of
+    ``(double(v_d) - c_d)^2`` from 0.0 — the exact op order the oracle's
+    ``list_reduce(list_transform(...))`` reproduces. The argmin is one
+    ``array_min`` over ``(dist, cid)`` structs (lexicographic)."""
+    if isinstance(centroids, dict):
+        centroids = [centroids[c] for c in range(len(centroids))]
+    cands = []
+    for cid, cent in enumerate(centroids):
+        c_lit = F.array(*[F.lit(float(x)) for x in cent])
+        diff2 = F.zip_with(
+            micro_vec,
+            c_lit,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        )
+        dist = F.aggregate(diff2, F.lit(0.0), lambda acc, d: acc + d)
+        cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cands))
+
+
+def kmeans_assign_col(
+    micro_vec: Column, centroids: dict[int, list[float]] | list[list[float]]
+) -> Column:
+    """Nearest-centroid id — see :func:`kmeans_min_struct`."""
+    return kmeans_min_struct(micro_vec, centroids)["cid"].cast("int")
+
+
+def normalized_jvm(vec_col: Column | str) -> Column:
+    """Unit-normalize an array<float> column entirely JVM-side: cast to
+    double, left-fold of squares from 0.0, sqrt, elementwise divide —
+    the same IEEE op order as similarity._normalized_arrow's numpy
+    cumsum and the oracle's ``_SIM_NORM_CTE``, so cosines agree
+    bit-for-bit across all three."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dbl = F.transform(c, lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return F.transform(dbl, lambda x: x / nrm)

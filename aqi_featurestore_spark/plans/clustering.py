@@ -1,0 +1,233 @@
+"""Distributed k-means clustering and SemDeDup-style semantic dedup —
+the cluster-then-prune corpus-curation family (round-4 headline).
+
+Two registry queries over the ``embeddings`` table:
+
+- ``kmeans_assign`` — fixed-iteration Lloyd's (k=8, 3 rounds,
+  md5-order deterministic seeding) with exact integer micro-unit
+  centroid sums; output is every vector's final cluster and squared
+  distance. The oracle UNROLLS the three rounds as CTEs and reproduces
+  every assignment bit-for-bit (exact ints for sums, pinned-order IEEE
+  doubles for distances).
+- ``semantic_dedup`` — assign, then prune within clusters: any vector
+  whose unit-normalized cosine against a SMALLER-id same-cluster vector
+  reaches the threshold is dropped (``dup_of`` = the smallest such
+  keeper). The candidate set is an equi-join on cluster_id — the
+  SemDeDup bound (quadratic only within a cluster; k scales with the
+  corpus so cluster population stays bounded).
+
+Reference parity: the reference has no clustering operators (its
+similarity surface is SURVEY.md §2's Redis latest-value store); this
+family extends the engine per the LLM-pipeline brief. Method follows
+the public SemDeDup paper (Abbas et al., 2023) and standard Lloyd's —
+no external code consulted.
+
+100 TB shape: per Lloyd round = one no-shuffle assignment map against
+broadcast literal centroids + one map-combined hash aggregate to
+``k x dim`` rows + one ``k x dim``-bounded collect (512 doubles — never
+corpus-sized). The returned ``kmeans_assign`` plan itself has ZERO
+exchanges (pure projection); ``semantic_dedup`` shuffles only on
+cluster_id for the within-cluster pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions import portable_hash as _ph
+from aqi_featurestore_spark.operators.clustering import (
+    MICRO,
+    kmeans_fit,
+    kmeans_min_struct,
+    normalized_jvm,
+)
+from aqi_featurestore_spark.plans._base import _q, _read
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+_SEM_TAU = 0.8
+
+
+def _kmeans_ctes(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+    """Oracle CTE chain ending in ``af(vec_id, cid, d)`` — the final
+    assignment against the post-``iters`` centroids, mirroring
+    operators/clustering.kmeans_fit round for round."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * "
+        "(CAST({v}[i] AS DOUBLE) - {c}[i])), (x, y) -> x + y)"
+    )
+    hexpr = _ph.duck_hex_int("h8", 1, 8)
+    parts = [
+        f"""vc AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT)) AS v
+  FROM embeddings)""",
+        """hh AS (
+  SELECT vec_id, md5('km|' || CAST(vec_id AS VARCHAR)) AS h8 FROM embeddings)""",
+        f"""sr AS (
+  SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY {hexpr}, vec_id) AS rn
+    FROM hh) t
+  WHERE rn <= {k})""",
+        """c0 AS (
+  SELECT sr.cid, list_transform(vc.v, x -> CAST(x AS DOUBLE)) AS carr
+  FROM sr JOIN vc USING (vec_id))""",
+    ]
+    for t in range(1, iters + 1):
+        d = dist.format(v="vc.v", c="c.carr")
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vc.vec_id, vc.v, c.cid,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM vc CROSS JOIN c{t - 1} c) t WHERE rn = 1)""")
+        parts.append(f"""g{t} AS (
+  SELECT cid, dim, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM (
+    SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+    FROM a{t}) e
+  GROUP BY cid, dim)""")
+        parts.append(f"""cn{t} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim) AS carr
+  FROM g{t} GROUP BY cid)""")
+        parts.append(f"""c{t} AS (
+  SELECT p.cid, COALESCE(nw.carr, p.carr) AS carr
+  FROM c{t - 1} p LEFT JOIN cn{t} nw USING (cid))""")
+    d = dist.format(v="vc.v", c="c.carr")
+    parts.append(f"""af AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vc.vec_id, c.cid, {d} AS d,
+           row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM vc CROSS JOIN c{iters} c) t WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+_KMEANS_SQL = f"""WITH {_kmeans_ctes()}
+SELECT vec_id, cid AS cluster_id,
+       round(d / 1000000000000.0, 6) AS dist_sq
+FROM af"""
+
+
+@_q("kmeans_assign", _KMEANS_SQL)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-iteration Lloyd's k-means (k=8, 3 rounds) over
+    the embedding corpus: every vector's final cluster id + squared
+    distance (value-space, round 6).
+
+    Exactness: components are integer micro-units, centroid sums exact
+    BIGINTs (order-free reduce), centroid = s/n exact-int division to
+    double, distances left-fold doubles with pinned op order, argmin
+    tie-breaks (dist, cid) — the unrolled oracle reproduces every
+    assignment. Seeding is md5-order (first k by md5('km|'||vec_id)),
+    portable across engines.
+
+    Scale shape: per round ONE posexplode + map-combined hash aggregate
+    reducing the corpus to k x dim rows, collected (512 values — bounded
+    by k x dim, never corpus size; same discipline as dim_minmax). The
+    returned plan is a pure projection against broadcast literal
+    centroids: ZERO exchanges, no join — at 100 TB the assignment is a
+    map over the scan."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS)
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    m = kmeans_min_struct(F.col("v"), cents)
+    return vc.select(
+        "vec_id",
+        m["cid"].cast("int").alias("cluster_id"),
+        F.round(m["d"] / F.lit(1_000_000_000_000.0), 6).alias("dist_sq"),
+    )
+
+
+_SEMDEDUP_SQL = f"""WITH {_kmeans_ctes()},
+nrm AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_reduce(
+                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                  (a, b) -> a + b))) AS nv
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE list_reduce(list_transform(range(1, {_DIM + 1}),
+                                   i -> na.nv[i] * nb.nv[i]),
+                    (x, y) -> x + y) >= {_SEM_TAU}),
+dups AS (SELECT j AS vec_id, MIN(i) AS dup_of FROM pairs GROUP BY j)
+SELECT af.vec_id, af.cid AS cluster_id,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       d.dup_of
+FROM af LEFT JOIN dups d USING (vec_id)"""
+
+
+@_q("semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune) semantic deduplication: k-means
+    assignment (same 3-round Lloyd's as ``kmeans_assign``), then within
+    each cluster drop any vector whose exact unit-normalized cosine
+    against a smaller-id cluster-mate reaches 0.8 (``dup_of`` = the
+    smallest such keeper; survivors have keep=1). This is the standard
+    semantic-dedup pattern for training corpora (SemDeDup, Abbas et al.
+    2023): the clustering bounds the candidate set so the exact cosine
+    only runs within clusters.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid map;
+    the pair join is an equi-join ON cluster_id (shuffle keyed on cid),
+    quadratic only within a cluster — the operative SemDeDup contract
+    is k grows with the corpus so per-cluster population stays bounded.
+    Cosine is the pure-JVM normalize + left-fold dot (no Python
+    boundary); the dup reduce is one (vec_id)-keyed aggregate."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS)
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+        normalized_jvm("embedding").alias("nv"),
+    )
+    assigned = vc.select(
+        "vec_id",
+        "nv",
+        kmeans_min_struct(F.col("v"), cents)["cid"].cast("int").alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("i"), F.col("cluster_id").alias("cid"),
+        F.col("nv").alias("niv"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("j"), F.col("cluster_id").alias("cid"),
+        F.col("nv").alias("njv"),
+    )
+    cos = F.aggregate(
+        F.zip_with("niv", "njv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(b, ["cid"])
+        .where(F.col("i") < F.col("j"))
+        .where(cos >= F.lit(_SEM_TAU))
+        .groupBy("j")
+        .agg(F.min("i").alias("dup_of"))
+        .select(F.col("j").alias("vec_id"), "dup_of")
+    )
+    return (
+        assigned.join(dups, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+            "dup_of",
+        )
+    )

@@ -175,6 +175,33 @@ EXTENDED_QUERIES = [
     "train_test_split",
     "versioned_pit_multiview",
     "merge_upsert",
+    # round-4 additions
+    "kmeans_assign",
+    "semantic_dedup",
+    "url_canonical_dedup",
+    "domain_cap_sample",
+    "chunk_dedup_docs",
+    "min_cost_supplier",
+    "product_profit",
+    "important_stock",
+]
+
+# FROZEN round-4 "extended-core" subset (30 queries, one-per-family
+# representatives, all present since round <= 3): the extended TOTAL is
+# incomparable across rounds because the registry keeps growing, so this
+# named subset is the round-over-round extended metric. Do not edit;
+# additions go to EXTENDED_QUERIES only.
+EXTENDED_CORE = [
+    "repetition_stats", "pii_redaction", "contamination_check",
+    "stratified_sample", "corpus_quantiles", "ema_features",
+    "sequence_packing", "incremental_dedup", "sliding_windows",
+    "daily_cube", "attribution_join", "range_join_agg",
+    "scd2_state_history", "funnel_analysis", "retention_cohorts",
+    "tfidf_top_terms", "jaccard_prefix_filter", "cms_heavy_hitters",
+    "similarity_pagerank", "label_spreading", "time_weighted_avg",
+    "locf_gap_fill", "lttb_downsample", "market_basket",
+    "rocchio_classify", "rollup_cascade", "knn_label_vote",
+    "embedding_dedup_resolve", "dedup_keep_best", "merge_upsert",
 ]
 
 
@@ -182,6 +209,8 @@ EXTENDED_QUERIES = [
 # loops materialize per iteration): for these, plan-build time IS data
 # processing and must be timed — excluding it would underreport ~100x.
 ITERATIVE_CONSTRUCTION = {
+    "kmeans_assign",  # Lloyd rounds (agg + k x dim collect) run at build time
+    "semantic_dedup",  # same Lloyd fit at build time
     "embedding_dedup_resolve",
     "dedup_cluster_sizes",
     "dedup_resolve_docs",
@@ -255,6 +284,9 @@ def main() -> None:
         "queries": timings,
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 4),
+        "extended_core_total": round(
+            sum(extended[n] for n in EXTENDED_CORE if n in extended), 4
+        ),
         "skew_demo": skew_demo,
         "sf": sf_val,
     }
@@ -272,6 +304,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extended_total": round(sum(extended.values()), 4),
+                "extended_core_total": round(
+                    sum(extended[n] for n in EXTENDED_CORE if n in extended), 4
+                ),
                 "skew_demo": skew_demo,
                 "sf": sf_val,
             }

@@ -105,6 +105,7 @@ EXCHANGE_CEILING = {
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
     "hourly_rollup": 1, "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
+    "kmeans_assign": 0, "semantic_dedup": 2,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
