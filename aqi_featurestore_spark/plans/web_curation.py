@@ -1,0 +1,322 @@
+"""Web-corpus curation: URL canonicalization, URL-level dedup, and
+per-domain capping — the first stage of every CommonCrawl-scale
+training-data pipeline (round-4 verdict item).
+
+The testdata has no URL column, so ``url`` derives deterministically
+from ``doc_id`` via the md5 arithmetic both engines reproduce (the same
+proven trick as the Q12/Q20/Q21 derived columns): ~120 domains with
+mixed ``www.``/case prefixes, ~50 paths per domain (real collisions →
+real duplicates), and tracking-parameter suffixes on two thirds of
+URLs. Canonicalization then works on the URL STRING — lowercase host,
+strip ``www.``, drop ``utm_*``/``ref`` params while preserving others —
+so the operator is honest string surgery, not a replay of the
+derivation.
+
+100 TB shape: everything is row-local string work (pure JVM) until one
+hash aggregate per query — url-dedup shuffles on canonical_url, the
+domain cap on domain. The per-domain rank window partitions by domain
+(never a global window); skewed mega-domains are exactly what the cap
+bounds downstream.
+
+Reference parity: the reference has no web-curation operators (its
+ingest is the OpenWeather grid, SURVEY §2.1); this family extends the
+engine per the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions import portable_hash as _ph
+from aqi_featurestore_spark.operators.near_dedup import minhash_dedup_pairs
+from aqi_featurestore_spark.plans import approx_oracles
+from aqi_featurestore_spark.plans._base import _q, _read
+
+_N_DOMAINS = 120
+_N_PATHS = 50
+_CAP = 3
+
+# -- derivation (identical md5 arithmetic on both engines) -------------------
+
+_URL_DUCK = f"""
+uh AS (
+  SELECT doc_id,
+         md5('u1|' || CAST(doc_id AS VARCHAR)) AS h1,
+         md5('u2|' || CAST(doc_id AS VARCHAR)) AS h2,
+         md5('u3|' || CAST(doc_id AS VARCHAR)) AS h3,
+         md5('u4|' || CAST(doc_id AS VARCHAR)) AS h4
+  FROM documents),
+uraw AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE ({_ph.duck_hex_int("h2", 1, 8)}) % 3
+           WHEN 0 THEN 'site'
+           WHEN 1 THEN 'www.site'
+           ELSE 'WWW.Site' END ||
+         CAST(({_ph.duck_hex_int("h1", 1, 8)}) % {_N_DOMAINS} AS VARCHAR) ||
+         CASE ({_ph.duck_hex_int("h1", 1, 8)}) % 2 WHEN 0 THEN '.com' ELSE '.org' END ||
+         '/p/' || CAST(({_ph.duck_hex_int("h3", 1, 8)}) % {_N_PATHS} AS VARCHAR) ||
+         CASE ({_ph.duck_hex_int("h4", 1, 8)}) % 3
+           WHEN 0 THEN ''
+           WHEN 1 THEN '?utm_source=feed&ref=rss'
+           ELSE '?id=7&utm_campaign=x' END AS url
+  FROM uh)"""
+
+
+def _derived_url() -> Column:
+    """Spark twin of the ``uraw`` CTE — same md5 picks, same literals."""
+    ds = F.col("doc_id").cast("string")
+    h1 = _ph.md5_int32(F.concat(F.lit("u1|"), ds))
+    h2 = _ph.md5_int32(F.concat(F.lit("u2|"), ds))
+    h3 = _ph.md5_int32(F.concat(F.lit("u3|"), ds))
+    h4 = _ph.md5_int32(F.concat(F.lit("u4|"), ds))
+    host_pfx = (
+        F.when(h2 % 3 == 0, F.lit("site"))
+        .when(h2 % 3 == 1, F.lit("www.site"))
+        .otherwise(F.lit("WWW.Site"))
+    )
+    tld = F.when(h1 % 2 == 0, F.lit(".com")).otherwise(F.lit(".org"))
+    query = (
+        F.when(h4 % 3 == 0, F.lit(""))
+        .when(h4 % 3 == 1, F.lit("?utm_source=feed&ref=rss"))
+        .otherwise(F.lit("?id=7&utm_campaign=x"))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host_pfx,
+        (h1 % _N_DOMAINS).cast("string"),
+        tld,
+        F.lit("/p/"),
+        (h3 % _N_PATHS).cast("string"),
+        query,
+    )
+
+
+# -- canonicalization (string surgery, mirrored) -----------------------------
+
+_CANON_DUCK = """
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN lower(split_part(substr(url, 9), '?', 1)) LIKE 'www.%'
+              THEN substr(lower(split_part(split_part(substr(url, 9), '?', 1), '/', 1)), 5)
+              ELSE lower(split_part(split_part(substr(url, 9), '?', 1), '/', 1)) END
+           AS domain,
+         substr(split_part(substr(url, 9), '?', 1),
+                strpos(split_part(substr(url, 9), '?', 1), '/')) AS path,
+         COALESCE(array_to_string(
+           list_filter(string_split(split_part(substr(url, 9), '?', 2), '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')
+                            AND NOT starts_with(p, 'ref=')),
+           '&'), '') AS cq
+  FROM uraw),
+curl AS (
+  SELECT doc_id, url,
+         domain,
+         'https://' || domain || path ||
+         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+  FROM canon)"""
+
+
+def _canonicalized(df: DataFrame) -> DataFrame:
+    """Add ``domain`` and ``canonical_url`` to a frame holding ``url``:
+    lowercase host, strip a leading ``www.``, drop ``utm_*``/``ref``
+    query params (others survive in order), all with row-local JVM
+    string ops mirrored token-for-token in the oracle CTE."""
+    rest = F.substring(F.col("url"), 9, 1_000_000)
+    hostpath = F.split_part(rest, F.lit("?"), F.lit(1))
+    rawq = F.split_part(rest, F.lit("?"), F.lit(2))
+    host_l = F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1)))
+    domain = F.when(
+        host_l.startswith("www."), F.substring(host_l, 5, 1_000_000)
+    ).otherwise(host_l)
+    path = F.substring(hostpath, F.instr(hostpath, "/"), 1_000_000)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("ref="),
+    )
+    cq = F.array_join(params, "&")
+    canonical = F.concat(
+        F.lit("https://"),
+        domain,
+        path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return df.withColumn("domain", domain).withColumn("canonical_url", canonical)
+
+
+_URL_DEDUP_SQL = f"""
+WITH {_URL_DUCK},
+{_CANON_DUCK},
+grp AS (
+  SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+  FROM curl GROUP BY canonical_url)
+SELECT c.doc_id, c.url, c.canonical_url,
+       CAST(CASE WHEN c.doc_id = g.keeper THEN 1 ELSE 0 END AS INT) AS keep,
+       CAST(g.n_dups AS BIGINT) AS n_dups
+FROM curl c JOIN grp g USING (canonical_url)"""
+
+
+@_q("url_canonical_dedup", _URL_DEDUP_SQL)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization: per document, its
+    raw URL, canonical form, whether it is the cluster keeper (smallest
+    doc_id per canonical URL), and the cluster size. Tracking params
+    (utm_*, ref) are stripped; meaningful params (id=7) survive; host
+    case and www. prefixes collapse — so raw-distinct URLs genuinely
+    merge (the derivation plants ~3 raw variants per canonical target).
+
+    Scale shape: derivation + canonicalization are row-local JVM string
+    ops; ONE hash aggregate on canonical_url (map-side combined) and
+    one equi-join back. At 100 TB this is the cheapest possible
+    URL-dedup: nothing but the url strings ever shuffles."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    curl = _canonicalized(d.withColumn("url", _derived_url()))
+    grp = curl.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups")
+    )
+    return curl.join(grp, ["canonical_url"]).select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0).cast("int").alias("keep"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH {_URL_DUCK},
+{_CANON_DUCK},
+dh AS (
+  SELECT doc_id, domain,
+         md5('cap|' || CAST(doc_id AS VARCHAR)) AS hc
+  FROM curl),
+rk AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {_ph.duck_hex_int("hc", 1, 8)}, doc_id) AS rk
+  FROM dh)
+SELECT doc_id, domain, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {_CAP}"""
+
+
+@_q("domain_cap_sample", _DOMAIN_CAP_SQL)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most 3 documents per (canonical) domain,
+    chosen by md5 order (deterministic pseudo-random, rerun-stable) —
+    the standard anti-spam / diversity stage that stops mega-domains
+    from dominating a training mix.
+
+    Scale shape: the rank window partitions BY DOMAIN (one shuffle on
+    domain, no global window); md5 order means re-partitioning or
+    re-running cannot change the sample. A pathological mega-domain
+    makes one hot partition — exactly the row the skew_report query
+    surfaces, and AQE's skew split handles the rank input."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    curl = _canonicalized(d.withColumn("url", _derived_url()))
+    hc = _ph.md5_int32(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("domain").orderBy(hc.asc(), F.col("doc_id").asc())
+    return (
+        curl.select("doc_id", "domain", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _CAP)
+        .select("doc_id", "domain", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-granularity dedup: doc-level keep/drop from chunk-level MinHash
+# hits — the RefinedWeb/CCNet pattern for PARTIALLY duplicated documents
+# (a page that quotes half of another page slips past doc-level MinHash;
+# its chunks do not).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 500
+_CHUNK_STRIDE = 400
+_CHUNK_TAU = 0.3
+_DUP_FRAC = 0.5
+_CID_BASE = 10_000
+
+_CHUNK_REL = f"""(
+  SELECT doc_id * {_CID_BASE} + i AS doc_id,
+         substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}) AS text
+  FROM (SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+        FROM documents WHERE length(text) >= 1))"""
+
+_CHUNK_DEDUP_SQL = f"""
+WITH {{mh}},
+xdoc AS (
+  SELECT DISTINCT d2 // {_CID_BASE} AS doc_id, d2 AS cid
+  FROM mh_pairs
+  WHERE d1 // {_CID_BASE} <> d2 // {_CID_BASE}),
+dupc AS (SELECT doc_id, COUNT(*) AS dup_chunks FROM xdoc GROUP BY doc_id),
+nch AS (
+  SELECT doc_id,
+         CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}) + 1 AS INT) AS n_chunks
+  FROM documents WHERE length(text) >= 1)
+SELECT n.doc_id, n.n_chunks,
+       CAST(COALESCE(d.dup_chunks, 0) AS INT) AS dup_chunks,
+       CAST(CASE WHEN COALESCE(d.dup_chunks, 0) * 2 < n.n_chunks
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM nch n LEFT JOIN dupc d USING (doc_id)""".format(
+    mh=approx_oracles.minhash_pairs_ctes(
+        _CHUNK_REL, threshold=_CHUNK_TAU
+    )
+)
+
+
+@_q("chunk_dedup_docs", _CHUNK_DEDUP_SQL)
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup composition (doc_chunks x MinHash-LSH):
+    documents explode into overlapping 500/400 chunks map-side; the
+    SAME md5-affine MinHash pipeline as ``minhash_lsh_dedup`` runs over
+    chunks; a document is DROPPED when half or more of its chunks
+    near-duplicate (est_jaccard >= 0.3) a chunk of some smaller-id
+    document. Catches partial plagiarism/quoting that doc-level MinHash
+    underestimates. Chunk ids pack as doc_id*10000 + index so the
+    smaller-cid side of a pair is always the smaller doc.
+
+    Scale shape: chunk explode is map-side (no shuffle, chunk count
+    derives from the row); only chunk SIGNATURES shuffle through the
+    banding equi-join (bodies never move — near_dedup.py's contract);
+    the doc rollup is two (doc_id)-keyed hash aggregates. At 100 TB
+    chunking multiplies signature volume ~(len/stride)x, bounded by
+    document length — the standard RefinedWeb cost."""
+    docs = _read(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    n_last = F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int")
+    chunks = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_last)).alias("i")
+    ).select(
+        (F.col("doc_id") * _CID_BASE + F.col("i")).alias("cid"),
+        F.substring(
+            "text", (F.col("i") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE
+        ).alias("chunk"),
+    )
+    pairs = minhash_dedup_pairs(
+        chunks, id_col="cid", text_col="chunk", threshold=_CHUNK_TAU
+    )
+    xdoc = (
+        pairs.where(
+            F.floor(F.col("d1") / _CID_BASE) != F.floor(F.col("d2") / _CID_BASE)
+        )
+        .select(
+            F.floor(F.col("d2") / _CID_BASE).cast("long").alias("doc_id"),
+            F.col("d2").alias("cid"),
+        )
+        .distinct()
+    )
+    dupc = xdoc.groupBy("doc_id").agg(F.count("*").alias("dup_chunks"))
+    nch = docs.select(
+        "doc_id", (n_last + 1).cast("int").alias("n_chunks")
+    )
+    return nch.join(dupc, ["doc_id"], "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("dup_chunks", F.lit(0)).cast("int").alias("dup_chunks"),
+        F.when(
+            F.coalesce("dup_chunks", F.lit(0)) * 2 < F.col("n_chunks"), 1
+        ).otherwise(0).cast("int").alias("keep"),
+    )

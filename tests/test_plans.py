@@ -76,6 +76,7 @@ BNLJ_OK = {
     "sparse_lexical_topk",   # 1-row corpus-total denominator
     "tfidf_top_terms",       # 1-row doc-count denominator
     "weighted_sample",       # 1-row total-weight scalar
+    "important_stock",       # 1-row nation-total scalar (TPC-H Q11 shape)
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -106,6 +107,8 @@ EXCHANGE_CEILING = {
     "hourly_rollup": 1, "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,
+    "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
+    "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
