@@ -231,3 +231,73 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+_MIX_SQL = f"""WITH {_kmeans_ctes()},
+sz AS (SELECT cid, COUNT(*) AS n_vecs FROM af GROUP BY cid),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM af),
+rate AS (
+  SELECT sz.cid, sz.n_vecs,
+         least(1000000, (t.total * 1000000) // ({_K} * sz.n_vecs)) AS rate_micro
+  FROM sz CROSS JOIN tot t),
+dh AS (
+  SELECT af.vec_id, af.cid,
+         md5('mix|' || CAST(af.vec_id AS VARCHAR)) AS hm
+  FROM af)
+SELECT d.vec_id, d.cid AS cluster_id,
+       CAST(r.n_vecs AS BIGINT) AS n_vecs,
+       CAST(r.rate_micro AS BIGINT) AS rate_micro,
+       CAST(CASE WHEN ({_ph.duck_hex_int("hm", 1, 8)}) % 1000000 < r.rate_micro
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM dh d JOIN rate r ON d.cid = r.cid"""
+
+
+@_q("cluster_mixture_plan", _MIX_SQL)
+def q_cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic mixture balancing on top of k-means: clusters larger
+    than the uniform share (total/k) downsample to it; each vector gets
+    a deterministic md5-threshold keep decision at its cluster's rate.
+    The rate is EXACT integer micro-units (total*1e6 // (k*n_c), capped
+    at 1e6) — no float thresholds, so the kept set is bit-reproducible
+    and repartition/rerun-stable. The semantic twin of the source-based
+    ``domain_mixture`` query: balancing by CONTENT cluster instead of
+    provenance.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid map;
+    one (cid) aggregate for sizes; the k-row rate table broadcasts back;
+    the keep test is row-local md5. At 100 TB the whole plan after the
+    Lloyd fit is one aggregate + one broadcast join over a projection."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS)
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    assigned = vc.select(
+        "vec_id",
+        kmeans_min_struct(F.col("v"), cents)["cid"].cast("int").alias("cluster_id"),
+    )
+    sz = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_vecs"))
+    tot = assigned.agg(F.count("*").alias("total"))
+    rate = sz.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_vecs",
+        F.least(
+            F.lit(1_000_000),
+            F.floor((F.col("total") * 1_000_000) / (_K * F.col("n_vecs"))).cast("long"),
+        ).alias("rate_micro"),
+    )
+    hm = _ph.md5_int32(F.concat(F.lit("mix|"), F.col("vec_id").cast("string")))
+    return (
+        assigned.join(F.broadcast(rate), ["cluster_id"])
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("rate_micro").cast("long").alias("rate_micro"),
+            F.when(hm % 1_000_000 < F.col("rate_micro"), 1).otherwise(0)
+            .cast("int").alias("keep"),
+        )
+    )

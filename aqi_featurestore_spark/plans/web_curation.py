@@ -320,3 +320,102 @@ def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_chunks", F.lit(0)) * 2 < F.col("n_chunks"), 1
         ).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (the ExactSubstr pattern from the
+# public "Deduplicating Training Data Makes Language Models Better"
+# paper, Lee et al. 2022 — method only, no code consulted): token
+# sequences of length >= L appearing in MORE THAN ONE document are
+# duplicated spans; overlapping hits merge into maximal spans per doc.
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 8  # tokens per shingle (the paper uses 50 BPE tokens at CC scale)
+
+_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+shing AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(t[i + 1:i + {_SPAN_L}], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_SPAN_L} + 1)) AS i
+        FROM tok WHERE len(t) >= {_SPAN_L}) x),
+dup AS (SELECT h FROM shing GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+hits AS (SELECT s.doc_id, s.pos FROM shing s JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits) g)
+SELECT doc_id, CAST(span_id AS INT) AS span_id,
+       CAST(MIN(pos) AS INT) AS tok_start,
+       CAST(MAX(pos) + {_SPAN_L} - 1 AS INT) AS tok_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_L} AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, span_id"""
+
+
+@_q("exact_substring_spans", _SPANS_SQL)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: every 8-token window whose text
+    occurs in at least one OTHER document marks its positions; per doc,
+    overlapping/adjacent hits (gap <= 8) merge into maximal spans via
+    the gaps-and-islands pattern. Output is one row per (doc, span) with
+    token extent — the input to surgical span REMOVAL (the alternative
+    to whole-doc dropping that near-dedup families take).
+
+    Scale shape: shingling is map-side (positions derive from the row);
+    only md5 shingle HASHES shuffle (one aggregate finds multi-doc
+    hashes, one equi-join marks hits); the island windows partition BY
+    DOC — never global. This is the shuffle-join realization of the
+    paper's suffix-array method: same output spans, no global suffix
+    sort (at 100 TB the hash route is embarrassingly parallel; the
+    constant is one md5 per token position)."""
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    ).where(F.size("t") >= _SPAN_L)
+    shing = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - _SPAN_L)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.md5(F.array_join(F.slice("t", F.col("pos") + 1, _SPAN_L), " ")).alias("h"),
+    )
+    dup = (
+        shing.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = shing.join(dup, ["h"]).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id", "pos", F.lag("pos").over(w).alias("prev")
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_L), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_id"),
+    )
+    return isl.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("int").alias("tok_start"),
+        (F.max("pos") + _SPAN_L - 1).cast("int").alias("tok_end"),
+        (F.max("pos") - F.min("pos") + _SPAN_L).cast("int").alias("span_tokens"),
+    ).select(
+        "doc_id", F.col("span_id").cast("int").alias("span_id"),
+        "tok_start", "tok_end", "span_tokens",
+    )

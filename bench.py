@@ -184,6 +184,8 @@ EXTENDED_QUERIES = [
     "min_cost_supplier",
     "product_profit",
     "important_stock",
+    "exact_substring_spans",
+    "cluster_mixture_plan",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -211,6 +213,7 @@ EXTENDED_CORE = [
 ITERATIVE_CONSTRUCTION = {
     "kmeans_assign",  # Lloyd rounds (agg + k x dim collect) run at build time
     "semantic_dedup",  # same Lloyd fit at build time
+    "cluster_mixture_plan",  # same Lloyd fit at build time
     "embedding_dedup_resolve",
     "dedup_cluster_sizes",
     "dedup_resolve_docs",

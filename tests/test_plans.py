@@ -77,6 +77,7 @@ BNLJ_OK = {
     "tfidf_top_terms",       # 1-row doc-count denominator
     "weighted_sample",       # 1-row total-weight scalar
     "important_stock",       # 1-row nation-total scalar (TPC-H Q11 shape)
+    "cluster_mixture_plan",  # 1-row corpus-total scalar vs k-row rate table
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -109,6 +110,7 @@ EXCHANGE_CEILING = {
     "kmeans_assign": 0, "semantic_dedup": 2,
     "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
     "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
+    "exact_substring_spans": 3, "cluster_mixture_plan": 2,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
