@@ -301,3 +301,97 @@ def q_cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("keep"),
         )
     )
+
+
+_EXEMPLAR_K = 3
+
+_EXEMPLARS_SQL = f"""WITH {_kmeans_ctes()},
+rk AS (
+  SELECT vec_id, cid,
+         round(d / 1000000000000.0, 6) AS dist_sq,
+         row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk
+  FROM af)
+SELECT CAST(cid AS INT) AS cluster_id, vec_id, dist_sq, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {_EXEMPLAR_K}"""
+
+
+@_q("cluster_exemplars", _EXEMPLARS_SQL)
+def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster exemplars: the 3 vectors closest to each k-means
+    centroid (ties on vec_id) — what a curation team actually LOOKS at
+    to name/QA clusters before committing a mixture or dedup pass.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid map;
+    the rank window partitions BY CLUSTER (k partitions, never global);
+    output is k x 3 rows regardless of corpus size."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS)
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    m = kmeans_min_struct(F.col("v"), cents)
+    af = vc.select("vec_id", m["cid"].cast("int").alias("cluster_id"),
+                   m["d"].alias("d"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    return (
+        af.select(
+            "cluster_id", "vec_id",
+            F.round(F.col("d") / F.lit(1_000_000_000_000.0), 6).alias("dist_sq"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= _EXEMPLAR_K)
+        .select("cluster_id", "vec_id", "dist_sq", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_KQUALITY_SQL = f"""WITH {_kmeans_ctes()},
+q AS (
+  SELECT cid, COUNT(*) AS n_vecs,
+         CAST(SUM(CAST(round(d, 0) AS BIGINT)) AS BIGINT) AS sum_d
+  FROM af GROUP BY cid)
+SELECT CAST(cid AS INT) AS cluster_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(CAST(sum_d AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000000000.0, 6)
+         AS avg_dist_sq
+FROM q"""
+
+
+@_q("kmeans_quality", _KQUALITY_SQL)
+def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per-cluster population and mean squared
+    distance to the centroid (the within-cluster-variance report that
+    decides whether k needs to grow before a semantic-dedup pass).
+    Distances round to exact integers BEFORE summing, so the aggregate
+    is order-free and hash-matches; the mean divides two exact numbers
+    in pinned operand order.
+
+    Scale shape: one hash aggregate over the zero-shuffle assignment
+    map — output is exactly k rows."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS)
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    m = kmeans_min_struct(F.col("v"), cents)
+    af = vc.select(m["cid"].cast("int").alias("cluster_id"),
+                   F.round(m["d"], 0).cast("long").alias("di"))
+    return (
+        af.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"), F.sum("di").alias("sum_d"))
+        .select(
+            "cluster_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("sum_d").cast("double") / F.col("n_vecs").cast("double")
+                / F.lit(1_000_000_000_000.0),
+                6,
+            ).alias("avg_dist_sq"),
+        )
+    )

@@ -252,9 +252,9 @@ WITH c AS (
   FROM events),
 st AS (
   SELECT event_type, hr, COUNT(*) AS n,
-         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
-         CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
-              AS DECIMAL(38,0)) AS DOUBLE) AS sqd
+         CAST(CAST(SUM(vc) AS BIGINT) AS DOUBLE) AS sd,
+         CAST(CAST(SUM((vc * vc) // 100000) AS BIGINT) AS DOUBLE) * 100000.0
+           + CAST(CAST(SUM((vc * vc) % 100000) AS BIGINT) AS DOUBLE) AS sqd
   FROM c GROUP BY event_type, hr),
 z AS (
   SELECT c.event_id, c.event_type, c.hr, c.vc, st.n,
@@ -272,10 +272,12 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-of-day) mean/stddev baseline, flag rows beyond 3 sigma. The
     baseline is a tiny aggregate (types x 24 rows) broadcast back onto
     the fact — the monitoring pattern for cyclic metrics. Moments
-    accumulate exactly (cents in DECIMAL(38)) and convert to double once,
-    with pinned operand order (m = sd/n; var = (sqd - sd*m)/(n-1)), so
-    the 3-sigma cut lands identically in both engines; zscore rounds to
-    6 dp only at output."""
+    accumulate as exact int64 (sd directly; the squared moment in TWO
+    limbs — hi = vc^2 div 1e5, lo = vc^2 mod 1e5 — reconstructed in
+    pinned double order, because a wide-decimal sum past 2^63 narrows
+    to double differently across engines and a 1-ulp sqd shift could
+    flip a row across the 3-sigma cut). m = sd/n; var =
+    (sqd - sd*m)/(n-1); zscore rounds to 6 dp only at output."""
     e = _read(spark, sf_dir, "events")
     c = e.select(
         "event_id",
@@ -283,14 +285,17 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hr"),
         F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
     )
-    d38 = "decimal(38,0)"
+    # vc <= ~5e4 so vc^2 <= ~2.5e9 < 2^53: exact limb split via %-and-divide
+    sq = F.col("vc") * F.col("vc")
+    sq_lo = sq % 100_000
+    sq_hi = ((sq - sq_lo) / 100_000).cast("long")
     st = c.groupBy("event_type", "hr").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("vc").cast(d38)).cast(d38).cast("double").alias("sd"),
-        F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
-        .cast(d38)
-        .cast("double")
-        .alias("sqd"),
+        F.sum("vc").cast("double").alias("sd"),
+        (
+            F.sum(sq_hi).cast("double") * F.lit(100_000.0)
+            + F.sum(sq_lo).cast("double")
+        ).alias("sqd"),
     )
     m = F.col("sd") / F.col("n")
     var = (F.col("sqd") - F.col("sd") * m) / (F.col("n") - 1)

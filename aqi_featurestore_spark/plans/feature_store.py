@@ -1194,18 +1194,26 @@ WITH t AS (
          CAST(round((1 + l_tax) * 10000, 0) AS BIGINT)       AS tax_i,
          CAST(round(l_discount * 10000, 0) AS BIGINT)        AS d_i
   FROM lineitem
-  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00')
+  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'),
+u AS (
+  SELECT l_returnflag, l_linestatus, qty_i, price_i, d_i,
+         (price_i * disc_i) // 1000000 AS dp_hi,
+         (price_i * disc_i) % 1000000  AS dp_lo,
+         (price_i * disc_i * tax_i) // 100000000 AS ch_hi,
+         (price_i * disc_i * tax_i) % 100000000  AS ch_lo
+  FROM t)
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(qty_i AS DECIMAL(38,0))) AS DOUBLE)                          AS sum_qty,
-  CAST(SUM(CAST(price_i AS DECIMAL(38,0))) AS DOUBLE) / 100.0                AS sum_base_price,
-  CAST(SUM(CAST(price_i * disc_i AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0   AS sum_disc_price,
-  CAST(SUM(CAST(price_i * disc_i * tax_i AS DECIMAL(38,0))) AS DOUBLE)
-    / 10000000000.0                                                          AS sum_charge,
-  CAST(SUM(CAST(qty_i AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)               AS avg_qty,
-  CAST(SUM(CAST(price_i AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / COUNT(*)     AS avg_price,
-  CAST(SUM(CAST(d_i AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 / COUNT(*)       AS avg_disc,
+  CAST(CAST(SUM(qty_i) AS BIGINT) AS DOUBLE)                       AS sum_qty,
+  CAST(CAST(SUM(price_i) AS BIGINT) AS DOUBLE) / 100.0             AS sum_base_price,
+  (CAST(CAST(SUM(dp_hi) AS BIGINT) AS DOUBLE) * 1000000.0
+     + CAST(CAST(SUM(dp_lo) AS BIGINT) AS DOUBLE)) / 1000000.0     AS sum_disc_price,
+  (CAST(CAST(SUM(ch_hi) AS BIGINT) AS DOUBLE) * 100000000.0
+     + CAST(CAST(SUM(ch_lo) AS BIGINT) AS DOUBLE)) / 10000000000.0 AS sum_charge,
+  CAST(CAST(SUM(qty_i) AS BIGINT) AS DOUBLE) / COUNT(*)            AS avg_qty,
+  CAST(CAST(SUM(price_i) AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*)  AS avg_price,
+  CAST(CAST(SUM(d_i) AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*)    AS avg_disc,
   COUNT(*) AS count_order
-FROM t GROUP BY l_returnflag, l_linestatus"""
+FROM u GROUP BY l_returnflag, l_linestatus"""
 
 
 @_q("q1_pricing_summary", _Q1_SQL)
@@ -1213,36 +1221,46 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with map-side partial aggregation.
 
     Money columns are 2-4dp decimals stored as doubles; we accumulate in
-    exact integer space (scaled longs summed as DECIMAL(38,0) — per-row
-    products stay < 2^63, group sums don't) and convert to DOUBLE with the
-    same IEEE op sequence in both engines, so results are bit-identical
-    regardless of summation order/parallelism — no rounding-tie risk that
-    plain DECIMAL(scale 10)->DOUBLE casts have (engines disagree by 1 ulp
-    on wide-decimal narrowing)."""
+    exact integer space and convert to DOUBLE with the same IEEE op
+    sequence in both engines, so results are bit-identical regardless of
+    summation order/parallelism. The scaled PRODUCTS (price*disc*tax up
+    to ~2e15/row) sum past 2^63 at scale, and DECIMAL(38,0)->DOUBLE
+    narrowing of a >64-bit sum rounds DIFFERENTLY across engines (1-ulp
+    divergence, caught by the round-4 sf0.1 gate at ~5.1e19) — so each
+    product is split into TWO int64 limbs (hi = x div S, lo = x mod S,
+    S = 1e6/1e8); both limb sums stay exact int64 (safe to ~9e10
+    rows/group — add a third limb beyond), and int64->double casts are
+    correctly rounded in every engine, so the pinned-order
+    reconstruction (hi*S + lo)/scale is bit-identical at any sf. Bonus:
+    no BigDecimal aggregation (~2.5x the cost of long sums) anywhere."""
     l = _read(spark, sf_dir, "lineitem")
     qty_i = F.round(F.col("l_quantity"), 0).cast("long")
     price_i = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc_i = F.round((F.lit(1) - F.col("l_discount")) * 10000, 0).cast("long")
     tax_i = F.round((F.lit(1) + F.col("l_tax")) * 10000, 0).cast("long")
     d_i = F.round(F.col("l_discount") * 10000, 0).cast("long")
-    # Single-column sums stay LONG (qty_i<=1e2, price_i<=2e7, d_i<=1e4:
-    # no overflow below ~1e11 rows/group); only the scaled *products*
-    # (up to ~2e15 per row) need DECIMAL(38,0) accumulators. BigDecimal
-    # aggregation is ~2.5x the cost of long sums — pay it only where the
-    # range demands it.
-    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dp = price_i * disc_i          # <= ~2e11 per row, exact in long
+    ch = price_i * disc_i * tax_i  # <= ~2e15 per row, exact in long
+    # integer div via (x - x % S) / S: numerator <= 2e15 < 2^53 and the
+    # quotient is an exact integer, so the double division is exact
+    dp_hi = ((dp - dp % 1_000_000) / 1_000_000).cast("long")
+    dp_lo = dp % 1_000_000
+    ch_hi = ((ch - ch % 100_000_000) / 100_000_000).cast("long")
+    ch_lo = ch % 100_000_000
     return (
         l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_i).cast("double").alias("sum_qty"),
             (F.sum(price_i).cast("double") / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(big(price_i * disc_i)).cast("double") / F.lit(1000000.0)).alias(
-                "sum_disc_price"
-            ),
-            (F.sum(big(price_i * disc_i * tax_i)).cast("double") / F.lit(10000000000.0)).alias(
-                "sum_charge"
-            ),
+            (
+                (F.sum(dp_hi).cast("double") * F.lit(1_000_000.0)
+                 + F.sum(dp_lo).cast("double")) / F.lit(1_000_000.0)
+            ).alias("sum_disc_price"),
+            (
+                (F.sum(ch_hi).cast("double") * F.lit(100_000_000.0)
+                 + F.sum(ch_lo).cast("double")) / F.lit(10_000_000_000.0)
+            ).alias("sum_charge"),
             (F.sum(qty_i).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(price_i).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
             (F.sum(d_i).cast("double") / F.lit(10000.0) / F.count("*")).alias("avg_disc"),

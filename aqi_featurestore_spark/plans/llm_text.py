@@ -449,28 +449,36 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REVENUE_BY_NATION_SQL = """
+WITH r AS (
+  SELECT n_name,
+         (CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+          * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT)) AS rev_i
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
 SELECT n_name,
-       CAST(SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                     * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT)
-                AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue,
+       (CAST(CAST(SUM(rev_i // 1000000) AS BIGINT) AS DOUBLE) * 1000000.0
+          + CAST(CAST(SUM(rev_i % 1000000) AS BIGINT) AS DOUBLE)) / 1000000.0
+         AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY n_name"""
+FROM r GROUP BY n_name"""
 
 
 @_q("revenue_by_nation", _REVENUE_BY_NATION_SQL)
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-join aggregate: fact scan with a pushed date
     predicate, dimension joins broadcast (region/nation/customer are tiny
-    next to lineitem), decimal-exact revenue accumulation. The shape that
-    exercises AQE join planning at 100 TB."""
+    next to lineitem), exact two-limb integer revenue accumulation
+    (hi = rev div 1e6, lo = rev mod 1e6 summed as plain int64, then a
+    pinned-order double reconstruction — DECIMAL(38)->DOUBLE narrowing
+    of a >2^63 sum rounds differently across engines, the round-4 sf0.1
+    gate's q1 finding; limb sums stay int64-exact to ~9e12 rows/group).
+    The shape that exercises AQE join planning at 100 TB."""
     li = _read(spark, sf_dir, "lineitem")
     o = _read(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -489,8 +497,14 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # rev_i <= ~2e12 < 2^53, so (x - x % S) / S is an exact integer div
+    rev_lo = rev_i % 1_000_000
+    rev_hi = ((rev_i - rev_lo) / 1_000_000).cast("long")
     return joined.groupBy("n_name").agg(
-        (F.sum(rev_i.cast("decimal(38,0)")).cast("double") / 1000000.0).alias("revenue"),
+        (
+            (F.sum(rev_hi).cast("double") * F.lit(1_000_000.0)
+             + F.sum(rev_lo).cast("double")) / F.lit(1_000_000.0)
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

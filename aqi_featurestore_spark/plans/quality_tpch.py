@@ -860,11 +860,14 @@ WITH xy AS (
   FROM events),
 s AS (
   SELECT user_id, COUNT(*) AS n,
-         CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
-         CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
-         CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
-         CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
-         CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+         CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM((x * y) // 10000000) AS BIGINT) AS DOUBLE) * 10000000.0
+           + CAST(CAST(SUM((x * y) % 10000000) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM((x * x) // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0
+           + CAST(CAST(SUM((x * x) % 1000000000) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM((y * y) // 100000) AS BIGINT) AS DOUBLE) * 100000.0
+           + CAST(CAST(SUM((y * y) % 100000) AS BIGINT) AS DOUBLE) AS syy
   FROM xy GROUP BY user_id)
 SELECT user_id, n,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
@@ -877,27 +880,36 @@ FROM s"""
 def q_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend slope + Pearson correlation of value vs time —
     closed-form from five sums, one hash aggregate, no window/sort/UDF.
-    Per-row products stay in int64 (seconds-since-1995 x cents), the
-    five SUMS accumulate in DECIMAL(38,0)/HUGEINT (exact, order-free),
-    and only the final closed-form arithmetic runs in doubles with
-    engine-identical op order. The forecasting-feature op (is this
+    Per-row products stay in int64 (seconds-since-1995 x cents); the
+    product sums (x*x reaches ~4e16/row — past 2^53) accumulate in TWO
+    exact int64 limbs each (hi = p div S, lo = p mod S) reconstructed
+    in pinned double order, because wide-decimal/HUGEINT sums past 2^63
+    narrow to double differently across engines (the round-4 sf0.1 q1
+    finding); only the final closed-form arithmetic runs in doubles
+    with engine-identical op order. The forecasting-feature op (is this
     sensor drifting?) at any scale."""
     e = _read(spark, sf_dir, "events")
     x = (F.expr("unix_micros(cast(ts as timestamp)) div 1000000") - F.lit(788918400)).alias("x")
     y = F.round(F.col("value") * 100, 0).cast("long").alias("y")
-    xy = e.select("user_id", x, y)
-    d38 = "decimal(38,0)"
+    # x*x > 2^53 per row, so the %-and-divide trick is inexact — use SQL
+    # `div` (true integral division) on the named columns instead
+    xy = e.select("user_id", x, y).selectExpr(
+        "user_id", "x", "y",
+        "(x * y) div 10000000 AS xy_hi", "(x * y) % 10000000 AS xy_lo",
+        "(x * x) div 1000000000 AS xx_hi", "(x * x) % 1000000000 AS xx_lo",
+        "(y * y) div 100000 AS yy_hi", "(y * y) % 100000 AS yy_lo",
+    )
 
-    def s(col):
-        return F.sum(col.cast(d38)).cast("double")
+    def limb(hi, lo, scale):
+        return F.sum(hi).cast("double") * F.lit(scale) + F.sum(lo).cast("double")
 
     agg = xy.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        s(F.col("x")).alias("sx"),
-        s(F.col("y")).alias("sy"),
-        s(F.col("x") * F.col("y")).alias("sxy"),
-        s(F.col("x") * F.col("x")).alias("sxx"),
-        s(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        limb("xy_hi", "xy_lo", 10_000_000.0).alias("sxy"),
+        limb("xx_hi", "xx_lo", 1_000_000_000.0).alias("sxx"),
+        limb("yy_hi", "yy_lo", 100_000.0).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

@@ -419,3 +419,130 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("span_id").cast("int").alias("span_id"),
         "tok_start", "tok_end", "span_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter (rule set from the public Gopher paper,
+# Rae et al. 2021, "Scaling Language Models" appendix A — method only).
+# Every rule is EXACT integer arithmetic (cross-multiplied ratios), so
+# keep/drop decisions are bit-reproducible with no float thresholds.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "for")
+
+_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS n_ell
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(words, '')) AS BIGINT) AS total_wchars,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(words,
+                x -> x IN ({", ".join("'" + s + "'" for s in _STOPWORDS)})))
+              AS BIGINT) AS n_stop,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+                x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*')))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, x -> ends_with(trim(x), '...'))) AS BIGINT)
+           AS ellipsis_lines,
+         n_hash + n_ell AS n_sym
+  FROM w)
+SELECT doc_id, n_words, total_wchars, n_alpha, n_stop, n_sym,
+       n_lines, bullet_lines, ellipsis_lines,
+       CASE
+         WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+         WHEN total_wchars < 3 * n_words OR total_wchars > 10 * n_words
+           THEN 'mean_word_len'
+         WHEN n_sym * 10 > n_words THEN 'symbol_ratio'
+         WHEN bullet_lines * 10 > n_lines THEN 'bullet_lines'
+         WHEN ellipsis_lines * 10 > 3 * n_lines THEN 'ellipsis_lines'
+         WHEN n_alpha * 10 < 8 * n_words THEN 'alpha_words'
+         WHEN n_stop < 2 THEN 'stopword_floor'
+         ELSE 'ok' END AS fail_reason,
+       CAST(CASE
+         WHEN n_words < 50 OR n_words > 100000 THEN 0
+         WHEN total_wchars < 3 * n_words OR total_wchars > 10 * n_words THEN 0
+         WHEN n_sym * 10 > n_words THEN 0
+         WHEN bullet_lines * 10 > n_lines THEN 0
+         WHEN ellipsis_lines * 10 > 3 * n_lines THEN 0
+         WHEN n_alpha * 10 < 8 * n_words THEN 0
+         WHEN n_stop < 2 THEN 0
+         ELSE 1 END AS INT) AS keep
+FROM m"""
+
+
+@_q("gopher_quality_filter", _GOPHER_SQL)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality filter: word-count bounds [50, 1e5],
+    mean word length in [3, 10], symbol (#/ellipsis) ratio <= 0.1,
+    bullet lines <= 10%, ellipsis-ended lines <= 30%, >= 80% of words
+    alphabetic, >= 2 stopword hits. First failing rule is reported so
+    the drop distribution is auditable (the production use: tune rules
+    per corpus before committing a filter pass).
+
+    Every ratio rule is cross-multiplied into EXACT integer comparisons
+    (e.g. n_alpha*10 >= 8*n_words) — no float thresholds to diverge
+    between engines or partitionings. Scale shape: entirely row-local
+    JVM expressions; the plan is a zero-shuffle projection."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    lines = F.split("text", "\n")
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", "")))
+        / 3
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.concat_ws("", words)).cast("long").alias("total_wchars"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long").alias("n_stop"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*"),
+            )
+        ).cast("long").alias("bullet_lines"),
+        F.size(F.filter(lines, lambda x: F.trim(x).endswith("...")))
+        .cast("long").alias("ellipsis_lines"),
+        (n_hash + n_ell).cast("long").alias("n_sym"),
+    )
+    fails = [
+        ((F.col("n_words") < 50) | (F.col("n_words") > 100000), "word_count"),
+        (
+            (F.col("total_wchars") < 3 * F.col("n_words"))
+            | (F.col("total_wchars") > 10 * F.col("n_words")),
+            "mean_word_len",
+        ),
+        (F.col("n_sym") * 10 > F.col("n_words"), "symbol_ratio"),
+        (F.col("bullet_lines") * 10 > F.col("n_lines"), "bullet_lines"),
+        (F.col("ellipsis_lines") * 10 > 3 * F.col("n_lines"), "ellipsis_lines"),
+        (F.col("n_alpha") * 10 < 8 * F.col("n_words"), "alpha_words"),
+        (F.col("n_stop") < 2, "stopword_floor"),
+    ]
+    reason = F.lit("ok")
+    keep = F.lit(1)
+    for cond, name in reversed(fails):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+        keep = F.when(cond, F.lit(0)).otherwise(keep)
+    return m.select(
+        "doc_id", "n_words", "total_wchars", "n_alpha", "n_stop", "n_sym",
+        "n_lines", "bullet_lines", "ellipsis_lines",
+        reason.alias("fail_reason"), keep.cast("int").alias("keep"),
+    )

@@ -186,6 +186,9 @@ EXTENDED_QUERIES = [
     "important_stock",
     "exact_substring_spans",
     "cluster_mixture_plan",
+    "gopher_quality_filter",
+    "cluster_exemplars",
+    "kmeans_quality",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -214,6 +217,8 @@ ITERATIVE_CONSTRUCTION = {
     "kmeans_assign",  # Lloyd rounds (agg + k x dim collect) run at build time
     "semantic_dedup",  # same Lloyd fit at build time
     "cluster_mixture_plan",  # same Lloyd fit at build time
+    "cluster_exemplars",  # same Lloyd fit at build time
+    "kmeans_quality",  # same Lloyd fit at build time
     "embedding_dedup_resolve",
     "dedup_cluster_sizes",
     "dedup_resolve_docs",

@@ -111,6 +111,7 @@ EXCHANGE_CEILING = {
     "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
     "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
     "exact_substring_spans": 3, "cluster_mixture_plan": 2,
+    "gopher_quality_filter": 0, "cluster_exemplars": 1, "kmeans_quality": 1,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
