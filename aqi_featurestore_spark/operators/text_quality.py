@@ -194,3 +194,69 @@ def stratified_sample(
             .otherwise(thresh)
         )
     return df.where(u16 < thresh)
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Maximal cross-document duplicate token spans (the ExactSubstr
+    pattern, Lee et al. 2022, method only): every ``min_tokens``-token
+    window whose text occurs in at least one OTHER document marks its
+    positions; per doc, overlapping hits (gap <= min_tokens) merge into
+    maximal spans via gaps-and-islands. Returns
+    ``(id_col, span_id, tok_start, tok_end, span_tokens)``.
+
+    Scale shape: shingling is map-side; only md5 shingle hashes shuffle
+    (one aggregate for multi-doc hashes + one equi-join); the island
+    windows partition BY DOC. See plans/web_curation.py for the
+    registry query + oracle."""
+    from pyspark.sql import Window
+
+    L = min_tokens
+    tok = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    ).where(F.size("t") >= L)
+    shing = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("t") - L)).alias("pos"),
+        "t",
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.md5(F.array_join(F.slice("t", F.col("pos") + 1, L), " ")).alias("h"),
+    )
+    dup = (
+        shing.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = shing.join(dup, ["h"]).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.select(
+        id_col, "pos", F.lag("pos").over(w).alias("prev")
+    ).select(
+        id_col,
+        "pos",
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_id"),
+    )
+    return isl.groupBy(id_col, "span_id").agg(
+        F.min("pos").cast("int").alias("tok_start"),
+        (F.max("pos") + L - 1).cast("int").alias("tok_end"),
+        (F.max("pos") - F.min("pos") + L).cast("int").alias("span_tokens"),
+    ).select(
+        id_col, F.col("span_id").cast("int").alias("span_id"),
+        "tok_start", "tok_end", "span_tokens",
+    )

@@ -374,51 +374,10 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's suffix-array method: same output spans, no global suffix
     sort (at 100 TB the hash route is embarrassingly parallel; the
     constant is one md5 per token position)."""
+    from aqi_featurestore_spark.operators.text_quality import exact_substring_spans
+
     d = _read(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
-        ).alias("t"),
-    ).where(F.size("t") >= _SPAN_L)
-    shing = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("t") - _SPAN_L)).alias("pos"),
-        "t",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.md5(F.array_join(F.slice("t", F.col("pos") + 1, _SPAN_L), " ")).alias("h"),
-    )
-    dup = (
-        shing.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("h")
-    )
-    hits = shing.join(dup, ["h"]).select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.select(
-        "doc_id", "pos", F.lag("pos").over(w).alias("prev")
-    ).select(
-        "doc_id",
-        "pos",
-        F.sum(
-            F.when(
-                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_L), 1
-            ).otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("span_id"),
-    )
-    return isl.groupBy("doc_id", "span_id").agg(
-        F.min("pos").cast("int").alias("tok_start"),
-        (F.max("pos") + _SPAN_L - 1).cast("int").alias("tok_end"),
-        (F.max("pos") - F.min("pos") + _SPAN_L).cast("int").alias("span_tokens"),
-    ).select(
-        "doc_id", F.col("span_id").cast("int").alias("span_id"),
-        "tok_start", "tok_end", "span_tokens",
-    )
+    return exact_substring_spans(d, min_tokens=_SPAN_L)
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,48 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     for r in rows:
         if r["keep"] == 1:
             assert r["dup_of"] is None
+
+
+def test_kmeans_assignment_works_in_streaming(spark, tmp_path):
+    """The literal-centroid assignment is a pure projection, so the SAME
+    column works unchanged under Structured Streaming (stream-static
+    semantic routing: fit offline, assign on the stream)."""
+    df, _ = _planted(spark, n_per=10)
+    cents = kmeans_fit(df, k=3, iters=1)
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        str(src)
+    )
+    assigned = stream.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    ).select("vec_id", kmeans_assign_col(F.col("v"), cents).alias("cid"))
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("km_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "km_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["cid"] for r in spark.sql("SELECT * FROM km_stream").collect()
+    }
+    batch = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"),
+            ).alias("v"),
+        )
+        .select("vec_id", kmeans_assign_col(F.col("v"), cents).alias("cid"))
+        .collect()
+    }
+    assert got == batch and len(got) == 30

@@ -1,0 +1,135 @@
+"""Web-curation operators (plans/web_curation.py): planted-case tests
+for URL canonicalization, the Gopher rules, and exact-substring spans.
+The registry queries are hash-verified against DuckDB oracles by
+test_oracle_parity; these pin the SEMANTICS on hand-built inputs where
+the expected output is known by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.text_quality import exact_substring_spans
+from aqi_featurestore_spark.plans.web_curation import _canonicalized
+
+
+@pytest.mark.parametrize(
+    "url,domain,canonical",
+    [
+        # www. + mixed case collapse; utm/ref stripped entirely
+        (
+            "https://WWW.Site7.com/p/1?utm_source=feed&ref=rss",
+            "site7.com",
+            "https://site7.com/p/1",
+        ),
+        # meaningful param survives, tracking param dropped
+        (
+            "https://www.site7.com/p/1?id=7&utm_campaign=x",
+            "site7.com",
+            "https://site7.com/p/1?id=7",
+        ),
+        # no query at all
+        ("https://site7.com/p/1", "site7.com", "https://site7.com/p/1"),
+        # params keep their relative order
+        (
+            "https://site9.org/a/b?z=1&utm_medium=m&y=2",
+            "site9.org",
+            "https://site9.org/a/b?z=1&y=2",
+        ),
+    ],
+)
+def test_url_canonicalization_cases(spark, url, domain, canonical):
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    row = _canonicalized(df).collect()[0]
+    assert row["domain"] == domain
+    assert row["canonical_url"] == canonical
+
+
+def test_exact_substring_spans_planted(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three four five six {shared} seven"),
+            (3, "completely unrelated text with no overlap whatsoever "
+                "nothing shared here at all truly unique content only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(docs, min_tokens=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # docs 1 and 2 each get exactly one merged span covering the shared
+    # sentence; doc 3 gets nothing
+    assert set(by_doc) == {1, 2}
+    for d in (1, 2):
+        assert len(by_doc[d]) == 1
+    s1, s2 = by_doc[1][0], by_doc[2][0]
+    n_shared = len(shared.split())
+    assert s1["span_tokens"] == n_shared
+    assert s2["span_tokens"] == n_shared
+    assert s1["tok_start"] == 2  # after "alpha beta"
+    assert s2["tok_start"] == 6  # after "one ... six"
+
+
+def test_exact_substring_spans_split_and_merge(spark):
+    # two shared 8-grams separated by a UNIQUE token stay two spans (the
+    # unique token must not be swallowed into a span)...
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [(1, f"{a} gap {b}"), (2, f"{a} other {b}")],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(docs, min_tokens=8).collect()
+    for doc_id in (1, 2):
+        spans = sorted(
+            (r for r in out if r["doc_id"] == doc_id), key=lambda r: r["tok_start"]
+        )
+        assert [(s["tok_start"], s["tok_end"]) for s in spans] == [(0, 7), (9, 16)]
+
+    # ...while OVERLAPPING hits (a shared 9-token run = two overlapping
+    # 8-gram hits at pos 0 and 1) merge into one maximal span
+    c = "y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    docs2 = spark.createDataFrame(
+        [(1, f"{c} tail1 end1"), (2, f"{c} tail2 end2")],
+        "doc_id long, text string",
+    )
+    out2 = exact_substring_spans(docs2, min_tokens=8).collect()
+    for doc_id in (1, 2):
+        spans = [r for r in out2 if r["doc_id"] == doc_id]
+        assert len(spans) == 1
+        assert (spans[0]["tok_start"], spans[0]["tok_end"]) == (0, 8)
+        assert spans[0]["span_tokens"] == 9
+
+
+def test_gopher_filter_reasons(spark, tmp_path, monkeypatch):
+    from aqi_featurestore_spark.plans.web_curation import q_gopher_quality_filter
+    import aqi_featurestore_spark.plans.web_curation as wc
+
+    ok_doc = (
+        "the cat and the dog walked to the park and that was fine for "
+        "everyone because the day was long and the sun was out and the "
+        "grass was green and the air was cool and the walk was easy and "
+        "people smiled at the dogs that passed them on the path today"
+    )
+    rows = [
+        (1, ok_doc),                            # passes every rule
+        (2, "too short"),                       # word_count
+        (3, " ".join(["ab"] * 60)),             # mean_word_len (2 < 3)
+        (4, " ".join(["#" + str(i) for i in range(30)]) + " " + ok_doc),  # symbol_ratio
+        (5, " ".join(["12345"] * 60)),          # alpha_words (digits only)... or mean len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        wc, "_read", lambda spark_, sf_dir, name: df
+    )
+    out = {r["doc_id"]: r for r in q_gopher_quality_filter(spark, "ignored").collect()}
+    assert out[1]["keep"] == 1 and out[1]["fail_reason"] == "ok"
+    assert out[2]["fail_reason"] == "word_count"
+    assert out[3]["fail_reason"] == "mean_word_len"
+    assert out[4]["fail_reason"] == "symbol_ratio"
+    assert out[5]["keep"] == 0  # fails (digit words: mean_word_len ok=5, alpha fails)
+    assert out[5]["fail_reason"] == "alpha_words"
