@@ -50,10 +50,14 @@ _DIM = 64
 _SEM_TAU = 0.8
 
 
-def _kmeans_ctes(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+def _kmeans_ctes(
+    k: int = _K, iters: int = _ITERS, dim: int = _DIM, seeding: str = "md5"
+) -> str:
     """Oracle CTE chain ending in ``af(vec_id, cid, d)`` — the final
     assignment against the post-``iters`` centroids, mirroring
-    operators/clustering.kmeans_fit round for round."""
+    operators/clustering.kmeans_fit round for round (both seeding
+    modes: md5-order TakeOrdered(k), or the Gonzalez farthest-point
+    traversal unrolled as k-1 one-row argmax CTEs)."""
     dist = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * "
@@ -68,15 +72,39 @@ def _kmeans_ctes(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
   FROM embeddings)""",
         """hh AS (
   SELECT vec_id, md5('km|' || CAST(vec_id AS VARCHAR)) AS h8 FROM embeddings)""",
-        f"""sr AS (
+    ]
+    if seeding == "md5":
+        parts += [
+            f"""sr AS (
   SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
     SELECT vec_id, row_number() OVER (ORDER BY {hexpr}, vec_id) AS rn
     FROM hh) t
   WHERE rn <= {k})""",
-        """c0 AS (
+            """c0 AS (
   SELECT sr.cid, list_transform(vc.v, x -> CAST(x AS DOUBLE)) AS carr
   FROM sr JOIN vc USING (vec_id))""",
-    ]
+        ]
+    elif seeding == "farthest":
+        parts.append(f"""s0 AS (
+  SELECT vc.vec_id, vc.v FROM vc JOIN hh USING (vec_id)
+  ORDER BY {hexpr}, vec_id LIMIT 1)""")
+        for i in range(1, k):
+            mins = ", ".join(
+                dist.format(v="vc.v", c=f"list_transform(s{j}.v, x -> CAST(x AS DOUBLE))")
+                for j in range(i)
+            )
+            froms = ", ".join(f"s{j}" for j in range(i))
+            least = f"least({mins})" if i > 1 else mins
+            parts.append(f"""s{i} AS (
+  SELECT vc.vec_id, vc.v FROM vc, {froms}
+  ORDER BY {least} DESC, vc.vec_id LIMIT 1)""")
+        union = "\n  UNION ALL\n".join(
+            f"  SELECT {i} AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS carr FROM s{i}"
+            for i in range(k)
+        )
+        parts.append(f"c0 AS (\n{union})")
+    else:  # pragma: no cover
+        raise ValueError(seeding)
     for t in range(1, iters + 1):
         d = dist.format(v="vc.v", c="c.carr")
         parts.append(f"""a{t} AS (
@@ -394,4 +422,40 @@ def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_dist_sq"),
         )
+    )
+
+
+_KMEANS_FP_SQL = f"""WITH {_kmeans_ctes(seeding="farthest")}
+SELECT vec_id, cid AS cluster_id,
+       round(d / 1000000000000.0, 6) AS dist_sq
+FROM af"""
+
+
+@_q("kmeans_assign_fp", _KMEANS_FP_SQL)
+def q_kmeans_assign_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means with deterministic FARTHEST-POINT seeding
+    (Gonzalez k-center traversal): seed 0 is the md5-min vector, each
+    next seed maximizes distance-to-nearest-chosen (ties: smallest id).
+    The quality seeding — provably one seed per blob when clusters are
+    separated — at the cost of k-1 extra corpus max-reductions at fit
+    time; the oracle unrolls the traversal as k-1 one-row argmax CTEs,
+    so even the seed choice is hash-verified.
+
+    Same exactness and scale shape as ``kmeans_assign`` (integer
+    micro-unit centroid sums, k x dim-bounded collects, zero-exchange
+    returned plan); each seed step is one TakeOrdered(1) over a
+    projection."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=_K, iters=_ITERS, seeding="farthest")
+    vc = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    m = kmeans_min_struct(F.col("v"), cents)
+    return vc.select(
+        "vec_id",
+        m["cid"].cast("int").alias("cluster_id"),
+        F.round(m["d"] / F.lit(1_000_000_000_000.0), 6).alias("dist_sq"),
     )

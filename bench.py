@@ -189,6 +189,7 @@ EXTENDED_QUERIES = [
     "gopher_quality_filter",
     "cluster_exemplars",
     "kmeans_quality",
+    "kmeans_assign_fp",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -219,6 +220,7 @@ ITERATIVE_CONSTRUCTION = {
     "cluster_mixture_plan",  # same Lloyd fit at build time
     "cluster_exemplars",  # same Lloyd fit at build time
     "kmeans_quality",  # same Lloyd fit at build time
+    "kmeans_assign_fp",  # Lloyd fit + k-1 farthest-point passes at build time
     "embedding_dedup_resolve",
     "dedup_cluster_sizes",
     "dedup_resolve_docs",

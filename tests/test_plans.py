@@ -112,6 +112,7 @@ EXCHANGE_CEILING = {
     "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
     "exact_substring_spans": 3, "cluster_mixture_plan": 2,
     "gopher_quality_filter": 0, "cluster_exemplars": 1, "kmeans_quality": 1,
+    "kmeans_assign_fp": 0,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
