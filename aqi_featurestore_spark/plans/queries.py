@@ -12,6 +12,7 @@ which registers via the shared ``@_q`` decorator in ``plans/_base.py``:
 - plans/mlprep_tpch.py    — ML prep + TPC-H completeness batch
 - plans/clustering.py     — distributed k-means + semantic dedup (round 4)
 - plans/web_curation.py   — URL canonicalization / domain capping (round 4)
+- plans/monitoring.py     — freshness/consistency/drift/contract audits (round 4)
 """
 
 from aqi_featurestore_spark.plans._base import ORACLE_SQL, QUERIES, _q, _read  # noqa: F401
@@ -24,4 +25,5 @@ from aqi_featurestore_spark.plans import (  # noqa: F401  (registration side-eff
     mlprep_tpch,
     clustering,
     web_curation,
+    monitoring,
 )

@@ -190,6 +190,10 @@ EXTENDED_QUERIES = [
     "cluster_exemplars",
     "kmeans_quality",
     "kmeans_assign_fp",
+    "freshness_audit",
+    "store_consistency_audit",
+    "ks_drift",
+    "data_contract_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -78,6 +78,9 @@ BNLJ_OK = {
     "weighted_sample",       # 1-row total-weight scalar
     "important_stock",       # 1-row nation-total scalar (TPC-H Q11 shape)
     "cluster_mixture_plan",  # 1-row corpus-total scalar vs k-row rate table
+    "freshness_audit",       # 1-row watermark scalar
+    "store_consistency_audit",  # 1-row watermark scalar
+    "ks_drift",              # 1-row sample-size scalar over the value domain
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -113,6 +116,8 @@ EXCHANGE_CEILING = {
     "exact_substring_spans": 3, "cluster_mixture_plan": 2,
     "gopher_quality_filter": 0, "cluster_exemplars": 1, "kmeans_quality": 1,
     "kmeans_assign_fp": 0,
+    "freshness_audit": 2, "store_consistency_audit": 3, "ks_drift": 3,
+    "data_contract_audit": 2,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
