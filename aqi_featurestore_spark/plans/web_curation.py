@@ -505,3 +505,64 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines", "bullet_lines", "ellipsis_lines",
         reason.alias("fail_reason"), keep.cast("int").alias("keep"),
     )
+
+
+_DUP_SHARE_SQL = f"""
+WITH spans AS ({_SPANS_SQL}),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id),
+toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(d.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       round(CAST(SUM(COALESCE(d.dup_tokens, 0)) AS DOUBLE)
+             / CAST(SUM(t.n_tokens) AS DOUBLE), 6) AS dup_share
+FROM toks t LEFT JOIN per_doc d USING (doc_id)
+GROUP BY t.source"""
+
+
+@_q("duplicate_text_share", _DUP_SHARE_SQL)
+def q_duplicate_text_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup-health KPI: per source, the fraction of tokens
+    sitting inside cross-document duplicate spans (composes
+    ``exact_substring_spans`` into the number a curation team tracks
+    week over week — "how duplicated is this feed?"). Exact integer
+    token counts; one pinned-order division at output.
+
+    Scale shape: the span pipeline's shapes (hash-only shuffles,
+    per-doc windows) plus one (doc)-keyed rollup and one
+    (source)-keyed aggregate."""
+    from aqi_featurestore_spark.operators.text_quality import exact_substring_spans
+
+    d = _read(spark, sf_dir, "documents")
+    spans = exact_substring_spans(d, min_tokens=_SPAN_L)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens")
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, ["doc_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("long").alias("dup_tokens"),
+            F.round(
+                F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+    )

@@ -194,6 +194,7 @@ EXTENDED_QUERIES = [
     "store_consistency_audit",
     "ks_drift",
     "data_contract_audit",
+    "duplicate_text_share",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
