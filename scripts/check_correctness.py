@@ -2,7 +2,8 @@
 """Local replica of the driver's t2 correctness gate: run every
 ``queries()`` entry against its ``oracle_sql()`` at a chosen scale factor.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [name_substr ...]
+(optional name substrings restrict the run to matching queries)
 """
 
 from __future__ import annotations
@@ -19,9 +20,13 @@ from tests.oracle_utils import compare_with_oracle  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+    names = [
+        n for n in sorted(QUERIES) if not only or any(s in n for s in only)
+    ]
     spark = get_spark("correctness-check")
     failures = []
-    for name in sorted(QUERIES):
+    for name in names:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -35,7 +40,7 @@ def main() -> int:
             status = f"FAIL: {str(e)[:300]}"
             failures.append(name)
         print(f"{name:28s} {time.time() - t0:6.2f}s  {status}")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} ok")
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok")
     return 1 if failures else 0
 
 
