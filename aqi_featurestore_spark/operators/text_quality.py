@@ -260,3 +260,95 @@ def exact_substring_spans(
         id_col, F.col("span_id").cast("int").alias("span_id"),
         "tok_start", "tok_end", "span_tokens",
     )
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "for")
+
+
+def _gopher_metrics(text_col: str) -> dict[str, Column]:
+    """The raw integer counters behind the Gopher rules, as row-local
+    column expressions over ``text_col``."""
+    words = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != ""
+    )
+    lines = F.split(text_col, "\n")
+    n_hash = F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    n_ell = (
+        (F.length(text_col) - F.length(F.regexp_replace(text_col, r"\.\.\.", "")))
+        / 3
+    ).cast("long")
+    return {
+        "n_words": F.size(words).cast("long"),
+        "total_wchars": F.length(F.concat_ws("", words)).cast("long"),
+        "n_alpha": F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("long"),
+        "n_stop": F.size(
+            F.filter(words, lambda x: x.isin(*GOPHER_STOPWORDS))
+        ).cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "bullet_lines": F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*"),
+            )
+        ).cast("long"),
+        "ellipsis_lines": F.size(
+            F.filter(lines, lambda x: F.trim(x).endswith("..."))
+        ).cast("long"),
+        "n_sym": (n_hash + n_ell).cast("long"),
+    }
+
+
+def _gopher_rules(m: dict[str, Column]) -> list[tuple[Column, str]]:
+    return [
+        ((m["n_words"] < 50) | (m["n_words"] > 100000), "word_count"),
+        (
+            (m["total_wchars"] < 3 * m["n_words"])
+            | (m["total_wchars"] > 10 * m["n_words"]),
+            "mean_word_len",
+        ),
+        (m["n_sym"] * 10 > m["n_words"], "symbol_ratio"),
+        (m["bullet_lines"] * 10 > m["n_lines"], "bullet_lines"),
+        (m["ellipsis_lines"] * 10 > 3 * m["n_lines"], "ellipsis_lines"),
+        (m["n_alpha"] * 10 < 8 * m["n_words"], "alpha_words"),
+        (m["n_stop"] < 2, "stopword_floor"),
+    ]
+
+
+def gopher_keep(text_col: str = "text") -> Column:
+    """``1`` iff every Gopher rule passes — a single row-local column
+    expression, directly usable as a streaming filter."""
+    keep = F.lit(1)
+    for cond, _name in reversed(_gopher_rules(_gopher_metrics(text_col))):
+        keep = F.when(cond, F.lit(0)).otherwise(keep)
+    return keep.cast("int")
+
+
+def gopher_quality(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021, appendix A — method
+    only): word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line shares, alphabetic-word share, stopword floor. Every
+    ratio rule is an EXACT cross-multiplied integer comparison; output
+    carries the counters, the first failing rule, and ``keep``.
+
+    Row-local JVM expressions only (zero-shuffle projection) — which is
+    also why the same rules run unchanged inside a streaming ingest
+    (``gopher_keep``). See plans/web_curation.py for the registry query
+    and its oracle.
+    """
+    mx = _gopher_metrics(text_col)
+    m = docs.select(
+        id_col, *[c.alias(n) for n, c in mx.items()]
+    )
+    fails = _gopher_rules({n: F.col(n) for n in mx})
+    reason = F.lit("ok")
+    keep = F.lit(1)
+    for cond, name in reversed(fails):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+        keep = F.when(cond, F.lit(0)).otherwise(keep)
+    return m.select(
+        id_col, "n_words", "total_wchars", "n_alpha", "n_stop", "n_sym",
+        "n_lines", "bullet_lines", "ellipsis_lines",
+        reason.alias("fail_reason"), keep.cast("int").alias("keep"),
+    )

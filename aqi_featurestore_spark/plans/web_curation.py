@@ -387,7 +387,7 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep/drop decisions are bit-reproducible with no float thresholds.
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "for")
+from aqi_featurestore_spark.operators.text_quality import GOPHER_STOPWORDS as _STOPWORDS
 
 _GOPHER_SQL = f"""
 WITH w AS (
@@ -452,59 +452,13 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ratio rule is cross-multiplied into EXACT integer comparisons
     (e.g. n_alpha*10 >= 8*n_words) — no float thresholds to diverge
     between engines or partitionings. Scale shape: entirely row-local
-    JVM expressions; the plan is a zero-shuffle projection."""
+    JVM expressions; the plan is a zero-shuffle projection (and being
+    row-local, the same operator runs unchanged on a STREAM — see
+    streaming/jobs.run_curation_ingest_stream)."""
+    from aqi_featurestore_spark.operators.text_quality import gopher_quality
+
     d = _read(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
-    )
-    lines = F.split("text", "\n")
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ell = (
-        (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", "")))
-        / 3
-    ).cast("long")
-    m = d.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.length(F.concat_ws("", words)).cast("long").alias("total_wchars"),
-        F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
-        .cast("long").alias("n_alpha"),
-        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
-        .cast("long").alias("n_stop"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(
-            F.filter(
-                lines,
-                lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*"),
-            )
-        ).cast("long").alias("bullet_lines"),
-        F.size(F.filter(lines, lambda x: F.trim(x).endswith("...")))
-        .cast("long").alias("ellipsis_lines"),
-        (n_hash + n_ell).cast("long").alias("n_sym"),
-    )
-    fails = [
-        ((F.col("n_words") < 50) | (F.col("n_words") > 100000), "word_count"),
-        (
-            (F.col("total_wchars") < 3 * F.col("n_words"))
-            | (F.col("total_wchars") > 10 * F.col("n_words")),
-            "mean_word_len",
-        ),
-        (F.col("n_sym") * 10 > F.col("n_words"), "symbol_ratio"),
-        (F.col("bullet_lines") * 10 > F.col("n_lines"), "bullet_lines"),
-        (F.col("ellipsis_lines") * 10 > 3 * F.col("n_lines"), "ellipsis_lines"),
-        (F.col("n_alpha") * 10 < 8 * F.col("n_words"), "alpha_words"),
-        (F.col("n_stop") < 2, "stopword_floor"),
-    ]
-    reason = F.lit("ok")
-    keep = F.lit(1)
-    for cond, name in reversed(fails):
-        reason = F.when(cond, F.lit(name)).otherwise(reason)
-        keep = F.when(cond, F.lit(0)).otherwise(keep)
-    return m.select(
-        "doc_id", "n_words", "total_wchars", "n_alpha", "n_stop", "n_sym",
-        "n_lines", "bullet_lines", "ellipsis_lines",
-        reason.alias("fail_reason"), keep.cast("int").alias("keep"),
-    )
+    return gopher_quality(d)
 
 
 _DUP_SHARE_SQL = f"""
@@ -565,4 +519,87 @@ def q_duplicate_text_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dup_share"),
         )
+    )
+
+
+_FUNNEL_STAGES = ["raw", "gopher", "gopher+url", "gopher+url+chunk"]
+
+_CURATION_FUNNEL_SQL = f"""
+WITH g AS ({_GOPHER_SQL}),
+u AS ({_URL_DEDUP_SQL}),
+c AS ({_CHUNK_DEDUP_SQL}),
+j AS (
+  SELECT g.doc_id, g.keep AS kg, u.keep AS ku,
+         COALESCE(c.keep, 1) AS kc
+  FROM g JOIN u USING (doc_id) LEFT JOIN c USING (doc_id)),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS raw,
+         CAST(SUM(kg) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN kg = 1 AND ku = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN kg = 1 AND ku = 1 AND kc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM j)
+SELECT r.stage_id, r.stage, r.n_docs
+FROM m, LATERAL (VALUES
+  (0, 'raw', m.raw),
+  (1, 'gopher', m.s1),
+  (2, 'gopher+url', m.s2),
+  (3, 'gopher+url+chunk', m.s3)) AS r(stage_id, stage, n_docs)"""
+
+
+@_q("curation_funnel", _CURATION_FUNNEL_SQL)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE declarative plan: Gopher
+    quality rules, then URL-level dedup, then chunk-granularity dedup —
+    with the survivor count after each stage (the funnel a curation
+    team reports: raw -> quality -> exact-dup -> partial-dup). Each
+    stage's keep decision comes from the SAME builders as its
+    standalone query, so the funnel cannot drift from the audited
+    operators; Catalyst fuses all three into one job.
+
+    Scale shape: the union of the component shapes (all hash-keyed;
+    chunk signatures are the only wide intermediate) followed by three
+    (doc_id)-keyed joins and one global conditional-count aggregate
+    unpivoted to 4 rows."""
+    g = q_gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kg")
+    )
+    u = q_url_canonical_dedup(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ku")
+    )
+    c = q_chunk_dedup_docs(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kc")
+    )
+    j = (
+        g.join(u, ["doc_id"])
+        .join(c, ["doc_id"], "left")
+        .select("doc_id", "kg", "ku", F.coalesce("kc", F.lit(1)).alias("kc"))
+    )
+    m = j.agg(
+        F.count("*").cast("long").alias("raw"),
+        F.sum("kg").cast("long").alias("s1"),
+        F.sum(F.when((F.col("kg") == 1) & (F.col("ku") == 1), 1).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(
+            F.when(
+                (F.col("kg") == 1) & (F.col("ku") == 1) & (F.col("kc") == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("s3"),
+    )
+    stages = list(zip(range(4), _FUNNEL_STAGES, ["raw", "s1", "s2", "s3"]))
+    stacked = m.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("stage_id"),
+                    F.lit(name).alias("stage"),
+                    F.col(col).alias("n_docs"),
+                )
+                for i, name, col in stages
+            ])
+        ).alias("x")
+    )
+    return stacked.select(
+        F.col("x.stage_id").cast("int").alias("stage_id"),
+        F.col("x.stage").alias("stage"),
+        F.col("x.n_docs").alias("n_docs"),
     )

@@ -338,3 +338,52 @@ def run_enrichment_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_curation_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+):
+    """Streaming document-curation ingest: quality-filter and
+    URL-dedup documents AS THEY ARRIVE instead of in a nightly batch.
+
+    Pipeline per microbatch: derive/canonicalize the URL (row-local —
+    plans/web_curation semantics), apply the Gopher quality rules
+    (row-local — operators/text_quality.gopher_quality), then
+    ``dropDuplicatesWithinWatermark`` on canonical_url so re-crawls and
+    mirrors of the same canonical page within the watermark window are
+    dropped with O(window) state. Survivors append to the curated sink.
+
+    The batch twin is the `curation_funnel` registry query (same
+    builders); this is the streaming half of that contract — row-local
+    operators compose onto streams unchanged, and the only stateful
+    piece is the watermarked dedup."""
+    from aqi_featurestore_spark.operators.text_quality import gopher_keep
+    from aqi_featurestore_spark.plans.web_curation import (
+        _canonicalized,
+        _derived_url,
+    )
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = stream.withWatermark("ingest_ts", watermark)
+    curl = _canonicalized(stream.withColumn("url", _derived_url()))
+    # quality gate FIRST (row-local column — no extra state), then the
+    # watermarked canonical-url dedup (the only stateful piece)
+    kept = (
+        curl.where(gopher_keep("text") == 1)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select("doc_id", "text", "ingest_ts", "url", "canonical_url", "domain")
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -195,6 +195,7 @@ EXTENDED_QUERIES = [
     "ks_drift",
     "data_contract_audit",
     "duplicate_text_share",
+    "curation_funnel",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
