@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import date
+from datetime import date, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,6 +110,40 @@ class OfflineStore:
         )
 
     # -- maintenance --------------------------------------------------------
+
+    def missing_partitions(
+        self, *, start: date | None = None, end: date | None = None
+    ) -> list[date]:
+        """Backfill planner: dates in ``[start, end]`` with NO partition
+        in the store. Bounds default to the store's own min/max
+        partition dates, so the common call is ``missing_partitions()``
+        = "which days inside my history have holes" — the input to the
+        reference's per-day backfill loop (airflow/dags/load.py), done
+        as one partition-column aggregate instead of a folder listing.
+
+        Scale shape: partition COLUMNS only — Catalyst answers the
+        distinct-dates aggregate from partition metadata without
+        touching row data; the spine/diff runs on the date domain
+        (thousands of rows at most) on the driver."""
+        part_dates = sorted(
+            r[0]
+            for r in self.read()
+            .select(F.make_date("year", "month", "day").alias("d"))
+            .distinct()
+            .collect()
+        )
+        if not part_dates:
+            return []
+        lo = start or part_dates[0]
+        hi = end or part_dates[-1]
+        have = set(part_dates)
+        out, cur = [], lo
+        while cur <= hi:
+            if cur not in have:
+                out.append(cur)
+            cur += timedelta(days=1)
+        return out
+
 
     def compact(self, *, target_file_bytes: int = 128 << 20) -> dict:
         """Rewrite the store so each date partition holds

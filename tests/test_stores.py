@@ -237,3 +237,39 @@ def test_compact_splits_by_target_bytes(spark, tmp_path):
     stats = store.compact(target_file_bytes=8 << 10)  # 8 KB -> several files
     assert stats["files_after"] > 1
     assert store.read().count() == 2000
+
+
+def test_missing_partitions_backfill_planner(spark, tmp_path):
+    from datetime import date
+
+    from aqi_featurestore_spark.sources.offline_store import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "gap_store"))
+    rows = [
+        ("a", 1.0, "2024-01-01 01:00:00"),
+        ("a", 2.0, "2024-01-02 01:00:00"),
+        # 2024-01-03 and 04 missing
+        ("b", 3.0, "2024-01-05 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id string, aqi double, feature_timestamp string"
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    store.append(df)
+
+    assert store.missing_partitions() == [date(2024, 1, 3), date(2024, 1, 4)]
+    # explicit wider range includes the edges outside stored history
+    assert store.missing_partitions(
+        start=date(2023, 12, 31), end=date(2024, 1, 6)
+    ) == [
+        date(2023, 12, 31),
+        date(2024, 1, 3),
+        date(2024, 1, 4),
+        date(2024, 1, 6),
+    ]
+    # a complete store reports no gaps
+    fill = spark.createDataFrame(
+        [("c", 4.0, "2024-01-03 01:00:00"), ("c", 5.0, "2024-01-04 01:00:00")],
+        "entity_id string, aqi double, feature_timestamp string",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    store.append(fill)
+    assert store.missing_partitions() == []

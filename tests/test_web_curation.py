@@ -192,3 +192,25 @@ def test_curation_ingest_stream(spark, tmp_path):
     assert any(r["doc_id"] == 4 for r in out2)
     for r in out2:
         assert r["canonical_url"].startswith("https://site")
+
+
+def test_canonicalization_idempotent(spark):
+    """canonicalize(canonicalize(url)) == canonicalize(url): a canonical
+    URL has no www., no uppercase host, no tracking params — so a second
+    pass must be the identity. Checked over the full derived-URL space
+    (all 500 sf0.001 docs cover every derivation branch combination)."""
+    from aqi_featurestore_spark.plans.web_curation import (
+        _canonicalized,
+        _derived_url,
+    )
+    from aqi_featurestore_spark.sources.testdata import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    once = _canonicalized(d.withColumn("url", _derived_url())).select(
+        "doc_id", F.col("canonical_url").alias("c1")
+    )
+    twice = _canonicalized(
+        once.select("doc_id", "c1", F.col("c1").alias("url"))
+    ).select("doc_id", "c1", F.col("canonical_url").alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).count()
+    assert bad == 0
