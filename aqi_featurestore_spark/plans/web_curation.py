@@ -603,3 +603,66 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.stage").alias("stage"),
         F.col("x.n_docs").alias("n_docs"),
     )
+
+
+_C4_SQL = r"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+           len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 3
+           AND (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+           AND NOT contains(lower(x), 'lorem ipsum')
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(x, '{') AND NOT contains(x, '}')) AS kept
+  FROM l)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS kept_lines,
+       md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+FROM k"""
+
+
+@_q("c4_line_clean", _C4_SQL)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, method only):
+    keep a line iff it has >= 3 words, ends in terminal punctuation,
+    and carries no lorem-ipsum / javascript / curly-brace boilerplate —
+    the complement of the DOC-level Gopher rules (a good page can still
+    contain nav junk lines; this removes the junk and keeps the page).
+    Output pins the cleaned text by md5 plus kept/total line counts, so
+    the oracle verifies the exact reassembled string without shipping
+    megabytes through the compare.
+
+    Scale shape: pure row-local JVM array ops — a zero-shuffle
+    projection, streaming-safe like the Gopher gate. Corpus note: the
+    synthetic documents are single-line word soup with no terminal
+    punctuation, so every line drops here (exactly verified either
+    way); tests/test_web_curation.py's planted cases demonstrate each
+    rule discriminating on realistic lines."""
+    d = _read(spark, sf_dir, "documents")
+    lines = F.split("text", "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (
+            F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 3
+        )
+        & (
+            F.trim(x).endswith(".")
+            | F.trim(x).endswith("!")
+            | F.trim(x).endswith("?")
+            | F.trim(x).endswith('"')
+        )
+        & ~F.lower(x).contains("lorem ipsum")
+        & ~F.lower(x).contains("javascript")
+        & ~x.contains("{")
+        & ~x.contains("}"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("kept_lines"),
+        F.md5(F.coalesce(F.array_join(kept, "\n"), F.lit(""))).alias("cleaned_md5"),
+    )

@@ -196,6 +196,7 @@ EXTENDED_QUERIES = [
     "data_contract_audit",
     "duplicate_text_share",
     "curation_funnel",
+    "c4_line_clean",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

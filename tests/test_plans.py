@@ -117,7 +117,7 @@ EXCHANGE_CEILING = {
     "gopher_quality_filter": 0, "cluster_exemplars": 1, "kmeans_quality": 1,
     "kmeans_assign_fp": 0,
     "freshness_audit": 2, "store_consistency_audit": 3, "ks_drift": 3,
-    "data_contract_audit": 2, "duplicate_text_share": 4, "curation_funnel": 10,
+    "data_contract_audit": 2, "duplicate_text_share": 4, "curation_funnel": 10, "c4_line_clean": 0,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
     "knn_label_vote": 1, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,

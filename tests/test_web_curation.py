@@ -214,3 +214,30 @@ def test_canonicalization_idempotent(spark):
     ).select("doc_id", "c1", F.col("canonical_url").alias("c2"))
     bad = twice.where(F.col("c1") != F.col("c2")).count()
     assert bad == 0
+
+
+def test_c4_line_clean_rules(spark, monkeypatch):
+    import aqi_featurestore_spark.plans.web_curation as wc
+    from aqi_featurestore_spark.plans.web_curation import q_c4_line_clean
+    import hashlib
+
+    good1 = "This sentence has plenty of words and ends properly."
+    good2 = "Another adequately long line that also terminates here!"
+    rows = [
+        (1, "\n".join([
+            good1,
+            "short one",                       # < 3 words... (2 words) drop
+            "no terminal punctuation here at all",  # no ./!/?/" drop
+            "Contains lorem ipsum filler text right here.",  # boilerplate drop
+            "function() { return 1; }",        # curly braces drop
+            "Enable javascript to view this page.",  # javascript drop
+            good2,
+        ])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(wc, "_read", lambda s_, d_, n_: df)
+    out = q_c4_line_clean(spark, "ignored").collect()[0]
+    assert out["n_lines"] == 7
+    assert out["kept_lines"] == 2
+    expected = hashlib.md5((good1 + "\n" + good2).encode()).hexdigest()
+    assert out["cleaned_md5"] == expected
