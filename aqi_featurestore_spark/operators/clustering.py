@@ -98,74 +98,74 @@ def kmeans_fit(
       blob when clusters are separated — the quality choice when fit
       cost is dominated by the Lloyd rounds anyway.
     """
+    # The fit makes iters (+ k-1 for farthest seeding) full passes over the
+    # micro-int projection; persist it ONCE (MEMORY_AND_DISK — spills, never
+    # OOMs at scale) so every pass reuses the projected columns instead of
+    # re-reading and re-transforming the scan. The cached data is the
+    # id + k x dim longs projection, not the source table's full width.
     vc = df.select(
         F.col(id_col).alias("_id"), _micro_arr(vec_col).alias("_v")
-    )
-    if seeding == "farthest":
-        first = (
-            df.select(
-                F.col(id_col).alias("_id"),
-                _micro_arr(vec_col).alias("_v"),
-                _seed_hash(id_col).alias("_h"),
-            )
-            .orderBy("_h", "_id")
-            .limit(1)
-            .collect()[0]
-        )
-        chosen = [[float(x) for x in first["_v"]]]
-        for _ in range(k - 1):
-            m = kmeans_min_struct(F.col("_v"), chosen)
-            far = (
-                vc.select("_id", "_v", m["d"].alias("_d"))
-                .orderBy(F.desc("_d"), F.asc("_id"))
+    ).persist()
+    try:
+        if seeding == "farthest":
+            first = (
+                vc.select("_id", "_v", _seed_hash("_id").alias("_h"))
+                .orderBy("_h", "_id")
                 .limit(1)
                 .collect()[0]
             )
-            chosen.append([float(x) for x in far["_v"]])
-        centroids: dict[int, list[float]] = dict(enumerate(chosen))
-    elif seeding == "md5":
-        seeds = (
-            df.select(
-                F.col(id_col).alias("_id"),
-                _micro_arr(vec_col).alias("_v"),
-                _seed_hash(id_col).alias("_h"),
+            chosen = [[float(x) for x in first["_v"]]]
+            for _ in range(k - 1):
+                m = kmeans_min_struct(F.col("_v"), chosen)
+                far = (
+                    vc.select("_id", "_v", m["d"].alias("_d"))
+                    .orderBy(F.desc("_d"), F.asc("_id"))
+                    .limit(1)
+                    .collect()[0]
+                )
+                chosen.append([float(x) for x in far["_v"]])
+            centroids: dict[int, list[float]] = dict(enumerate(chosen))
+        elif seeding == "md5":
+            seeds = (
+                vc.select("_id", "_v", _seed_hash("_id").alias("_h"))
+                .orderBy("_h", "_id")
+                .limit(k)
+                .collect()
             )
-            .orderBy("_h", "_id")
-            .limit(k)
-            .collect()
-        )
-        # cid order = (hash, id) rank; round-0 centroid = the seed vector
-        centroids = {
-            cid: [float(x) for x in r["_v"]] for cid, r in enumerate(seeds)
-        }
-    else:
-        raise ValueError(f"unknown seeding {seeding!r}")
-    for _ in range(iters):
-        assigned = vc.select(
-            "_id",
-            "_v",
-            kmeans_assign_col(F.col("_v"), centroids).alias("_cid"),
-        )
-        stats = (
-            assigned.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
-            .groupBy("_cid", "_dim")
-            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
-            .collect()
-        )
-        new: dict[int, dict[int, float]] = {}
-        for r in stats:
-            # exact-int true division — IEEE-identical to DuckDB's
-            # CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-            new.setdefault(r["_cid"], {})[r["_dim"]] = r["_s"] / r["_n"]
-        centroids = {
-            cid: (
-                [new[cid][d] for d in range(len(prev))]
-                if cid in new
-                else prev  # empty cluster: carry the centroid forward
+            # cid order = (hash, id) rank; round-0 centroid = the seed vector
+            centroids = {
+                cid: [float(x) for x in r["_v"]] for cid, r in enumerate(seeds)
+            }
+        else:
+            raise ValueError(f"unknown seeding {seeding!r}")
+        for _ in range(iters):
+            assigned = vc.select(
+                "_id",
+                "_v",
+                kmeans_assign_col(F.col("_v"), centroids).alias("_cid"),
             )
-            for cid, prev in centroids.items()
-        }
-    return [centroids[c] for c in range(k)]
+            stats = (
+                assigned.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+                .groupBy("_cid", "_dim")
+                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+                .collect()
+            )
+            new: dict[int, dict[int, float]] = {}
+            for r in stats:
+                # exact-int true division — IEEE-identical to DuckDB's
+                # CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                new.setdefault(r["_cid"], {})[r["_dim"]] = r["_s"] / r["_n"]
+            centroids = {
+                cid: (
+                    [new[cid][d] for d in range(len(prev))]
+                    if cid in new
+                    else prev  # empty cluster: carry the centroid forward
+                )
+                for cid, prev in centroids.items()
+            }
+        return [centroids[c] for c in range(k)]
+    finally:
+        vc.unpersist()
 
 
 def kmeans_min_struct(

@@ -18,8 +18,42 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from aqi_featurestore_spark.plans import QUERIES  # noqa: E402
 from aqi_featurestore_spark.session import get_spark  # noqa: E402
+
+# FROZEN ambient-overhead calibration probe (round 5). The probe is pure
+# spark.range compute + one 32-way shuffle — no parquet, no repo code in
+# the hot path — so its wall time tracks ONLY scheduler/CPU/JVM ambient
+# conditions of the machine running the bench. Round-4 adjudication: the
+# +20% headline inflation was uniform across queries untouched since
+# round 3, consistent with environment variance but unprovable from the
+# artifact alone. This probe settles it: compare `calibration.probe_sec`
+# across rounds (and to `ref_sec`, the builder-machine value frozen at
+# the round-5 commit); ambient_ratio >= ~1.15 on the probe means the
+# environment, not the code, inflated the totals. DO NOT EDIT the probe
+# body or ref_sec — cross-round comparability is the whole point.
+CALIBRATION_REF_SEC = 0.3626  # builder machine, round-5 commit, min of 3x3
+
+
+def _calibration_once(spark) -> float:
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .select((F.col("id") % 9973).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def calibration_probe(spark) -> float:
+    _calibration_once(spark)  # warm
+    return round(min(_calibration_once(spark) for _ in range(3)), 4)
 
 # Headliners: the flagship feature-store path, representative scan/agg/
 # window/join shapes, and one flagship per LLM-data-pipeline family
@@ -256,15 +290,33 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Variance harness: --repeat N (or $SPARK_GRAFT_BENCH_REPEAT) runs the
+    # headline pass N times; per-query time = min across all passes, and the
+    # per-pass totals + median are reported so run-to-run spread is visible
+    # in the artifact. Default 1 = the round-1..4 protocol, so `value` stays
+    # comparable across rounds.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    probe_pre = calibration_probe(spark)
+
+    headline_runs: list[float] = []
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in QUERIES:
-            continue
-        run_once(spark, name, sf_dir)  # warm (code paths, file listing)
-        timings[name] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
+    for _ in range(max(1, repeat)):
+        pass_timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
+            run_once(spark, name, sf_dir)  # warm (code paths, file listing)
+            pass_timings[name] = round(
+                min(run_once(spark, name, sf_dir) for _ in range(3)), 4
+            )
+        headline_runs.append(round(sum(pass_timings.values()), 4))
+        for name, t in pass_timings.items():
+            timings[name] = min(timings.get(name, t), t)
 
     # Round-2+ additions, timed identically but reported OUTSIDE the
     # headline total so `value` stays comparable across rounds (the
@@ -287,6 +339,21 @@ def main() -> None:
         run_once(spark, name, sf_dir)
         skew_demo[label] = round(min(run_once(spark, name, sf_dir) for _ in range(3)), 4)
 
+    probe_post = calibration_probe(spark)
+    probe = min(probe_pre, probe_post)
+    calibration = {
+        "probe_sec_pre": probe_pre,
+        "probe_sec_post": probe_post,
+        "probe_sec": probe,
+        "ref_sec": CALIBRATION_REF_SEC,
+        "ambient_ratio": (
+            round(probe / CALIBRATION_REF_SEC, 3) if CALIBRATION_REF_SEC else None
+        ),
+        "repeat": repeat,
+        "headline_runs": headline_runs,
+        "headline_median": round(sorted(headline_runs)[len(headline_runs) // 2], 4),
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -305,6 +372,7 @@ def main() -> None:
             sum(extended[n] for n in EXTENDED_CORE if n in extended), 4
         ),
         "skew_demo": skew_demo,
+        "calibration": calibration,
         "sf": sf_val,
     }
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
@@ -325,6 +393,7 @@ def main() -> None:
                     sum(extended[n] for n in EXTENDED_CORE if n in extended), 4
                 ),
                 "skew_demo": skew_demo,
+                "calibration": calibration,
                 "sf": sf_val,
             }
         )
