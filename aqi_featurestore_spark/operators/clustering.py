@@ -49,6 +49,7 @@ from aqi_featurestore_spark.functions import portable_hash as _ph
 __all__ = [
     "kmeans_fit",
     "kmeans_assign_col",
+    "kmeans_dist_structs",
     "kmeans_min_struct",
     "normalized_jvm",
     "MICRO",
@@ -168,18 +169,17 @@ def kmeans_fit(
         vc.unpersist()
 
 
-def kmeans_min_struct(
+def kmeans_dist_structs(
     micro_vec: Column, centroids: dict[int, list[float]] | list[list[float]]
 ) -> Column:
-    """``(d, cid)`` struct of the nearest centroid (ties: smallest
-    squared distance, then smallest cid) for a micro-unit BIGINT vector
-    column against literal centroid arrays — a pure JVM projection, no
-    join, no shuffle.
+    """Array of ``(d, cid)`` structs — squared distance of a micro-unit
+    BIGINT vector column to EVERY literal centroid — a pure JVM
+    projection, no join, no shuffle. ``array_min`` of it is the nearest
+    centroid; ``slice(array_sort(...), 1, p)`` is an IVF probe list.
 
     Distance per centroid: left-fold over dims of
     ``(double(v_d) - c_d)^2`` from 0.0 — the exact op order the oracle's
-    ``list_reduce(list_transform(...))`` reproduces. The argmin is one
-    ``array_min`` over ``(dist, cid)`` structs (lexicographic)."""
+    ``list_reduce(list_transform(...))`` reproduces."""
     if isinstance(centroids, dict):
         centroids = [centroids[c] for c in range(len(centroids))]
     cands = []
@@ -192,7 +192,16 @@ def kmeans_min_struct(
         )
         dist = F.aggregate(diff2, F.lit(0.0), lambda acc, d: acc + d)
         cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*cands))
+    return F.array(*cands)
+
+
+def kmeans_min_struct(
+    micro_vec: Column, centroids: dict[int, list[float]] | list[list[float]]
+) -> Column:
+    """``(d, cid)`` struct of the nearest centroid (ties: smallest
+    squared distance, then smallest cid) — ``array_min`` over
+    :func:`kmeans_dist_structs` (lexicographic on (dist, cid))."""
+    return F.array_min(kmeans_dist_structs(micro_vec, centroids))
 
 
 def kmeans_assign_col(

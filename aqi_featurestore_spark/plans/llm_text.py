@@ -441,8 +441,9 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (16 lists, 4 probes). Seeded deterministic
     centroids + integer-quantized distances make assignment and probing
     oracle-reproducible in SQL; the k-means centroid mode (production
-    default, capped driver sample) keeps its recall-vs-brute-force pin
-    in tests/test_llm_ops.py."""
+    default — DISTRIBUTED exact-integer Lloyd's shared with the
+    clustering family, full-corpus, driver holds only k x dim numbers)
+    keeps its recall-vs-brute-force pin in tests/test_llm_ops.py."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4, centroids="seeded")
