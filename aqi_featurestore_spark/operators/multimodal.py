@@ -117,6 +117,101 @@ def extract_media_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     return df.mapInPandas(featurize, schema=MEDIA_FEATURES_SCHEMA)
 
 
+# -- Image perceptual hashes (dHash / aHash) --------------------------------
+#
+# The standard image-dedup stage of a multimodal training pipeline: decode,
+# shrink to a tiny grayscale grid, hash the gradient (dHash) and the
+# mean-threshold (aHash) structure. Perceptually-similar images agree on
+# most bits, so near-dups are pairs within a small Hamming distance —
+# found at scale with the same pigeonhole band join as SimHash
+# (near_dedup.hamming_hash_pairs): only the 8-byte hashes ever shuffle,
+# pixels stay inside the decode stage.
+#
+# 63 bits (bit 63 kept zero) so the hash stays in two's-complement BIGINT
+# range on every engine, same convention as near_dedup.simhash.
+
+PHASH_GRID_ROWS = 8
+PHASH_GRID_COLS = 9  # dHash compares horizontal neighbors: 9 cols -> 8 diffs
+PHASH_BITS = 63
+
+IMAGE_HASH_SCHEMA = "media_id long, dhash long, ahash long"
+
+
+def _fake_gray_grid(payload: bytes) -> list[list[int]]:
+    """Deterministic stand-in for decode+shrink: an 8 x 9 grid of hex-digit
+    'pixel' values (0-15), row r = the first 9 hex digits of
+    md5(payload || '|dh' || r). Pure digest math — the DuckDB oracle
+    reproduces every pixel, hence every hash bit."""
+    grid = []
+    for r in range(PHASH_GRID_ROWS):
+        hx = hashlib.md5(payload + b"|dh%d" % r).hexdigest()
+        grid.append([int(ch, 16) for ch in hx[: PHASH_GRID_COLS]])
+    return grid
+
+
+def _real_gray_grid(payload: bytes) -> list[list[int]]:
+    """Real decode path: codecs.decode_image -> channel-mean grayscale ->
+    8 x 9 block-mean shrink (integer micro-rounded so the grid is
+    deterministic across BLAS builds)."""
+    import numpy as np
+
+    from aqi_featurestore_spark.functions import codecs
+
+    px = codecs.decode_image(payload).astype(np.float64)
+    gray = px.mean(axis=2)
+    rows = np.array_split(gray, PHASH_GRID_ROWS, axis=0)
+    grid = []
+    for rblock in rows:
+        cols = np.array_split(rblock, PHASH_GRID_COLS, axis=1)
+        grid.append([int(round(c.mean() * 1000)) for c in cols])
+    return grid
+
+
+def _grid_hashes(grid: list[list[int]]) -> tuple[int, int]:
+    """(dhash, ahash) from an 8 x 9 grid: dHash bit (r*8+c) set iff
+    px[r][c+1] > px[r][c]; aHash over the left 8 x 8 block, bit set iff
+    64*px > sum(px) (strict, integer — no float mean). Bit 63 dropped."""
+    dhash = 0
+    for r in range(PHASH_GRID_ROWS):
+        for c in range(PHASH_GRID_COLS - 1):
+            b = r * 8 + c
+            if b < PHASH_BITS and grid[r][c + 1] > grid[r][c]:
+                dhash |= 1 << b
+    vals = [grid[r][c] for r in range(8) for c in range(8)]
+    total = sum(vals)
+    ahash = 0
+    for b, v in enumerate(vals):
+        if b < PHASH_BITS and v * 64 > total:
+            ahash |= 1 << b
+    return dhash, ahash
+
+
+def image_perceptual_hashes(df: DataFrame, *, fake: bool = True) -> DataFrame:
+    """dHash + aHash per image row via Arrow-batched mapInPandas.
+
+    Input: schemas.MEDIA-shaped rows (caller filters kind == 'image').
+    Output: (media_id, dhash, ahash) — the payload NEVER leaves this
+    stage; downstream dedup joins move 8-byte hashes only.
+
+    ``fake=True`` hashes the md5-derived pixel grid (oracle-verified);
+    ``fake=False`` decodes real pixels via functions.codecs first."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dh, ah = [], []
+            for p in pdf["payload"]:
+                payload = p if isinstance(p, (bytes, bytearray)) else str(p).encode()
+                grid = _fake_gray_grid(payload) if fake else _real_gray_grid(payload)
+                d, a = _grid_hashes(grid)
+                dh.append(d)
+                ah.append(a)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": dh, "ahash": ah}
+            )
+
+    return df.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp, derived from metadata only (duration_ms) — the decode of

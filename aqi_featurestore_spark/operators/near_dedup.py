@@ -589,6 +589,61 @@ def simhash_near_dup_pairs(
     )
 
 
+def hamming_hash_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bits: int = 63,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits on an integer hash column, found
+    without a pairwise scan — the generic Hamming half of SimHash dedup,
+    reusable for any fixed-width signature (image dHash/aHash, audio
+    fingerprints): split the ``bits``-bit hash into ``max_hamming + 1``
+    contiguous bands (pigeonhole: any pair within budget agrees exactly
+    on >= 1 band), equi-join on (band, band_bits), then exact popcount on
+    the candidates. Bands take uneven widths when ``bits`` doesn't divide
+    evenly, so every bit is covered. Only (id, hash) rows shuffle."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(n_bands)
+        ]
+    )
+    buckets = hashes.select(
+        F.col(id_col), F.col(hash_col).alias("sig"),
+        F.posexplode(bands).alias("band", "bits"),
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
 def exact_jaccard_for_pairs(
     docs: DataFrame,
     pairs: DataFrame,

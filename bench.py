@@ -231,6 +231,8 @@ EXTENDED_QUERIES = [
     "duplicate_text_share",
     "curation_funnel",
     "c4_line_clean",
+    # round-5 additions
+    "image_phash_dedup",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

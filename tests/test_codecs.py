@@ -139,3 +139,67 @@ def test_real_media_features_video_refused(spark):
     assert "UnsupportedMediaError" in str(ei.value) or isinstance(
         ei.value, UnsupportedMediaError
     )
+
+
+def test_image_perceptual_hash_real_decode(spark):
+    """dHash/aHash over REAL decoded pixels (fake=False): identical
+    images hash identically, a lightly perturbed image lands within a
+    small Hamming distance, a structurally different image lands far —
+    the property that makes Hamming-banded image dedup meaningful."""
+    from aqi_featurestore_spark.operators.multimodal import image_perceptual_hashes
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 36, 3)).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2, :] = 255  # small local edit: most 8x9 block means survive
+    far = base[::-1, ::-1, :].copy()  # structural flip
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(base)), 36, 32, 0),
+        (2, "image", bytearray(codecs.encode_png(base)), 36, 32, 0),
+        (3, "image", bytearray(codecs.encode_png(near)), 36, 32, 0),
+        (4, "image", bytearray(codecs.encode_png(far)), 36, 32, 0),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int,"
+        " duration_ms long",
+    )
+    h = {
+        r["media_id"]: (r["dhash"], r["ahash"])
+        for r in image_perceptual_hashes(media, fake=False).collect()
+    }
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert h[1] == h[2]  # identical bytes -> identical hashes
+    assert 0 <= ham(h[1][0], h[3][0]) <= 12  # local edit: close in dHash
+    assert ham(h[1][0], h[4][0]) > ham(h[1][0], h[3][0])  # flip: farther
+    assert all(0 <= v < (1 << 63) for pair in h.values() for v in pair)
+
+
+def test_image_phash_fake_grid_matches_sql_math(spark):
+    """The fake pixel grid is pure md5 math — pin one hand-computed
+    value so the oracle SQL and the pandas path can't drift apart."""
+    import hashlib
+
+    from aqi_featurestore_spark.operators.multimodal import (
+        _fake_gray_grid,
+        _grid_hashes,
+    )
+
+    payload = b"hello world"
+    grid = _fake_gray_grid(payload)
+    expect_row0 = [
+        int(c, 16)
+        for c in hashlib.md5(b"hello world|dh0").hexdigest()[:9]
+    ]
+    assert grid[0] == expect_row0
+    d, a = _grid_hashes(grid)
+    # recompute dhash independently, bit by bit
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            if b < 63 and grid[r][c + 1] > grid[r][c]:
+                want |= 1 << b
+    assert d == want and 0 <= a < (1 << 63)

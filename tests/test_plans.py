@@ -49,7 +49,7 @@ ARROW_EVAL_OK = {
     "similarity_topk_ivf",
     "similarity_topk_lsh",
 }
-MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample"}
+MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample", "image_phash_dedup"}
 
 # BroadcastNestedLoopJoin allowlist: 1-row scalar crossJoins (totals /
 # breakpoint literals) or documented brute-force pair scans where the
@@ -108,7 +108,8 @@ EXCHANGE_CEILING = {
     "fk_violations": 4, "forecast_revenue": 1, "frame_sample": 0,
     "funnel_analysis": 2, "gap_filled_hourly": 3, "group_median": 1,
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
-    "hourly_rollup": 1, "incremental_agg_merge": 2, "incremental_dedup": 8,
+    "hourly_rollup": 1, "image_phash_dedup": 3,
+    "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,
     "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
