@@ -331,6 +331,123 @@ def embedding_cosine_pairs(
     )
 
 
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    rescore: int = 50,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN top-k (asymmetric-distance full scan).
+
+    PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", 2011 — public paper, no code consulted): split each
+    unit-normalized vector into ``n_subspaces`` contiguous sub-vectors;
+    fit an ``n_codes``-entry codebook PER SUBSPACE with the distributed
+    exact-integer Lloyd's (clustering.kmeans_fit on micro-quantized
+    normalized sub-vectors); encode the corpus as ``n_subspaces`` small
+    code ids. At query time, precompute per query a lookup table of
+    squared distances to every codeword (``n_subspaces x n_codes``
+    doubles), then score each corpus row with ``n_subspaces`` table
+    lookups + adds instead of a ``dim``-wide dot — the classic ADC scan.
+    On unit vectors L2-argmin == cosine-argmax (||a-b||^2 = 2 - 2cos),
+    so ADC ranking approximates cosine top-k. ``rescore > 0`` runs the
+    standard two-stage pipeline: PQ shortlists the top-``rescore``
+    candidates in the compressed domain, then EXACT cosine re-ranks the
+    shortlist to the final top-k (output (q_id, n_id, cos_sim, rk), the
+    same shape as the other ANN queries). ``rescore=0`` returns the raw
+    ADC ranking (q_id, n_id, pq_dist, rk). Recall is measured against
+    the exact scan by ``ann_recall_methods``, never assumed.
+
+    Exactness story (what the DuckDB oracle reproduces bit-for-bit):
+    normalize with the pinned fold, micro-quantize to BIGINT, codebooks
+    from exact-integer Lloyd's, LUT distances as pinned-order double
+    folds, pair score = left-assoc sum of the subspace lookups.
+
+    100 TB shape: the fit collects only ``n_subspaces x n_codes x
+    subdim`` numbers; the scan streams (id, few-byte codes) rows against
+    a BROADCAST query-LUT table — corpus vectors are read once to encode
+    and never shuffle; scoring is pure JVM (element_at + adds), no
+    Python boundary, no join shuffle."""
+    from aqi_featurestore_spark.operators import clustering as _cl
+
+    subdim = dim // n_subspaces
+
+    def norm_micro_sub(col: str, s: int) -> Column:
+        nv = _cl.normalized_jvm(col)
+        return F.transform(
+            F.slice(nv, s * subdim + 1, subdim),
+            lambda x: F.round(x * _cl.MICRO, 0).cast("long"),
+        )
+
+    books = []
+    for s in range(n_subspaces):
+        sub_df = corpus.select(
+            F.col(id_col),
+            F.slice(_cl.normalized_jvm(vec_col), s * subdim + 1, subdim).alias("_sub"),
+        )
+        books.append(
+            _cl.kmeans_fit(sub_df, k=n_codes, iters=iters, id_col=id_col, vec_col="_sub")
+        )
+
+    cds = corpus.select(
+        F.col(id_col).alias("n_id"),
+        *[
+            _cl.kmeans_assign_col(norm_micro_sub(vec_col, s), books[s]).alias(f"c{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    luts = queries.select(
+        F.col(id_col).alias("q_id"),
+        *[
+            F.transform(
+                _cl.kmeans_dist_structs(norm_micro_sub(vec_col, s), books[s]),
+                lambda st: st["d"],
+            ).alias(f"lut{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    pairs = cds.join(F.broadcast(luts), F.col("q_id") != F.col("n_id"))
+    dist = F.element_at("lut0", F.col("c0") + 1)
+    for s in range(1, n_subspaces):
+        dist = dist + F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(dist / F.lit(1_000_000_000_000.0), round_scores).alias("pq_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("pq_dist").asc(), F.col("n_id").asc())
+    adc = scored.select(
+        "q_id", "n_id", "pq_dist", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= (rescore if rescore else k))
+    if not rescore:
+        return adc
+    # Exact re-rank of the compressed-domain shortlist: candidate-bounded,
+    # so the Arrow dot wins (see module header); identical bits to the fold.
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), _normalized_arrow(vec_col).alias("q_vec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"), _normalized_arrow(vec_col).alias("n_vec")
+    )
+    cand = adc.select("q_id", "n_id").join(F.broadcast(qv), "q_id").join(nv, "n_id")
+    cos = _dot_arrow(F.col("q_vec"), F.col("n_vec"))
+    rescored = cand.select(
+        "q_id", "n_id", F.round(cos, round_scores).alias("cos_sim")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return rescored.select(
+        "q_id", "n_id", "cos_sim", F.row_number().over(w2).alias("rk")
+    ).where(F.col("rk") <= k)
+
+
 def _kmeans_centroids(sample, n_lists: int, *, iters: int = 15, seed: int = 7):
     """Driver-side Lloyd's k-means over a bounded sample (numpy) — the
     ``centroids="kmeans_sample"`` fast path for index builds where a

@@ -41,6 +41,7 @@ from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_cosine_pairs,
 )
 from aqi_featurestore_spark.operators.snapshot import latest_per_key, online_lookup
@@ -531,6 +532,90 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4, centroids="seeded")
+
+
+def _ann_methods_sql() -> str:
+    legs = {
+        "lsh": approx_oracles.similarity_topk_lsh_sql(),
+        "ivf": approx_oracles.similarity_topk_ivf_sql(),
+        "pq": approx_oracles.similarity_topk_pq_sql(),
+    }
+    hit_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT '{m}' AS method, COUNT(l.n_id) AS n_hits
+  FROM exact_tk e LEFT JOIN {m}_tk l
+    ON e.q_id = l.q_id AND e.n_id = l.n_id"""
+        for m in ("lsh", "ivf", "pq")
+    )
+    leg_ctes = ",\n".join(f"{m}_tk AS ({sql})" for m, sql in legs.items())
+    return f"""
+WITH exact_tk AS ({_SIM_TOPK_SQL}),
+{leg_ctes},
+nq AS (SELECT COUNT(DISTINCT q_id) AS n FROM exact_tk),
+hits AS (
+{hit_selects})
+SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / (10.0 * CAST(nq.n AS DOUBLE)), 6)
+         AS recall_at_10
+FROM hits CROSS JOIN nq"""
+
+
+@_q("ann_recall_methods", _ann_methods_sql())
+def q_ann_recall_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN method in the engine — hyperplane LSH,
+    seeded IVF, and product quantization — against the same brute-force
+    ground truth, one row per method. The comparison table a user reads
+    before picking an index for a corpus: PQ compresses 64 floats to 4
+    code bytes, IVF prunes to probed cells, LSH buckets by hyperplane
+    signs; each trades recall differently and this query MEASURES the
+    trade instead of assuming it (round-4 verdict ask #4).
+
+    Scale shape: the exact leg runs on a SAMPLE of queries (the accepted
+    audit cost, same as ann_recall); the overlap joins move (q_id, n_id)
+    pairs only; output is 3 rows."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact_tk = cosine_topk_bruteforce(q, e, k=10).select("q_id", "n_id")
+    legs = {
+        "lsh": cosine_topk_lsh(q, e, k=10),
+        "ivf": cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4, centroids="seeded"),
+        "pq": cosine_topk_pq(q, e, k=10),
+    }
+    counted = []
+    for m, leg in legs.items():
+        l_ = leg.select(F.col("q_id").alias("l_q"), F.col("n_id").alias("l_n"))
+        counted.append(
+            exact_tk.join(
+                l_,
+                (F.col("q_id") == F.col("l_q")) & (F.col("n_id") == F.col("l_n")),
+                "left",
+            )
+            .agg(F.count("l_n").alias("n_hits"))
+            .select(F.lit(m).alias("method"), "n_hits")
+        )
+    hits = counted[0].unionAll(counted[1]).unionAll(counted[2])
+    nq = exact_tk.agg(F.countDistinct("q_id").alias("n"))
+    return hits.crossJoin(F.broadcast(nq)).select(
+        "method",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.col("n_hits").cast("double") / (F.lit(10.0) * F.col("n").cast("double")),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
+@_q("similarity_topk_pq", approx_oracles.similarity_topk_pq_sql())
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (4 subspaces x 16 codes, ADC full
+    scan): codebooks from the distributed exact-integer Lloyd's, corpus
+    encoded as 4 small code ids, queries score via broadcast lookup
+    tables — n_subspaces adds per candidate instead of a 64-wide dot.
+    The oracle unrolls the per-subspace fits and reproduces every code
+    id and distance; recall@10 vs the exact scan is measured by
+    ``ann_recall_methods``."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_pq(q, e, k=10)
 
 
 _REVENUE_BY_NATION_SQL = """

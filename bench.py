@@ -233,6 +233,8 @@ EXTENDED_QUERIES = [
     "c4_line_clean",
     # round-5 additions
     "image_phash_dedup",
+    "similarity_topk_pq",
+    "ann_recall_methods",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -272,6 +274,8 @@ ITERATIVE_CONSTRUCTION = {
     "embedding_quantize",  # corpus min/max aggregate + collect at build time
     "similarity_pagerank",  # edge-list localCheckpoint at build time
     "label_spreading",  # edge-list localCheckpoint at build time
+    "similarity_topk_pq",  # 4 per-subspace codebook fits at build time
+    "ann_recall_methods",  # PQ codebook fits + IVF seed collect at build time
 }
 
 

@@ -490,3 +490,35 @@ def test_spread_labels_planted_clusters(spark):
         for r in spread_labels(edges, seeds, iters=1).collect()
     }
     assert one[1] == 7 and one[2] is None and one[3] is None
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """Two-stage PQ (ADC shortlist -> exact re-rank): on the smooth
+    manifold the shortlist keeps most true neighbors, and re-ranking is
+    exact, so overlapping pairs carry the true cosine."""
+    from aqi_featurestore_spark.operators.similarity import cosine_topk_pq
+
+    vecs = _vectors(spark, n=80, dim=16)
+    q = vecs.where(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk_bruteforce(q, vecs, k=5).collect()
+    approx = cosine_topk_pq(
+        q, vecs, k=5, n_subspaces=4, n_codes=8, dim=16, rescore=20
+    ).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.6
+    exact_scores = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]
+    # raw ADC mode returns compressed-domain distances, ascending
+    adc = cosine_topk_pq(
+        q, vecs, k=5, n_subspaces=4, n_codes=8, dim=16, rescore=0
+    ).collect()
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["pq_dist"]))
+    for rows in by_q.values():
+        ds = [d for _, d in sorted(rows)]
+        assert ds == sorted(ds)

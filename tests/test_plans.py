@@ -40,6 +40,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # boundaries"). Anything else must stay pure JVM.
 ARROW_EVAL_OK = {
     "ann_recall",
+    "ann_recall_methods",
+    "similarity_topk_pq",
     "embedding_cosine_dedup",
     "rocchio_classify",
     "embedding_cosine_dedup_lsh",
@@ -56,6 +58,9 @@ MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample", "image_phash_dedup"}
 # broadcast side is bounded and the streamed side carries parallelism.
 BNLJ_OK = {
     "ann_recall",            # brute-force ground-truth leg (audit cost)
+    "ann_recall_methods",    # brute ground truth + PQ code-scan legs
+    "similarity_topk_pq",    # ADC code scan: streamed (id, 4-byte codes)
+                             # rows vs broadcast query LUTs — the PQ contract
     "benford_audit",         # 1-row total-count scalar over a 9-row frame
     "bigram_pmi",            # 1-row corpus-total denominator
     "cms_heavy_hitters",     # 1-row total-tokens threshold scalar
@@ -143,7 +148,8 @@ EXCHANGE_CEILING = {
     "shipping_priority": 1, "simhash_dedup": 3,
     "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
-    "similarity_topk_lsh": 2, "similarity_triangles": 6,
+    "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
+    "ann_recall_methods": 19, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
     "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
