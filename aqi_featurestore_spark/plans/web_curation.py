@@ -666,3 +666,147 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("int").alias("kept_lines"),
         F.md5(F.coalesce(F.array_join(kept, "\n"), F.lit(""))).alias("cleaned_md5"),
     )
+
+
+# -- DSIR-style importance resampling ----------------------------------------
+
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_B = 2048
+_DSIR_K = 100
+
+# u = (md5_int32('g|'||doc_id) + 0.5) / 2^32 — exact double both engines
+_DSIR_G_DUCK = (
+    "(("
+    + _ph.duck_hex_int("md5('g|' || CAST(doc_id AS VARCHAR))", 1, 8)
+    + " + 0.5) / 4294967296.0)"
+)
+
+_DSIR_SQL = f"""
+WITH tokv AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tb AS (
+  SELECT t.doc_id, md5(t.token) AS h,
+         CASE WHEN d.source IN {str(tuple(_DSIR_TARGET))} THEN 1 ELSE 0 END AS is_t
+  FROM tokv t JOIN documents d USING (doc_id)),
+tbk AS (
+  SELECT doc_id, ({_ph.duck_hex_int("h", 1, 8)}) % {_DSIR_B} AS bucket, is_t
+  FROM tb),
+bc AS (
+  SELECT bucket, COUNT(*) AS s_cnt, CAST(SUM(is_t) AS BIGINT) AS t_cnt
+  FROM tbk GROUP BY bucket),
+bct AS (
+  SELECT bucket, s_cnt, t_cnt,
+         CAST(SUM(t_cnt) OVER () + {_DSIR_B} AS DOUBLE) AS ntb,
+         CAST(SUM(s_cnt) OVER () + {_DSIR_B} AS DOUBLE) AS nsb
+  FROM bc),
+w AS (
+  SELECT bucket,
+         CAST(round(ln((CAST(t_cnt + 1 AS DOUBLE) * nsb)
+                       / (CAST(s_cnt + 1 AS DOUBLE) * ntb)) * 1000000, 0)
+              AS BIGINT) AS lr_micro
+  FROM bct),
+docw AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.lr_micro) AS BIGINT) AS logw_micro
+  FROM tbk t JOIN w USING (bucket)
+  GROUP BY t.doc_id),
+gum AS (
+  SELECT doc_id, n_tokens, logw_micro,
+         CAST(round(-ln(-ln({_DSIR_G_DUCK})) * 1000000, 0) AS BIGINT) AS g_micro
+  FROM docw)
+SELECT doc_id, n_tokens, logw_micro, g_micro,
+       logw_micro + g_micro AS score_micro
+FROM gum
+ORDER BY score_micro DESC, doc_id
+LIMIT {_DSIR_K}"""
+
+
+@_q("dsir_select", _DSIR_SQL)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — method only): score
+    every document by the log importance ratio of a hashed-unigram LM
+    fit on a target domain (here sources {src0,src1,src2}) vs the raw
+    corpus, then Gumbel-top-k resample. Tokens hash into 2048 buckets
+    (md5, portable); bucket log-ratios use Laplace smoothing and land
+    in integer micro-units BEFORE the per-doc sum, so the document
+    scores are order-free exact; the Gumbel noise derives from
+    md5(doc_id) — deterministic, no RNG state.
+
+    Scale shape: one token-keyed hash agg bounded at 2048 rows
+    (map-side combine collapses every partition to <= 2048 partials),
+    one broadcast of the 2048-row weight table back onto the token
+    stream, one doc-keyed agg, and a global top-k via
+    TakeOrderedAndProject (k rows per partition, never a global sort).
+    At 100 TB with billions of selected docs, replace the top-k with a
+    score threshold from approx quantiles (corpus_quantiles) — the
+    scoring plan is unchanged. Reference: extends the curation family
+    (no selection ops in the reference, SURVEY §2.11)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    is_t = (
+        F.when(F.col("source").isin(*_DSIR_TARGET), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_t")
+    )
+    tbk = docs.select(
+        "doc_id", F.explode(toks).alias("token"), is_t
+    ).select(
+        "doc_id", (_ph.md5_int32("token") % _DSIR_B).alias("bucket"), "is_t"
+    )
+    bc = tbk.groupBy("bucket").agg(
+        F.count("*").alias("s_cnt"),
+        F.sum("is_t").cast("bigint").alias("t_cnt"),
+    )
+    # global window over the 2048-row bucket aggregate (bounded by
+    # construction — the spine-bounded-window plan-pin verifies the
+    # aggregate feed): one fit pass over the corpus, not two
+    wtot = Window.partitionBy()
+    bct = bc.select(
+        "bucket",
+        "s_cnt",
+        "t_cnt",
+        (F.sum("t_cnt").over(wtot) + F.lit(_DSIR_B)).cast("double").alias("ntb"),
+        (F.sum("s_cnt").over(wtot) + F.lit(_DSIR_B)).cast("double").alias("nsb"),
+    )
+    lr = F.round(
+        F.log(
+            ((F.col("t_cnt") + F.lit(1)).cast("double") * F.col("nsb"))
+            / ((F.col("s_cnt") + F.lit(1)).cast("double") * F.col("ntb"))
+        )
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("bigint")
+    w = bct.select("bucket", lr.alias("lr_micro"))
+    docw = (
+        tbk.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("logw_micro"),
+        )
+    )
+    u = (
+        _ph.md5_int32(F.concat(F.lit("g|"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    g = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0), 0).cast("bigint")
+    return (
+        docw.select(
+            "doc_id",
+            "n_tokens",
+            "logw_micro",
+            g.alias("g_micro"),
+            (F.col("logw_micro") + g).alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+

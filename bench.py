@@ -235,6 +235,7 @@ EXTENDED_QUERIES = [
     "image_phash_dedup",
     "similarity_topk_pq",
     "ann_recall_methods",
+    "dsir_select",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -241,3 +241,35 @@ def test_c4_line_clean_rules(spark, monkeypatch):
     assert out["kept_lines"] == 2
     expected = hashlib.md5((good1 + "\n" + good2).encode()).hexdigest()
     assert out["cleaned_md5"] == expected
+
+
+def test_dsir_prefers_target_like_docs(spark, monkeypatch):
+    """Planted semantics for DSIR selection: documents whose tokens are
+    drawn from the target-domain vocabulary must outscore (logw) the
+    off-domain ones, and the Gumbel field must be a pure function of
+    doc_id (rerun-stable)."""
+    from aqi_featurestore_spark.plans import web_curation as wc
+    from aqi_featurestore_spark.plans.web_curation import q_dsir_select
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    other_text = "omega sigma tau upsilon omega sigma tau upsilon"
+    rows = (
+        # target domain (src0) speaks alpha..delta
+        [(i, target_text, "en", "src0", len(target_text)) for i in range(8)]
+        # background (srcX) speaks omega..upsilon
+        + [(100 + i, other_text, "en", "srcX", len(other_text)) for i in range(8)]
+        # two candidates: one target-like, one background-like
+        + [
+            (200, target_text, "en", "srcY", len(target_text)),
+            (201, other_text, "en", "srcY", len(other_text)),
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(wc, "_read", lambda s_, d_, n_: df)
+    out = {r["doc_id"]: r for r in q_dsir_select(spark, "ignored").collect()}
+    assert out[200]["logw_micro"] > out[201]["logw_micro"]
+    rerun = {r["doc_id"]: r for r in q_dsir_select(spark, "ignored").collect()}
+    assert rerun[200]["g_micro"] == out[200]["g_micro"]
+    assert rerun[201]["score_micro"] == out[201]["score_micro"]
