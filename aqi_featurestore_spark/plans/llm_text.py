@@ -959,3 +959,83 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("last_vc").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     )
 
+
+
+# -- token-entropy quality signal --------------------------------------------
+
+_ENTROPY_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+         CAST(len(a) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(a)) AS BIGINT) AS n_types,
+         CAST(coalesce(list_sum(list_transform(list_distinct(a),
+           t -> CAST(round(CAST(len(list_filter(a, x -> x = t)) AS DOUBLE)
+                           * log2(CAST(len(list_filter(a, x -> x = t)) AS DOUBLE))
+                           * 1000000, 0) AS BIGINT))), 0) AS BIGINT)
+           AS sum_clog2_micro
+  FROM arrs WHERE len(a) > 0)
+SELECT doc_id, n_tokens, n_types, sum_clog2_micro,
+       round(log2(CAST(n_tokens AS DOUBLE))
+             - (CAST(sum_clog2_micro AS DOUBLE) / 1000000.0)
+               / CAST(n_tokens AS DOUBLE), 6) AS entropy_bits
+FROM counted"""
+
+
+@_q("token_entropy", _ENTROPY_SQL)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over the token distribution (bits
+    per token) — the CCNet/RefinedWeb-style degenerate-text signal:
+    near-zero entropy means boilerplate repetition, complementing
+    repetition_stats' TTR/top-share thresholds.
+
+    H = log2(n) - (1/n) * sum_t c_t*log2(c_t), computed entirely
+    ROW-LOCAL: a document's tokens already sit in one row, so the
+    distinct-token counts come from array ops (array_distinct +
+    per-type filter count), never a (doc, token) shuffle — the plan is
+    a zero-exchange projection, streaming-safe, like the Gopher and C4
+    gates. The per-type terms round to integer micro-units before the
+    integer fold, so the sum is order-free exact cross-engine.
+
+    Cost note: the array scan is O(types x length) per document — right
+    for web-scale docs (<= a few thousand tokens). For book-length
+    inputs switch to the (doc_id, token) groupBy shape (one extra
+    shuffle, linear work); the outputs are bit-identical."""
+    docs = _read(spark, sf_dir, "documents")
+    a = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    arrs = docs.select("doc_id", a.alias("a")).where(F.size("a") > 0)
+    c_of = lambda t: F.size(F.filter(F.col("a"), lambda x: x == t))  # noqa: E731
+    micro = lambda t: F.round(  # noqa: E731
+        c_of(t).cast("double") * F.log2(c_of(t).cast("double")) * F.lit(1_000_000.0),
+        0,
+    ).cast("bigint")
+    counted = arrs.select(
+        "doc_id",
+        F.size("a").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("a")).cast("bigint").alias("n_types"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(F.array_distinct("a"), micro),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_clog2_micro"),
+    )
+    entropy = F.round(
+        F.log2(F.col("n_tokens").cast("double"))
+        - (F.col("sum_clog2_micro").cast("double") / F.lit(1_000_000.0))
+        / F.col("n_tokens").cast("double"),
+        6,
+    ).alias("entropy_bits")
+    return counted.select(
+        "doc_id", "n_tokens", "n_types", "sum_clog2_micro", entropy
+    )

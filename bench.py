@@ -236,6 +236,7 @@ EXTENDED_QUERIES = [
     "similarity_topk_pq",
     "ann_recall_methods",
     "dsir_select",
+    "token_entropy",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

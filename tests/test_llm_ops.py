@@ -522,3 +522,26 @@ def test_pq_recall_vs_bruteforce(spark):
     for rows in by_q.values():
         ds = [d for _, d in sorted(rows)]
         assert ds == sorted(ds)
+
+
+def test_token_entropy_known_values(spark, monkeypatch):
+    """Pin H on hand-computable distributions: 4 uniform tokens -> 2
+    bits; all-same -> 0; and the empty doc is excluded."""
+    from aqi_featurestore_spark.plans import llm_text as lt
+    from aqi_featurestore_spark.plans.llm_text import q_token_entropy
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),        # uniform over 4 -> 2.0 bits
+        (2, "x x x x x x", "en", "s", 11),   # degenerate -> 0.0 bits
+        (3, "a a b b", "en", "s", 7),        # 2 types, p=1/2 -> 1.0 bit
+        (4, "   ", "en", "s", 3),            # no tokens -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(lt, "_read", lambda s_, d_, n_: df)
+    out = {r["doc_id"]: r for r in q_token_entropy(spark, "ignored").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy_bits"] == 2.0 and out[1]["n_types"] == 4
+    assert out[2]["entropy_bits"] == 0.0 and out[2]["n_types"] == 1
+    assert out[3]["entropy_bits"] == 1.0 and out[3]["n_tokens"] == 4
