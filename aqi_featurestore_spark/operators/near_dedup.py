@@ -110,6 +110,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    spread: bool = True,
+) -> DataFrame:
+    """Asymmetric set-containment near-dup pairs: for every doc pair
+    sharing a k-word shingle, ``c1 = inter/n1`` (the fraction of d1's
+    shingle set inside d2) and ``c2 = inter/n2``; keep pairs where
+    ``greatest(c1, c2) >= threshold``. This is the quote-inclusion /
+    subset-duplicate detector symmetric Jaccard structurally misses: a
+    short doc fully embedded in a long one has Jaccard ~ n1/n2 (tiny)
+    but containment 1.0.
+
+    Same candidate generation as ``ngram_jaccard_pairs`` (shingle
+    equi-join — candidates only from shared shingles, bodies never
+    shuffle; AQE splits boilerplate-shingle skew). The prefix-filter
+    shortcut is deliberately NOT reused: its pruning bound is derived
+    from the symmetric Jaccard inequality and does not hold for
+    one-sided containment — for 100 TB corpora the scale path is
+    blocking on each doc's rarest shingles (frequency-ascending, the
+    same DF-rank machinery) which preserves the containment guarantee
+    for the SMALLER side."""
+    sh = _doc_shingles(docs.transform(lambda d: _spread(d, spread)),
+                       id_col=id_col, text_col=text_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    c = (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), "d2")
+        .withColumn("c1", F.col("inter").cast("double") / F.col("n1"))
+        .withColumn("c2", F.col("inter").cast("double") / F.col("n2"))
+    )
+    return c.where(F.greatest("c1", "c2") >= F.lit(threshold)).select(
+        "d1", "d2", "inter", "n1", "n2", "c1", "c2"
+    )
+
+
 def edit_distance_pairs(
     docs: DataFrame,
     *,

@@ -220,6 +220,45 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(d, k=3, threshold=0.7)
 
 
+_CONTAINMENT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, inter, n1.n AS n1, n2.n AS n2,
+       CAST(inter AS DOUBLE) / n1.n AS c1,
+       CAST(inter AS DOUBLE) / n2.n AS c2
+FROM inter
+JOIN sizes n1 ON d1 = n1.doc_id
+JOIN sizes n2 ON d2 = n2.doc_id
+WHERE greatest(CAST(inter AS DOUBLE) / n1.n, CAST(inter AS DOUBLE) / n2.n) >= 0.3"""
+
+
+@_q("containment_dedup_pairs", _CONTAINMENT_SQL)
+def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs at max(c1, c2) >= 0.3: the
+    quote-inclusion / subset-duplicate detector — a short document fully
+    embedded in a long one has near-zero Jaccard but containment 1.0,
+    so this catches what `ngram_jaccard_pairs` structurally cannot.
+    Same shingle equi-join candidate generation (bodies never shuffle);
+    see operators/near_dedup.py:containment_pairs for the 100 TB
+    blocking note (the Jaccard prefix-filter bound does not transfer to
+    one-sided containment)."""
+    from aqi_featurestore_spark.operators.near_dedup import containment_pairs
+
+    return containment_pairs(_read(spark, sf_dir, "documents"), threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q3 shape: selective dim filter -> two-level join -> top-k
 # ---------------------------------------------------------------------------

@@ -237,6 +237,7 @@ EXTENDED_QUERIES = [
     "ann_recall_methods",
     "dsir_select",
     "token_entropy",
+    "containment_dedup_pairs",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

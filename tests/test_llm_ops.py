@@ -545,3 +545,21 @@ def test_token_entropy_known_values(spark, monkeypatch):
     assert out[1]["entropy_bits"] == 2.0 and out[1]["n_types"] == 4
     assert out[2]["entropy_bits"] == 0.0 and out[2]["n_types"] == 1
     assert out[3]["entropy_bits"] == 1.0 and out[3]["n_tokens"] == 4
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """A short doc embedded verbatim in a long one: Jaccard is tiny but
+    containment c1 = 1.0 — the pair the symmetric metric misses."""
+    from aqi_featurestore_spark.operators.near_dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cp = containment_pairs(docs, threshold=0.9, spread=False).collect()
+    assert len(cp) == 1 and cp[0]["d1"] == 1 and cp[0]["c1"] == 1.0
+    jp = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jp == []  # symmetric Jaccard misses the subset duplicate
