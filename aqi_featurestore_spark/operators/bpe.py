@@ -1,0 +1,123 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units" — method only):
+learn the first N byte-pair merges of a tokenizer FROM the corpus, on
+the cluster.
+
+Shape (the reason this scales): the corpus is collapsed ONCE into the
+unique-word vocabulary ``(word, freq)`` — pair statistics are identical
+on the weighted vocab and the raw token stream, but the vocab is orders
+of magnitude smaller (and bounded: unique words, not occurrences).
+Every merge round then runs on the vocab only:
+
+  1. adjacent-pair counts: explode ``zip_with(sym[:-1], sym[1:])``
+     weighted by freq, one map-combined hash agg (pair-keyed);
+  2. argmax pair via TakeOrdered(1) — a 1-row collect per round, the
+     same driver-sequential pattern as Lloyd's k-means rounds
+     (operators/clustering.py);
+  3. apply the merge to every word's symbol array with a row-local
+     fold (leftmost, non-overlapping — Sennrich's re.sub semantics).
+
+Merge-fold correctness: the fold merges ``x`` into the accumulator
+whenever the accumulator's last element equals ``left`` and ``x`` equals
+``right``. A just-merged element can never retrigger a merge of the
+same round: the merged symbol ``left || right`` is strictly longer than
+``left``, so it never equals ``left``. Runs of identical symbols merge
+leftmost-first (``aaa`` -> ``aa a``), alternating overlaps resolve left
+to right (``abab`` -> ``ab ab``) — pinned in tests/test_llm_ops.py.
+
+Counting uses OVERLAPPING adjacent pairs (``aaa`` counts (a,a) twice),
+matching the reference BPE trainer's loop; merging is non-overlapping.
+Ties on the argmax break on (left, right) lexicographic — rerun-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(col: Column) -> Column:
+    """Word -> array of single characters (portable: same substr loop
+    the DuckDB oracle uses, no empty-pattern split edge cases)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
+    )
+
+
+def merge_pair(sym: Column, left: str, right: str) -> Column:
+    """Apply one BPE merge to a symbol array: leftmost, non-overlapping."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        sym,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda out, x: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(out, F.lit(1), F.size(out) - 1), F.array(merged)),
+        ).otherwise(F.concat(out, F.array(x))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the vocab's symbol arrays."""
+    pairs = F.zip_with(
+        F.expr("slice(sym, 1, size(sym) - 1)"),
+        F.expr("slice(sym, 2, size(sym) - 1)"),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        vocab.where(F.size("sym") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges. Returns
+    ``[(step, left, right, merged, pair_count), ...]``.
+
+    One corpus pass builds the cached vocab; each round is a vocab-only
+    aggregate plus a 1-row collect (ITERATIVE_CONSTRUCTION in bench.py
+    terms). At 100 TB the vocab (unique words) is the small table; the
+    chained merge expressions stay lazy over the cached vocab."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(_chars(F.col("word")).alias("sym"), "freq")
+        .cache()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        cur = vocab
+        for step in range(1, n_merges + 1):
+            best = (
+                _pair_counts(cur)
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append(
+                (step, b["left"], b["right"], b["left"] + b["right"],
+                 int(b["pair_count"]))
+            )
+            cur = cur.select(
+                merge_pair(F.col("sym"), b["left"], b["right"]).alias("sym"),
+                "freq",
+            )
+    finally:
+        vocab.unpersist()
+    return merges

@@ -1306,3 +1306,88 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+# -- BPE merge learning ------------------------------------------------------
+
+_BPE_N_MERGES = 6
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled N-round BPE oracle. Every vocab/best CTE is MATERIALIZED
+    (each is referenced twice; DuckDB's default inlining re-evaluates
+    multiply-referenced CTEs multiplicatively). The per-round merge
+    applies the leftmost non-overlapping rule via match/parity lists —
+    provably identical to the Spark fold (operators/bpe.py docstring)."""
+    parts = [
+        r"""WITH v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS sym,
+         freq
+  FROM (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word))"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT sym[j] AS l, sym[j + 1] AS r, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(range(1, len(sym))) AS j, sym, freq
+        FROM v{p} WHERE len(sym) >= 2)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, pair_count FROM c{i}
+  ORDER BY pair_count DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT list_filter(list_transform(range(1, len(sym) + 1), p ->
+           CASE WHEN p < len(sym) AND mg[p] = 1 THEN m
+                WHEN p >= 2 AND mg[p - 1] = 1 THEN NULL
+                ELSE sym[p] END), x -> x IS NOT NULL) AS sym,
+         freq
+  FROM (
+    SELECT sym, freq, m,
+           list_transform(range(1, len(sym)), p -> CASE WHEN mt[p] = 1
+                 AND (p - coalesce(list_max(list_filter(range(1, p),
+                       q -> mt[q] = 0)), 0)) % 2 = 1
+               THEN 1 ELSE 0 END) AS mg
+    FROM (
+      SELECT sym, freq, b.m,
+             list_transform(range(1, len(sym)), p ->
+               CASE WHEN sym[p] = b.l AND sym[p + 1] = b.r
+                    THEN 1 ELSE 0 END) AS mt
+      FROM v{p} CROSS JOIN b{i} b) t1) t2)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, m AS merged, "
+        f"pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects + "\nORDER BY step"
+
+
+_BPE_SQL = _bpe_oracle_sql(_BPE_N_MERGES)
+
+
+@_q("bpe_merge_learn", _BPE_SQL)
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 BPE merges of a subword tokenizer from the
+    corpus (Sennrich et al. 2016, method only) — tokenizer training as
+    a cluster job. The corpus collapses ONCE into the unique-word
+    (sym, freq) vocab; each round is a vocab-only weighted pair count
+    plus a 1-row argmax collect, then a row-local merge fold — the
+    Lloyd's-rounds pattern (driver-sequential rounds, distributed
+    aggregation, collects bounded at 1 row x rounds). See
+    operators/bpe.py for the merge-semantics proof; pair counting is
+    overlapping-adjacent (the reference trainer's loop), merging is
+    leftmost non-overlapping."""
+    from aqi_featurestore_spark.operators.bpe import bpe_learn
+
+    merges = bpe_learn(_read(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    ).orderBy("step")

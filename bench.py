@@ -238,6 +238,7 @@ EXTENDED_QUERIES = [
     "dsir_select",
     "token_entropy",
     "containment_dedup_pairs",
+    "bpe_merge_learn",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -279,6 +280,7 @@ ITERATIVE_CONSTRUCTION = {
     "label_spreading",  # edge-list localCheckpoint at build time
     "similarity_topk_pq",  # 4 per-subspace codebook fits at build time
     "ann_recall_methods",  # PQ codebook fits + IVF seed collect at build time
+    "bpe_merge_learn",  # 6 merge rounds (pair-count agg + 1-row argmax) at build time
 }
 
 

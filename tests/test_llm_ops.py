@@ -563,3 +563,48 @@ def test_containment_catches_subset_duplicate(spark):
     assert len(cp) == 1 and cp[0]["d1"] == 1 and cp[0]["c1"] == 1.0
     jp = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jp == []  # symmetric Jaccard misses the subset duplicate
+
+
+def test_bpe_merge_fold_semantics(spark):
+    """Pin the leftmost non-overlapping merge fold on the hand cases the
+    oracle's match/parity logic was verified against: runs merge
+    leftmost-first, alternating overlaps resolve left to right."""
+    from aqi_featurestore_spark.operators.bpe import _chars, merge_pair
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("aaa",), ("abab",), ("aaaaaa",), ("baaab",), ("x",)], "w string"
+    )
+    aa = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", merge_pair(_chars(F.col("w")), "a", "a").alias("m")
+        ).collect()
+    }
+    assert aa["aaa"] == ["aa", "a"]
+    assert aa["aaaaaa"] == ["aa", "aa", "aa"]
+    assert aa["baaab"] == ["b", "aa", "a", "b"]
+    assert aa["abab"] == ["a", "b", "a", "b"]
+    assert aa["x"] == ["x"]
+    ab = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", merge_pair(_chars(F.col("w")), "a", "b").alias("m")
+        ).collect()
+    }
+    assert ab["abab"] == ["ab", "ab"]
+
+
+def test_bpe_learn_planted(spark):
+    """'low low lower' x freq: first merge must be the most frequent
+    adjacent pair ('l','o'), and merged symbols compose in later steps."""
+    from aqi_featurestore_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "low lowest")], "doc_id long, text string"
+    )
+    merges = bpe_learn(docs, n_merges=3)
+    assert merges[0][1:4] == ("l", "o", "lo")   # 6 occurrences of (l,o)
+    assert merges[1][1:4] == ("lo", "w", "low")
+    steps = [m[0] for m in merges]
+    assert steps == [1, 2, 3]
