@@ -74,6 +74,53 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def bpe_apply_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Apply learned merges corpus-wide and report per-group tokenizer
+    compression. The corpus collapses to the (group, word, freq) vocab;
+    the merge chain (literals — the fit already ran) folds row-locally
+    over each distinct word; stats are freq-weighted exact-integer sums
+    with single output divisions. Two corpus passes total for
+    fit + transform; the merge application itself never touches the
+    token stream again."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    wc = (
+        docs.select(F.col(group_col), F.explode(toks).alias("word"))
+        .groupBy(group_col, "word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    sym = _chars(F.col("word"))
+    for _, left, right, _, _ in merges:
+        sym = merge_pair(sym, left, right)
+    applied = wc.select(
+        group_col,
+        "freq",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size(sym).cast("bigint").alias("n_sym"),
+    )
+    return applied.groupBy(group_col).agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("bigint").alias("sum_chars"),
+        F.sum(F.col("freq") * F.col("n_sym")).cast("bigint").alias("sum_symbols"),
+        (
+            F.sum(F.col("freq") * F.col("n_sym")).cast("double")
+            / F.sum("freq").cast("double")
+        ).alias("avg_sym_per_word"),
+        (
+            F.sum(F.col("freq") * F.col("n_sym")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_chars")).cast("double")
+        ).alias("sym_per_char"),
+    )
+
+
 def bpe_learn(
     docs: DataFrame,
     *,

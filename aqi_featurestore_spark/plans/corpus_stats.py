@@ -1391,3 +1391,85 @@ def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left_sym string, right_sym string, merged string, "
         "pair_count bigint",
     ).orderBy("step")
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """Companion generator: ONE chain carrying (source, word) so the
+    same b{i} argmax CTEs both define the merges (global freq sums are
+    source-invariant) and drive the per-row application; final select
+    aggregates tokenizer compression per source."""
+    parts = [
+        r"""WITH a0 AS MATERIALIZED (
+  SELECT source, word,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS sym,
+         freq
+  FROM (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY source, word))"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT sym[j] AS l, sym[j + 1] AS r, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(range(1, len(sym))) AS j, sym, freq
+        FROM a{p} WHERE len(sym) >= 2)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, pair_count FROM c{i}
+  ORDER BY pair_count DESC, l, r LIMIT 1),
+a{i} AS MATERIALIZED (
+  SELECT source, word,
+         list_filter(list_transform(range(1, len(sym) + 1), p ->
+           CASE WHEN p < len(sym) AND mg[p] = 1 THEN m
+                WHEN p >= 2 AND mg[p - 1] = 1 THEN NULL
+                ELSE sym[p] END), x -> x IS NOT NULL) AS sym,
+         freq
+  FROM (
+    SELECT source, word, sym, freq, m,
+           list_transform(range(1, len(sym)), p -> CASE WHEN mt[p] = 1
+                 AND (p - coalesce(list_max(list_filter(range(1, p),
+                       q -> mt[q] = 0)), 0)) % 2 = 1
+               THEN 1 ELSE 0 END) AS mg
+    FROM (
+      SELECT source, word, sym, freq, b.m,
+             list_transform(range(1, len(sym)), p ->
+               CASE WHEN sym[p] = b.l AND sym[p + 1] = b.r
+                    THEN 1 ELSE 0 END) AS mt
+      FROM a{p} CROSS JOIN b{i} b) t1) t2)""")
+    final = f"""SELECT source,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS sum_chars,
+       CAST(SUM(freq * len(sym)) AS BIGINT) AS sum_symbols,
+       CAST(SUM(freq * len(sym)) AS DOUBLE)
+         / CAST(SUM(freq) AS DOUBLE) AS avg_sym_per_word,
+       CAST(SUM(freq * len(sym)) AS DOUBLE)
+         / CAST(SUM(freq * length(word)) AS DOUBLE) AS sym_per_char
+FROM a{n_merges}
+GROUP BY source"""
+    return ",\n".join(parts) + "\n" + final
+
+
+_BPE_APPLY_SQL = _bpe_apply_oracle_sql(_BPE_N_MERGES)
+
+
+@_q("bpe_tokenize_stats", _BPE_APPLY_SQL)
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-then-transform composition for the BPE family: learn the 6
+    merges (bpe_merge_learn's fit), apply them corpus-wide, and report
+    per-source tokenizer compression (symbols per word / per char) —
+    the evaluation loop of tokenizer training. The transform runs on
+    the (source, word, freq) vocab with the merges as literals, so the
+    token stream is touched exactly twice (fit pass + vocab pass) and
+    the merge folds are row-local. Freq-weighted exact-integer sums;
+    two output divisions."""
+    from aqi_featurestore_spark.operators.bpe import bpe_apply_stats, bpe_learn
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, n_merges=_BPE_N_MERGES)
+    return bpe_apply_stats(docs, merges)

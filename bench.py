@@ -239,6 +239,7 @@ EXTENDED_QUERIES = [
     "token_entropy",
     "containment_dedup_pairs",
     "bpe_merge_learn",
+    "bpe_tokenize_stats",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -281,6 +282,7 @@ ITERATIVE_CONSTRUCTION = {
     "similarity_topk_pq",  # 4 per-subspace codebook fits at build time
     "ann_recall_methods",  # PQ codebook fits + IVF seed collect at build time
     "bpe_merge_learn",  # 6 merge rounds (pair-count agg + 1-row argmax) at build time
+    "bpe_tokenize_stats",  # same 6-round fit at build time, then the vocab transform
 }
 
 

@@ -608,3 +608,20 @@ def test_bpe_learn_planted(spark):
     assert merges[1][1:4] == ("lo", "w", "low")
     steps = [m[0] for m in merges]
     assert steps == [1, 2, 3]
+
+
+def test_bpe_apply_stats_compression(spark):
+    """Applying ('l','o') then ('lo','w') to a 'low'-corpus must shrink
+    symbols: 'low' -> 1 symbol, so sym_per_char = 1/3 for pure-'low'
+    sources and exact integer sums hold."""
+    from aqi_featurestore_spark.operators.bpe import bpe_apply_stats
+
+    docs = spark.createDataFrame(
+        [(1, "low low low", "s1"), (2, "web web", "s2")],
+        "doc_id long, text string, source string",
+    )
+    merges = [(1, "l", "o", "lo", 3), (2, "lo", "w", "low", 3)]
+    out = {r["source"]: r for r in bpe_apply_stats(docs, merges).collect()}
+    assert out["s1"]["n_words"] == 3 and out["s1"]["sum_symbols"] == 3
+    assert out["s1"]["sum_chars"] == 9 and out["s1"]["avg_sym_per_word"] == 1.0
+    assert out["s2"]["sum_symbols"] == 6  # 'web' untouched by merges
