@@ -114,7 +114,7 @@ EXCHANGE_CEILING = {
     "funnel_analysis": 2, "gap_filled_hourly": 3, "group_median": 1,
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
-    "token_entropy": 0, "containment_dedup_pairs": 7,
+    "token_entropy": 0, "containment_dedup_pairs": 11,
     "bpe_merge_learn": 1, "bpe_tokenize_stats": 2,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
