@@ -165,9 +165,17 @@ def main() -> int:
     sf_dir = args[0] if args else "testdata_sf1"
     if "--skew-demo" in sys.argv:
         return skew_demo(sf_dir)
+    only = args[1:]  # optional name filters, check_correctness.py-style
+    queries = (
+        [n for n in PROBE_QUERIES if any(s in n for s in only)]
+        + [n for n in sorted(QUERIES) if n not in PROBE_QUERIES
+           and any(s in n for s in only)]
+        if only
+        else PROBE_QUERIES
+    )
     spark = get_spark("scale-probe")
     failures = []
-    for name in PROBE_QUERIES:
+    for name in queries:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -191,7 +199,7 @@ def main() -> int:
             failures.append(name)
             print(f"{name:26s} FAIL: {str(e)[:300]}")
         sys.stdout.flush()
-    print(f"\n{len(PROBE_QUERIES) - len(failures)}/{len(PROBE_QUERIES)} ok")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok")
     return 1 if failures else 0
 
 
