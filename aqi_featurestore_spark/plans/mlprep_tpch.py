@@ -998,3 +998,157 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("value_c"), "ps_partkey")
         .limit(100)
     )
+
+
+# -- leave-one-out target encoding -------------------------------------------
+
+_TENC_PRIOR = 10.0
+
+_TENC_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y_micro
+  FROM events WHERE value IS NOT NULL),
+cat AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(y_micro) AS BIGINT) AS sum_micro
+  FROM ev GROUP BY event_type),
+gtot AS (
+  SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all,
+         CAST(SUM(sum_micro) AS BIGINT) AS sum_all_micro
+  FROM cat)
+SELECT e.event_id, e.event_type,
+       round((CAST(c.sum_micro - e.y_micro AS DOUBLE) / 1000000.0
+              + {_TENC_PRIOR} * (CAST(g.sum_all_micro AS DOUBLE) / 1000000.0
+                                 / CAST(g.n_all AS DOUBLE)))
+             / (CAST(c.n_cat - 1 AS DOUBLE) + {_TENC_PRIOR}), 6) AS loo_enc
+FROM ev e
+JOIN cat c USING (event_type)
+CROSS JOIN gtot g"""
+
+
+@_q("target_encoding", _TENC_SQL)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of event_type against
+    value — the standard tabular-ML categorical encoder, computed
+    leakage-free: each row's own target is subtracted from its
+    category sum, and a prior weight of 10 shrinks small categories
+    toward the global mean. Category sums accumulate in integer
+    micro-units (order-free exact); the encoding itself is a pinned
+    chain of exact-int-to-double casts and single divisions, rounded
+    to 6 dp at the output.
+
+    Plan: one category aggregate (bounded at the category count),
+    broadcast back onto the fact plus a broadcast 1-row global — the
+    fact stream never shuffles, so the encoder is a map-side
+    projection at any scale."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * F.lit(1_000_000.0), 0)
+            .cast("bigint")
+            .alias("y_micro"),
+        )
+    )
+    cat = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cat"),
+        F.sum("y_micro").cast("bigint").alias("sum_micro"),
+    )
+    glob = cat.agg(
+        F.sum("n_cat").cast("bigint").alias("n_all"),
+        F.sum("sum_micro").cast("bigint").alias("sum_all_micro"),
+    )
+    gm = (
+        F.col("sum_all_micro").cast("double")
+        / F.lit(1_000_000.0)
+        / F.col("n_all").cast("double")
+    )
+    enc = F.round(
+        (
+            (F.col("sum_micro") - F.col("y_micro")).cast("double")
+            / F.lit(1_000_000.0)
+            + F.lit(_TENC_PRIOR) * gm
+        )
+        / ((F.col("n_cat") - F.lit(1)).cast("double") + F.lit(_TENC_PRIOR)),
+        6,
+    ).alias("loo_enc")
+    return (
+        ev.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select("event_id", "event_type", enc)
+    )
+
+
+# -- vocabulary-coverage curve (OOV rate at candidate vocab sizes) -----------
+
+_VOCAB_SIZES = (1000, 2000, 4000)
+
+_VOCAB_COV_SQL = f"""
+WITH tokv AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tokv GROUP BY token),
+rk AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rn,
+         CAST(SUM(freq) OVER () AS BIGINT) AS total_occ,
+         CAST(COUNT(*) OVER () AS BIGINT) AS total_types
+  FROM tf)
+SELECT v.vocab_size, total_occ, total_types,
+       CAST(SUM(CASE WHEN rn <= v.vocab_size THEN freq ELSE 0 END) AS BIGINT)
+         AS covered_occ,
+       round(CAST(SUM(CASE WHEN rn <= v.vocab_size THEN freq ELSE 0 END)
+                  AS DOUBLE) / CAST(total_occ AS DOUBLE), 6) AS coverage
+FROM rk CROSS JOIN (VALUES {", ".join(f"({v})" for v in _VOCAB_SIZES)}) v(vocab_size)
+GROUP BY v.vocab_size, total_occ, total_types"""
+
+
+@_q("vocab_coverage", _VOCAB_COV_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: what fraction of token OCCURRENCES the
+    top-V types cover, for candidate vocab sizes V in {{1k, 2k, 4k}} —
+    the OOV/coverage trade-off read before fixing a vocabulary (the
+    complement of vocab_top_terms, which returns the types themselves).
+
+    Plan: one token-keyed map-combined aggregate collapses the corpus
+    to the type table; the rank and totals are windows OVER that
+    aggregate (bounded input — the spine-bounded plan-pin applies);
+    the final cross join against 3 literal sizes re-aggregates 3 rows.
+    The corpus is touched once."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    wg = Window.partitionBy()
+    rk = tf.select(
+        "freq",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("freq").over(wg).cast("bigint").alias("total_occ"),
+        F.count("*").over(wg).cast("bigint").alias("total_types"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(v) for v in _VOCAB_SIZES])
+    ).alias("vocab_size")
+    covered = F.sum(
+        F.when(F.col("rn") <= F.col("vocab_size"), F.col("freq")).otherwise(F.lit(0))
+    )
+    return (
+        rk.select("freq", "rn", "total_occ", "total_types", sizes)
+        .groupBy("vocab_size", "total_occ", "total_types")
+        .agg(
+            covered.cast("bigint").alias("covered_occ"),
+            F.round(
+                covered.cast("double") / F.col("total_occ").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )

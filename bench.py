@@ -240,6 +240,8 @@ EXTENDED_QUERIES = [
     "containment_dedup_pairs",
     "bpe_merge_learn",
     "bpe_tokenize_stats",
+    "target_encoding",
+    "vocab_coverage",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -115,7 +115,8 @@ EXCHANGE_CEILING = {
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
     "token_entropy": 0, "containment_dedup_pairs": 11,
-    "bpe_merge_learn": 1, "bpe_tokenize_stats": 2,
+    "bpe_merge_learn": 1, "bpe_tokenize_stats": 2, "target_encoding": 3,
+    "vocab_coverage": 2,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,

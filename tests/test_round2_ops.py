@@ -198,3 +198,33 @@ def test_lttb_picks_max_area_point(spark):
         got = [r for (u, bb), r in out.items()
                if int(bb.timestamp() * 1e6) == b][0]
         assert got["event_id"] == want, (i, b)
+
+
+def test_target_encoding_loo_exactness(spark, monkeypatch):
+    """Hand-check the leave-one-out smoothed encoder: category 'a' with
+    values (2, 4) and global mean 4 -> each 'a' row's encoding excludes
+    its own value: (other + 10*4) / (1 + 10)."""
+    from aqi_featurestore_spark.plans import mlprep_tpch as mp
+    from aqi_featurestore_spark.plans.mlprep_tpch import q_target_encoding
+
+    rows = [(1, "a", 2.0), (2, "a", 4.0), (3, "b", 6.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    monkeypatch.setattr(mp, "_read", lambda s_, d_, n_: df)
+    out = {r["event_id"]: r["loo_enc"] for r in q_target_encoding(spark, "x").collect()}
+    assert out[1] == round((4.0 + 10 * 4.0) / 11.0, 6)
+    assert out[2] == round((2.0 + 10 * 4.0) / 11.0, 6)
+    assert out[3] == round((0.0 + 10 * 4.0) / 10.0, 6)  # singleton: prior only
+
+
+def test_vocab_coverage_curve(spark, monkeypatch):
+    """3 types with freqs 5/3/1: top-1000 covers everything; the curve
+    is monotone and totals are exact."""
+    from aqi_featurestore_spark.plans import mlprep_tpch as mp
+    from aqi_featurestore_spark.plans.mlprep_tpch import q_vocab_coverage
+
+    text = " ".join(["x"] * 5 + ["y"] * 3 + ["z"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    monkeypatch.setattr(mp, "_read", lambda s_, d_, n_: df)
+    out = {r["vocab_size"]: r for r in q_vocab_coverage(spark, "x").collect()}
+    assert out[1000]["total_occ"] == 9 and out[1000]["total_types"] == 3
+    assert out[1000]["covered_occ"] == 9 and out[1000]["coverage"] == 1.0
