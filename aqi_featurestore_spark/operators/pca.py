@@ -1,0 +1,148 @@
+"""Distributed PCA (top principal component) with cross-engine-exact
+arithmetic.
+
+Fit = one corpus pass: per Arrow batch, the embedding block quantizes to
+int64 micro-units (``floor(x * 1e6)`` — the house integer-sketch
+quantization, functions/portable_hash.py) and accumulates the EXACT
+integer Gram matrix ``G = Q^T Q``, column sums ``S`` and row count ``n``
+— int64 matrix products are order-free, so numpy's BLAS-order sums equal
+any fold order bit-for-bit, unlike float Grams. The partials (4096 G
+cells + 64 S cells + 1 count per batch) shuffle to one map-combined
+aggregate; the driver collects dim^2-bounded rows (the k-means-centroid
+collect pattern, never corpus-sized).
+
+The eigenvector comes from 20 fixed power-iteration rounds on the
+scaled covariance ``Chat = n*G - S S^T`` (scale-invariant for
+eigenvectors), computed in PURE PYTHON FLOATS with explicit left folds
+— no numpy in the iteration — so the DuckDB oracle reproduces every
+IEEE operation in the same order via ``list_reduce`` folds and arrives
+at the bit-identical vector. Projection is then a row-local pinned fold
+of ``(q/1e6 - mean) . pc`` with the fitted vector embedded as plan
+literals.
+
+Overflow bounds, stated: |x| <= 1 keeps q <= 1e6, G cells <= 1e12*n,
+and Chat = n*G - S_i S_j <= ~1e12*n^2 — exact int64 G to n ~ 9e6 rows
+per fit; past that, fit on a deterministic hash sample (the IVF-cap
+pattern) or split G into two int64 limbs (the q1_pricing_summary
+two-limb trick). Chat itself is computed in doubles (pinned single
+products), so only G/S accumulation needs the bound.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _gram_partials(dim: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype("float64") * _MICRO
+            ).astype("int64")
+            g = q.T @ q  # exact int64 — order-free
+            s = q.sum(axis=0, dtype="int64")
+            ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+            out = pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int64"),
+                    "j": jj.ravel().astype("int64"),
+                    "v": g.ravel(),
+                }
+            )
+            srows = pd.DataFrame(
+                {"i": np.full(dim, -1, "int64"),
+                 "j": np.arange(dim, dtype="int64"),
+                 "v": s}
+            )
+            nrow = pd.DataFrame({"i": [-2], "j": [0], "v": [len(q)]})
+            yield pd.concat([out, srows, nrow], ignore_index=True)
+
+    return gen
+
+
+def pca_fit(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 20,
+) -> tuple[list[float], list[float]]:
+    """Returns (pc, mean): the unit top principal component and the
+    per-dimension mean (of q/1e6), both as plain Python floats whose
+    every IEEE op the SQL oracle mirrors."""
+    partials = vectors.select(vec_col).mapInPandas(
+        _gram_partials(dim), schema="i long, j long, v long"
+    )
+    rows = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("v").cast("long").alias("v"))
+        .collect()
+    )
+    g = [[0] * dim for _ in range(dim)]
+    s = [0] * dim
+    n = 0
+    for r in rows:
+        if r["i"] == -2:
+            n = r["v"]
+        elif r["i"] == -1:
+            s[r["j"]] = r["v"]
+        else:
+            g[r["i"]][r["j"]] = r["v"]
+    nf = float(n)
+    # Chat_ij = n*G_ij - S_i*S_j, each a single pinned double product
+    chat = [
+        [float(g[i][j]) * nf - float(s[i]) * float(s[j]) for j in range(dim)]
+        for i in range(dim)
+    ]
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    for _ in range(n_iter):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + chat[i][j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in w]
+    mean = [float(s[j]) / nf / float(_MICRO) for j in range(dim)]
+    return v, mean
+
+
+def pca_project(
+    vectors: DataFrame,
+    pc: list[float],
+    mean: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Row-local projection onto the fitted component: a pinned left
+    fold of (q/1e6 - mean) * pc with the fit as plan literals — zero
+    shuffles, streaming-safe."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_MICRO))).cast("long"),
+    )
+    pc_lit = F.array(*[F.lit(x) for x in pc])
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(
+        q,
+        F.zip_with(mean_lit, pc_lit, lambda m, p: F.struct(m.alias("m"), p.alias("p"))),
+        lambda qq, mp: (qq.cast("double") / F.lit(float(_MICRO)) - mp["m"]) * mp["p"],
+    )
+    score = F.aggregate(centered, F.lit(0.0), lambda acc, x: acc + x)
+    return vectors.select(id_col, F.round(score, 6).alias("pc1_score"))

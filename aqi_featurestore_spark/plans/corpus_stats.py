@@ -1473,3 +1473,92 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     merges = bpe_learn(docs, n_merges=_BPE_N_MERGES)
     return bpe_apply_stats(docs, merges)
+
+
+# -- distributed PCA (top principal component) -------------------------------
+
+_PCA_DIM = 64
+_PCA_ITER = 20
+
+
+def _pca_oracle_sql(dim: int, n_iter: int) -> str:
+    """Unrolled power-iteration oracle. Every CTE that is referenced
+    more than once is MATERIALIZED. The iteration reproduces, op for
+    op, the pure-Python fit in operators/pca.py: Chat = n*G - S S^T in
+    pinned double products, 0.125-start, left-fold matvec and norm,
+    element divide — so the eigenvector literals in the Spark plan and
+    the oracle's v{n_iter} agree bit-for-bit."""
+    d1 = dim + 1
+    head = f"""WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM qv),
+gm AS MATERIALIZED (
+  SELECT t1.i AS i, t2.j AS j,
+         CAST(SUM(q[t1.i] * q[t2.j]) AS BIGINT) AS g
+  FROM qv CROSS JOIN range(1, {d1}) t1(i) CROSS JOIN range(1, {d1}) t2(j)
+  GROUP BY t1.i, t2.j),
+sv AS MATERIALIZED (
+  SELECT t.j AS j, CAST(SUM(q[t.j]) AS BIGINT) AS s
+  FROM qv CROSS JOIN range(1, {d1}) t(j)
+  GROUP BY t.j),
+crow AS MATERIALIZED (
+  SELECT g.i,
+         list(CAST(g.g AS DOUBLE) * cnt.nd
+              - CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE) ORDER BY g.j)
+           AS row
+  FROM gm g
+  JOIN sv s1 ON g.i = s1.j
+  JOIN sv s2 ON g.j = s2.j
+  CROSS JOIN cnt
+  GROUP BY g.i),
+cmat AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM crow),
+means AS MATERIALIZED (
+  SELECT list(CAST(s AS DOUBLE) / cnt.nd / 1000000.0 ORDER BY j) AS mean
+  FROM sv CROSS JOIN cnt GROUP BY cnt.nd),
+v0 AS (SELECT list_transform(range(1, {d1}), x -> 0.125) AS v)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f"""w{k} AS (
+  SELECT list_transform(m, row ->
+           list_reduce(list_transform(range(1, {d1}), jj -> row[jj] * v[jj]),
+                       (x, y) -> x + y)) AS w
+  FROM cmat CROSS JOIN v{p}),
+nrm{k} AS (
+  SELECT sqrt(list_reduce(list_transform(w, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT list_transform(w, x -> x / nrm) AS v FROM w{k} CROSS JOIN nrm{k})""")
+    tail = f"""SELECT vec_id,
+       round(list_reduce(
+               list_transform(range(1, {d1}),
+                 jj -> (CAST(q[jj] AS DOUBLE) / 1000000.0 - mean[jj])
+                       * pc.v[jj]),
+               (x, y) -> x + y), 6) AS pc1_score
+FROM qv CROSS JOIN v{n_iter} pc CROSS JOIN means"""
+    return head + ",\n" + ",\n".join(its) + "\n" + tail
+
+
+_PCA_SQL = _pca_oracle_sql(_PCA_DIM, _PCA_ITER)
+
+
+@_q("pca_project", _PCA_SQL)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: project every embedding onto the corpus's top
+    principal component. Fit = one Arrow-batched pass accumulating the
+    EXACT int64 Gram matrix (order-free integer matmul — the reason
+    numpy partials and any fold order agree bit-for-bit), collect
+    bounded at dim^2 rows; 20 power-iteration rounds run in pure
+    Python floats with pinned left folds that the oracle's unrolled
+    list_reduce CTEs reproduce op for op. Projection is a zero-shuffle
+    row-local fold with the fit as plan literals. Overflow bounds and
+    the >9e6-row fit path are stated in operators/pca.py."""
+    from aqi_featurestore_spark.operators.pca import pca_fit, pca_project
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    pc, mean = pca_fit(vecs, dim=_PCA_DIM, n_iter=_PCA_ITER)
+    return pca_project(vecs, pc, mean)

@@ -242,6 +242,7 @@ EXTENDED_QUERIES = [
     "bpe_tokenize_stats",
     "target_encoding",
     "vocab_coverage",
+    "pca_project",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -285,6 +286,7 @@ ITERATIVE_CONSTRUCTION = {
     "ann_recall_methods",  # PQ codebook fits + IVF seed collect at build time
     "bpe_merge_learn",  # 6 merge rounds (pair-count agg + 1-row argmax) at build time
     "bpe_tokenize_stats",  # same 6-round fit at build time, then the vocab transform
+    "pca_project",  # Gram-matrix fit pass + dim^2-bounded collect at build time
 }
 
 

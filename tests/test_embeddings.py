@@ -72,3 +72,21 @@ def test_quantize_no_shuffle_of_vectors(spark, emb):
     mm = dim_minmax(emb)
     plan = quantize_embeddings(emb, minmax=mm)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pca_top_component_recovers_dominant_axis(spark):
+    """Vectors varying only along axis 2 (plus a constant offset on
+    axis 0): PC1 must be +-e_2 and the projections must equal the
+    centered coordinates up to the sign."""
+    from aqi_featurestore_spark.operators.pca import pca_fit, pca_project
+
+    rows = [(i, [0.5, 0.0, float(i) / 10.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pc, mean = pca_fit(df, dim=4, n_iter=20)
+    assert abs(abs(pc[2]) - 1.0) < 1e-9
+    assert all(abs(pc[j]) < 1e-6 for j in (0, 1, 3))
+    assert abs(mean[0] - 0.5) < 1e-9 and abs(mean[2] - 0.2) < 1e-9
+    out = {r["vec_id"]: r["pc1_score"] for r in pca_project(df, pc, mean).collect()}
+    sgn = 1.0 if pc[2] > 0 else -1.0
+    for i in range(5):
+        assert abs(out[i] - round(sgn * (i / 10.0 - 0.2), 6)) <= 2e-6

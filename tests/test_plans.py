@@ -51,7 +51,10 @@ ARROW_EVAL_OK = {
     "similarity_topk_ivf",
     "similarity_topk_lsh",
 }
-MAP_IN_PANDAS_OK = {"multimodal_features", "frame_sample", "image_phash_dedup"}
+MAP_IN_PANDAS_OK = {
+    "multimodal_features", "frame_sample", "image_phash_dedup",
+    "pca_project",  # exact int64 Gram partials per Arrow batch (fit pass)
+}
 
 # BroadcastNestedLoopJoin allowlist: 1-row scalar crossJoins (totals /
 # breakpoint literals) or documented brute-force pair scans where the
@@ -116,7 +119,7 @@ EXCHANGE_CEILING = {
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
     "token_entropy": 0, "containment_dedup_pairs": 11,
     "bpe_merge_learn": 1, "bpe_tokenize_stats": 2, "target_encoding": 3,
-    "vocab_coverage": 2,
+    "vocab_coverage": 2, "pca_project": 0,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,
