@@ -78,6 +78,7 @@ BNLJ_OK = {
     "online_lookup",         # 1-row as-of timestamp scalar
     "quartile_bucketize",    # 1-row quartile-breakpoint array
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
+    "target_encoding",       # 1-row global-mean prior scalar
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
     "similarity_triangles",  # 1-row threshold scalar
