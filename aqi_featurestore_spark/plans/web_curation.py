@@ -810,3 +810,97 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DSIR_K)
     )
 
+
+
+# -- epoch-capped token-budget mixture planning ------------------------------
+
+_MIX_EPOCH_CAP = 3.0  # max repetitions per domain (data-constrained regime)
+
+_MIX_BUDGET_SQL = r"""
+WITH tokc AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT source, tokens,
+         CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_domains
+  FROM tokc),
+plan AS (
+  SELECT source, tokens, total_tokens,
+         CAST((total_tokens / 2) / n_domains AS BIGINT) AS desired_tokens,
+         CAST(least(CAST((total_tokens / 2) / n_domains AS BIGINT),
+                    CAST(3.0 * CAST(tokens AS DOUBLE) AS BIGINT))
+              AS BIGINT) AS realized_tokens
+  FROM tot)
+SELECT source, tokens, desired_tokens, realized_tokens,
+       round(CAST(realized_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+         AS epochs,
+       round(CAST(realized_tokens AS DOUBLE)
+             / CAST(SUM(realized_tokens) OVER () AS DOUBLE), 6)
+         AS realized_share
+FROM plan"""
+
+
+@_q("mixture_token_budget", _MIX_BUDGET_SQL)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget allocation per domain — the mixture
+    PLANNING step of a data-constrained training run (Muennighoff et
+    al. 2023, "Scaling Data-Constrained Language Models" — method
+    only): a budget of half the corpus tokens splits uniformly across
+    domains, each domain's allocation capped at 3 epochs of what it
+    actually has; outputs realized tokens, epochs, and the realized
+    mixture share (what the sampler should draw).
+
+    All allocation arithmetic is exact integer (floor divisions, a
+    single double for the epoch cap product); the two output divisions
+    are pinned. Plan: one token-count aggregate bounded at the domain
+    count, windows over that aggregate (plan-pinned bounded), no
+    second corpus pass — the planner reads counts, not documents."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokc = (
+        docs.select("source", F.size(toks).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("tokens"))
+    )
+    wg = Window.partitionBy()
+    tot = tokc.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(wg).cast("bigint").alias("total_tokens"),
+        F.count("*").over(wg).cast("bigint").alias("n_domains"),
+    )
+    desired = (
+        (F.col("total_tokens") / F.lit(2)).cast("bigint")
+        / F.col("n_domains")
+    ).cast("bigint")
+    plan = tot.select(
+        "source",
+        "tokens",
+        desired.alias("desired_tokens"),
+        F.least(
+            desired,
+            (F.lit(_MIX_EPOCH_CAP) * F.col("tokens").cast("double")).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("realized_tokens"),
+    )
+    return plan.select(
+        "source",
+        "tokens",
+        "desired_tokens",
+        "realized_tokens",
+        F.round(
+            F.col("realized_tokens").cast("double") / F.col("tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+        F.round(
+            F.col("realized_tokens").cast("double")
+            / F.sum("realized_tokens").over(wg).cast("double"),
+            6,
+        ).alias("realized_share"),
+    )

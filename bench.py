@@ -243,6 +243,7 @@ EXTENDED_QUERIES = [
     "target_encoding",
     "vocab_coverage",
     "pca_project",
+    "mixture_token_budget",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

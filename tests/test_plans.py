@@ -120,7 +120,7 @@ EXCHANGE_CEILING = {
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
     "token_entropy": 0, "containment_dedup_pairs": 11,
     "bpe_merge_learn": 1, "bpe_tokenize_stats": 2, "target_encoding": 3,
-    "vocab_coverage": 2, "pca_project": 0,
+    "vocab_coverage": 2, "pca_project": 0, "mixture_token_budget": 2,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,

@@ -273,3 +273,26 @@ def test_dsir_prefers_target_like_docs(spark, monkeypatch):
     rerun = {r["doc_id"]: r for r in q_dsir_select(spark, "ignored").collect()}
     assert rerun[200]["g_micro"] == out[200]["g_micro"]
     assert rerun[201]["score_micro"] == out[201]["score_micro"]
+
+
+def test_mixture_token_budget_caps_scarce_domains(spark, monkeypatch):
+    """A scarce domain gets epoch-capped at 3.0; an abundant one takes
+    its full uniform slice; realized shares sum to 1."""
+    from aqi_featurestore_spark.plans import web_curation as wc
+    from aqi_featurestore_spark.plans.web_curation import q_mixture_token_budget
+
+    big = " ".join(["w"] * 100)   # 100 tokens
+    small = "a b"                 # 2 tokens
+    rows = [(1, big, "en", "abundant", len(big)),
+            (2, small, "en", "scarce", len(small))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(wc, "_read", lambda s_, d_, n_: df)
+    out = {r["source"]: r for r in q_mixture_token_budget(spark, "x").collect()}
+    # budget = 102 // 2 = 51; per-domain desired = 51 // 2 = 25
+    assert out["abundant"]["desired_tokens"] == 25
+    assert out["abundant"]["realized_tokens"] == 25   # 0.25 epochs of 100
+    assert out["scarce"]["realized_tokens"] == 6      # capped: 3.0 * 2
+    assert out["scarce"]["epochs"] == 3.0
+    assert abs(out["abundant"]["realized_share"] + out["scarce"]["realized_share"] - 1.0) < 1e-9
