@@ -625,3 +625,47 @@ def test_bpe_apply_stats_compression(spark):
     assert out["s1"]["n_words"] == 3 and out["s1"]["sum_symbols"] == 3
     assert out["s1"]["sum_chars"] == 9 and out["s1"]["avg_sym_per_word"] == 1.0
     assert out["s2"]["sum_symbols"] == 6  # 'web' untouched by merges
+
+
+def _merge_reference(sym: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python leftmost non-overlapping merge (Sennrich re.sub
+    semantics) — the independent reference the Spark fold must equal."""
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_property(spark):
+    """Property: the fold equals the sequential reference on random
+    words over a tiny alphabet (maximizing run/overlap collisions),
+    for every possible merge pair — one Spark job for the whole grid."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aqi_featurestore_spark.operators.bpe import _chars, merge_pair
+
+    rng = random.Random(0xBEEF)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+             for _ in range(80)] + ["", "a", "aa", "ab", "ba"]
+    words = [w for w in words if w]
+    pairs = list(itertools.product("ab", repeat=2))
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    cols = [
+        merge_pair(_chars(F.col("w")), l, r).alias(f"m_{l}{r}")
+        for l, r in pairs
+    ]
+    for row in df.select("w", *cols).collect():
+        sym = list(row["w"])
+        for l, r in pairs:
+            assert row[f"m_{l}{r}"] == _merge_reference(sym, l, r), (
+                row["w"], l, r
+            )
