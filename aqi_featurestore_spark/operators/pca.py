@@ -71,15 +71,38 @@ def _gram_partials(dim: int):
     return gen
 
 
+def _power_iterate(
+    mat: list[list[float]], dim: int, n_iter: int
+) -> list[float]:
+    """Fixed-round power iteration in pure Python floats, explicit left
+    folds — the exact op sequence the SQL oracle unrolls."""
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    for _ in range(n_iter):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + mat[i][j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in w]
+    return v
+
+
 def pca_fit(
     vectors: DataFrame,
     *,
     vec_col: str = "embedding",
     dim: int = 64,
     n_iter: int = 20,
-) -> tuple[list[float], list[float]]:
-    """Returns (pc, mean): the unit top principal component and the
-    per-dimension mean (of q/1e6), both as plain Python floats whose
+    n_components: int = 2,
+) -> tuple[list[list[float]], list[float]]:
+    """Returns (pcs, mean): ``n_components`` unit principal components
+    (top first, later ones via Hotelling deflation) and the
+    per-dimension mean (of q/1e6), all as plain Python floats whose
     every IEEE op the SQL oracle mirrors."""
     partials = vectors.select(vec_col).mapInPandas(
         _gram_partials(dim), schema="i long, j long, v long"
@@ -105,44 +128,62 @@ def pca_fit(
         [float(g[i][j]) * nf - float(s[i]) * float(s[j]) for j in range(dim)]
         for i in range(dim)
     ]
-    v = [1.0 / math.sqrt(float(dim))] * dim
-    for _ in range(n_iter):
-        w = []
+    pcs: list[list[float]] = []
+    for _ in range(n_components):
+        v = _power_iterate(chat, dim, n_iter)
+        pcs.append(v)
+        # Hotelling deflation: Chat -= lam * v v^T, lam = v . (Chat v),
+        # every product pinned ((lam * v_i) * v_j)
+        u = []
         for i in range(dim):
             acc = 0.0
             for j in range(dim):
                 acc = acc + chat[i][j] * v[j]
-            w.append(acc)
-        acc = 0.0
-        for x in w:
-            acc = acc + x * x
-        nrm = math.sqrt(acc)
-        v = [x / nrm for x in w]
+            u.append(acc)
+        lam = 0.0
+        for i in range(dim):
+            lam = lam + v[i] * u[i]
+        chat = [
+            [chat[i][j] - ((lam * v[i]) * v[j]) for j in range(dim)]
+            for i in range(dim)
+        ]
     mean = [float(s[j]) / nf / float(_MICRO) for j in range(dim)]
-    return v, mean
+    return pcs, mean
 
 
 def pca_project(
     vectors: DataFrame,
-    pc: list[float],
+    pcs: list[list[float]],
     mean: list[float],
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Row-local projection onto the fitted component: a pinned left
-    fold of (q/1e6 - mean) * pc with the fit as plan literals — zero
-    shuffles, streaming-safe."""
+    """Row-local projection onto the fitted components: per component a
+    pinned left fold of (q/1e6 - mean) * pc with the fit as plan
+    literals — zero shuffles, streaming-safe."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(_MICRO))).cast("long"),
     )
-    pc_lit = F.array(*[F.lit(x) for x in pc])
     mean_lit = F.array(*[F.lit(x) for x in mean])
-    centered = F.zip_with(
-        q,
-        F.zip_with(mean_lit, pc_lit, lambda m, p: F.struct(m.alias("m"), p.alias("p"))),
-        lambda qq, mp: (qq.cast("double") / F.lit(float(_MICRO)) - mp["m"]) * mp["p"],
+
+    def score(pc: list[float]) -> Column:
+        pc_lit = F.array(*[F.lit(x) for x in pc])
+        centered = F.zip_with(
+            q,
+            F.zip_with(
+                mean_lit, pc_lit, lambda m, p: F.struct(m.alias("m"), p.alias("p"))
+            ),
+            lambda qq, mp: (qq.cast("double") / F.lit(float(_MICRO)) - mp["m"])
+            * mp["p"],
+        )
+        return F.aggregate(centered, F.lit(0.0), lambda acc, x: acc + x)
+
+    return vectors.select(
+        id_col,
+        *[
+            F.round(score(pc), 6).alias(f"pc{k + 1}_score")
+            for k, pc in enumerate(pcs)
+        ],
     )
-    score = F.aggregate(centered, F.lit(0.0), lambda acc, x: acc + x)
-    return vectors.select(id_col, F.round(score, 6).alias("pc1_score"))

@@ -1482,12 +1482,13 @@ _PCA_ITER = 20
 
 
 def _pca_oracle_sql(dim: int, n_iter: int) -> str:
-    """Unrolled power-iteration oracle. Every CTE that is referenced
-    more than once is MATERIALIZED. The iteration reproduces, op for
-    op, the pure-Python fit in operators/pca.py: Chat = n*G - S S^T in
-    pinned double products, 0.125-start, left-fold matvec and norm,
-    element divide — so the eigenvector literals in the Spark plan and
-    the oracle's v{n_iter} agree bit-for-bit."""
+    """Unrolled power-iteration oracle, two components. Every CTE
+    referenced more than once is MATERIALIZED. The chains reproduce, op
+    for op, the pure-Python fit in operators/pca.py: Chat = n*G - S S^T
+    in pinned double products, 0.125-start, left-fold matvec and norm,
+    element divide; PC2 via Hotelling deflation with every product
+    pinned ((lam * v_i) * v_j) — so the component literals in the Spark
+    plan and the oracle's final vectors agree bit-for-bit."""
     d1 = dim + 1
     head = f"""WITH qv AS MATERIALIZED (
   SELECT vec_id,
@@ -1517,30 +1518,58 @@ crow AS MATERIALIZED (
 cmat AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM crow),
 means AS MATERIALIZED (
   SELECT list(CAST(s AS DOUBLE) / cnt.nd / 1000000.0 ORDER BY j) AS mean
-  FROM sv CROSS JOIN cnt GROUP BY cnt.nd),
-v0 AS (SELECT list_transform(range(1, {d1}), x -> 0.125) AS v)"""
-    its = []
-    for k in range(1, n_iter + 1):
-        p = k - 1
-        its.append(f"""w{k} AS (
+  FROM sv CROSS JOIN cnt GROUP BY cnt.nd)"""
+
+    def chain(prefix: str, mat: str) -> str:
+        parts = [f"""{prefix}v0 AS (SELECT list_transform(range(1, {d1}), x -> 0.125) AS v)"""]
+        for k in range(1, n_iter + 1):
+            p = k - 1
+            parts.append(f"""{prefix}w{k} AS (
   SELECT list_transform(m, row ->
            list_reduce(list_transform(range(1, {d1}), jj -> row[jj] * v[jj]),
                        (x, y) -> x + y)) AS w
-  FROM cmat CROSS JOIN v{p}),
-nrm{k} AS (
+  FROM {mat} CROSS JOIN {prefix}v{p}),
+{prefix}n{k} AS (
   SELECT sqrt(list_reduce(list_transform(w, x -> x * x), (a, b) -> a + b))
            AS nrm
-  FROM w{k}),
-v{k} AS MATERIALIZED (
-  SELECT list_transform(w, x -> x / nrm) AS v FROM w{k} CROSS JOIN nrm{k})""")
+  FROM {prefix}w{k}),
+{prefix}v{k} AS MATERIALIZED (
+  SELECT list_transform(w, x -> x / nrm) AS v
+  FROM {prefix}w{k} CROSS JOIN {prefix}n{k})""")
+        return ",\n".join(parts)
+
+    deflate = f"""du AS (
+  SELECT list_transform(m, row ->
+           list_reduce(list_transform(range(1, {d1}), jj -> row[jj] * v[jj]),
+                       (x, y) -> x + y)) AS u
+  FROM cmat CROSS JOIN av{n_iter}),
+dlam AS (
+  SELECT list_reduce(list_transform(range(1, {d1}), i -> v[i] * u[i]),
+                     (x, y) -> x + y) AS lam
+  FROM av{n_iter} CROSS JOIN du),
+crow2 AS MATERIALIZED (
+  SELECT c.i,
+         list_transform(range(1, {d1}),
+           jj -> c.row[jj] - ((lam * v[c.i]) * v[jj])) AS row
+  FROM crow c CROSS JOIN av{n_iter} CROSS JOIN dlam),
+cmat2 AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM crow2)"""
+
+    proj = (
+        f"round(list_reduce(list_transform(range(1, {d1}), "
+        f"jj -> (CAST(q[jj] AS DOUBLE) / 1000000.0 - mean[jj]) * {{v}}[jj]), "
+        f"(x, y) -> x + y), 6)"
+    )
     tail = f"""SELECT vec_id,
-       round(list_reduce(
-               list_transform(range(1, {d1}),
-                 jj -> (CAST(q[jj] AS DOUBLE) / 1000000.0 - mean[jj])
-                       * pc.v[jj]),
-               (x, y) -> x + y), 6) AS pc1_score
-FROM qv CROSS JOIN v{n_iter} pc CROSS JOIN means"""
-    return head + ",\n" + ",\n".join(its) + "\n" + tail
+       {proj.format(v='p1.v')} AS pc1_score,
+       {proj.format(v='p2.v')} AS pc2_score
+FROM qv
+CROSS JOIN av{n_iter} p1
+CROSS JOIN bv{n_iter} p2
+CROSS JOIN means"""
+    return (
+        head + ",\n" + chain("a", "cmat") + ",\n" + deflate + ",\n"
+        + chain("b", "cmat2") + "\n" + tail
+    )
 
 
 _PCA_SQL = _pca_oracle_sql(_PCA_DIM, _PCA_ITER)
@@ -1549,7 +1578,7 @@ _PCA_SQL = _pca_oracle_sql(_PCA_DIM, _PCA_ITER)
 @_q("pca_project", _PCA_SQL)
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA: project every embedding onto the corpus's top
-    principal component. Fit = one Arrow-batched pass accumulating the
+    TWO principal components (PC2 via pinned Hotelling deflation). Fit = one Arrow-batched pass accumulating the
     EXACT int64 Gram matrix (order-free integer matmul — the reason
     numpy partials and any fold order agree bit-for-bit), collect
     bounded at dim^2 rows; 20 power-iteration rounds run in pure
@@ -1560,5 +1589,5 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aqi_featurestore_spark.operators.pca import pca_fit, pca_project
 
     vecs = _read(spark, sf_dir, "embeddings")
-    pc, mean = pca_fit(vecs, dim=_PCA_DIM, n_iter=_PCA_ITER)
-    return pca_project(vecs, pc, mean)
+    pcs, mean = pca_fit(vecs, dim=_PCA_DIM, n_iter=_PCA_ITER, n_components=2)
+    return pca_project(vecs, pcs, mean)

@@ -75,18 +75,24 @@ def test_quantize_no_shuffle_of_vectors(spark, emb):
 
 
 def test_pca_top_component_recovers_dominant_axis(spark):
-    """Vectors varying only along axis 2 (plus a constant offset on
-    axis 0): PC1 must be +-e_2 and the projections must equal the
-    centered coordinates up to the sign."""
+    """Vectors varying strongly along axis 2 and weakly along axis 1
+    (constant offset on axis 0): PC1 must be +-e_2, PC2 (via deflation)
+    must be +-e_1, and the PC1 projections must equal the centered
+    coordinates up to the sign."""
     from aqi_featurestore_spark.operators.pca import pca_fit, pca_project
 
-    rows = [(i, [0.5, 0.0, float(i) / 10.0, 0.0]) for i in range(5)]
+    rows = [
+        (i, [0.5, 0.01 * ((-1) ** i), float(i) / 10.0, 0.0]) for i in range(5)
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pc, mean = pca_fit(df, dim=4, n_iter=20)
-    assert abs(abs(pc[2]) - 1.0) < 1e-9
-    assert all(abs(pc[j]) < 1e-6 for j in (0, 1, 3))
+    pcs, mean = pca_fit(df, dim=4, n_iter=30, n_components=2)
+    pc1, pc2 = pcs
+    assert abs(abs(pc1[2]) - 1.0) < 1e-6
+    assert all(abs(pc1[j]) < 1e-3 for j in (0, 1, 3))
+    assert abs(abs(pc2[1]) - 1.0) < 1e-3  # deflated second axis
     assert abs(mean[0] - 0.5) < 1e-9 and abs(mean[2] - 0.2) < 1e-9
-    out = {r["vec_id"]: r["pc1_score"] for r in pca_project(df, pc, mean).collect()}
-    sgn = 1.0 if pc[2] > 0 else -1.0
+    out = {r["vec_id"]: r for r in pca_project(df, pcs, mean).collect()}
+    sgn = 1.0 if pc1[2] > 0 else -1.0
     for i in range(5):
-        assert abs(out[i] - round(sgn * (i / 10.0 - 0.2), 6)) <= 2e-6
+        assert abs(out[i]["pc1_score"] - round(sgn * (i / 10.0 - 0.2), 6)) <= 1e-3
+    assert set(out[0].asDict()) == {"vec_id", "pc1_score", "pc2_score"}
