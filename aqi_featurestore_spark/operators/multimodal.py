@@ -200,13 +200,29 @@ def image_perceptual_hashes(df: DataFrame, *, fake: bool = True) -> DataFrame:
         for pdf in batches:
             dh, ah = [], []
             for p in pdf["payload"]:
-                payload = p if isinstance(p, (bytes, bytearray)) else str(p).encode()
-                grid = _fake_gray_grid(payload) if fake else _real_gray_grid(payload)
+                # NULL payload -> NULL hashes (corrupt rows must surface
+                # as NULLs the caller can filter, never hash as b'None');
+                # any other non-bytes type is a schema bug — refuse loudly
+                if p is None:
+                    dh.append(None)
+                    ah.append(None)
+                    continue
+                if not isinstance(p, (bytes, bytearray)):
+                    raise TypeError(
+                        f"image payload must be bytes, got {type(p).__name__}"
+                    )
+                grid = _fake_gray_grid(p) if fake else _real_gray_grid(p)
                 d, a = _grid_hashes(grid)
                 dh.append(d)
                 ah.append(a)
+            # object dtype: a None among 63-bit hash ints must NOT coerce
+            # the column to float64 (which silently rounds > 2^53)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "dhash": dh, "ahash": ah}
+                {
+                    "media_id": pdf["media_id"].reset_index(drop=True),
+                    "dhash": pd.Series(dh, dtype="object"),
+                    "ahash": pd.Series(ah, dtype="object"),
+                }
             )
 
     return df.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)

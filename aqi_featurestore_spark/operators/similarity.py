@@ -378,6 +378,12 @@ def cosine_topk_pq(
     Python boundary, no join shuffle."""
     from aqi_featurestore_spark.operators import clustering as _cl
 
+    if 0 < rescore < k:
+        raise ValueError(
+            f"rescore={rescore} < k={k}: the ADC shortlist would be capped "
+            "below the requested top-k and silently return fewer rows; "
+            "use rescore >= k (two-stage) or rescore=0 (raw ADC ranking)"
+        )
     subdim = dim // n_subspaces
 
     def norm_micro_sub(col: str, s: int) -> Column:

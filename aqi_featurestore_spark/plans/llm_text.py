@@ -500,7 +500,12 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dedup shuffle move (media_id, 8-byte hash) rows only; the
     pairwise scan never materializes."""
     m = _media_view(_read(spark, sf_dir, "documents")).where(F.col("kind") == "image")
-    h = image_perceptual_hashes(m, fake=True).select("media_id", "dhash")
+    # NULL dhash marks a corrupt/NULL payload — filter before banding
+    h = (
+        image_perceptual_hashes(m, fake=True)
+        .select("media_id", "dhash")
+        .where(F.col("dhash").isNotNull())
+    )
     pairs = hamming_hash_pairs(
         h, id_col="media_id", hash_col="dhash", bits=63, max_hamming=3
     )

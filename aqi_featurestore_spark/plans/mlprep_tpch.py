@@ -1115,10 +1115,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of vocab_top_terms, which returns the types themselves).
 
     Plan: one token-keyed map-combined aggregate collapses the corpus
-    to the type table; the rank and totals are windows OVER that
-    aggregate (bounded input — the spine-bounded plan-pin applies);
-    the final cross join against 3 literal sizes re-aggregates 3 rows.
-    The corpus is touched once."""
+    to the type table; corpus totals come from a 1-row global aggregate
+    (broadcast scalar join); the rank window runs only over the
+    top-``max(V)`` types taken via TakeOrderedAndProject (per-partition
+    top-k + merge — never a single-task sort of the full vocabulary,
+    which grows with the corpus; round-5 advisor finding). Types beyond
+    rank max(V) contribute 0 to every candidate size, so dropping them
+    is exact. The corpus is touched once."""
     docs = _read(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
@@ -1128,14 +1131,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    wg = Window.partitionBy()
-    rk = tf.select(
-        "freq",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.sum("freq").over(wg).cast("bigint").alias("total_occ"),
-        F.count("*").over(wg).cast("bigint").alias("total_types"),
+    totals = tf.agg(
+        F.sum("freq").cast("bigint").alias("total_occ"),
+        F.count("*").cast("bigint").alias("total_types"),
     )
+    top = tf.orderBy(F.desc("freq"), F.asc("token")).limit(max(_VOCAB_SIZES))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    rk = top.select(
+        "freq", F.row_number().over(w).cast("bigint").alias("rn")
+    ).crossJoin(F.broadcast(totals))
     sizes = F.explode(
         F.array(*[F.lit(v) for v in _VOCAB_SIZES])
     ).alias("vocab_size")

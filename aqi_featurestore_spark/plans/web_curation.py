@@ -829,9 +829,9 @@ tot AS (
   FROM tokc),
 plan AS (
   SELECT source, tokens, total_tokens,
-         CAST((total_tokens / 2) / n_domains AS BIGINT) AS desired_tokens,
-         CAST(least(CAST((total_tokens / 2) / n_domains AS BIGINT),
-                    CAST(3.0 * CAST(tokens AS DOUBLE) AS BIGINT))
+         CAST((total_tokens // 2) // n_domains AS BIGINT) AS desired_tokens,
+         CAST(least((total_tokens // 2) // n_domains,
+                    CAST(floor(3.0 * CAST(tokens AS DOUBLE)) AS BIGINT))
               AS BIGINT) AS realized_tokens
   FROM tot)
 SELECT source, tokens, desired_tokens, realized_tokens,
@@ -853,8 +853,11 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually has; outputs realized tokens, epochs, and the realized
     mixture share (what the sampler should draw).
 
-    All allocation arithmetic is exact integer (floor divisions, a
-    single double for the epoch cap product); the two output divisions
+    All allocation arithmetic is exact integer: both engines use true
+    integer floor division (`div` in Spark SQL, `//` in DuckDB) for the
+    two-stage budget split, and an explicit floor() of the (exactly
+    integer-valued) epoch-cap product — no round-vs-truncate cast
+    divergence can arise at any corpus size. The two output divisions
     are pinned. Plan: one token-count aggregate bounded at the domain
     count, windows over that aggregate (plan-pinned bounded), no
     second corpus pass — the planner reads counts, not documents."""
@@ -874,17 +877,18 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").over(wg).cast("bigint").alias("total_tokens"),
         F.count("*").over(wg).cast("bigint").alias("n_domains"),
     )
-    desired = (
-        (F.col("total_tokens") / F.lit(2)).cast("bigint")
-        / F.col("n_domains")
-    ).cast("bigint")
+    # true integer floor division on both stages (Spark SQL `div`),
+    # mirrored exactly by the oracle's DuckDB `//`
+    desired = F.expr("(total_tokens div 2) div n_domains").cast("bigint")
     plan = tot.select(
         "source",
         "tokens",
         desired.alias("desired_tokens"),
         F.least(
             desired,
-            (F.lit(_MIX_EPOCH_CAP) * F.col("tokens").cast("double")).cast("bigint"),
+            F.floor(F.lit(_MIX_EPOCH_CAP) * F.col("tokens").cast("double")).cast(
+                "bigint"
+            ),
         )
         .cast("bigint")
         .alias("realized_tokens"),

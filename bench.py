@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -369,7 +370,9 @@ def main() -> None:
         ),
         "repeat": repeat,
         "headline_runs": headline_runs,
-        "headline_median": round(sorted(headline_runs)[len(headline_runs) // 2], 4),
+        # true median (statistics.median averages the middle pair for even
+        # repeat counts; the former sorted[n//2] was the upper middle)
+        "headline_median": round(statistics.median(headline_runs), 4),
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

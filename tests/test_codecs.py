@@ -203,3 +203,30 @@ def test_image_phash_fake_grid_matches_sql_math(spark):
             if b < 63 and grid[r][c + 1] > grid[r][c]:
                 want |= 1 << b
     assert d == want and 0 <= a < (1 << 63)
+
+
+def test_image_perceptual_hash_null_payload(spark):
+    """NULL payloads hash to NULL (never str-coerced to b'None'), valid
+    rows in the same batch keep exact 63-bit hashes (no float64 coercion
+    from the mixed None column) — round-5 advisor finding."""
+    from aqi_featurestore_spark.operators.multimodal import image_perceptual_hashes
+
+    rows = [
+        (1, "image", bytearray(b"hello world"), 0, 0, 0),
+        (2, "image", None, 0, 0, 0),
+        (3, "image", bytearray(b"hello world"), 0, 0, 0),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int,"
+        " duration_ms long",
+    )
+    h = {
+        r["media_id"]: (r["dhash"], r["ahash"])
+        for r in image_perceptual_hashes(media, fake=True).collect()
+    }
+    assert h[2] == (None, None)
+    assert h[1] == h[3] and h[1][0] is not None
+    # and the NULL row is filterable before any band join
+    n = image_perceptual_hashes(media, fake=True).where("dhash IS NOT NULL").count()
+    assert n == 2

@@ -290,9 +290,29 @@ def test_mixture_token_budget_caps_scarce_domains(spark, monkeypatch):
     )
     monkeypatch.setattr(wc, "_read", lambda s_, d_, n_: df)
     out = {r["source"]: r for r in q_mixture_token_budget(spark, "x").collect()}
-    # budget = 102 // 2 = 51; per-domain desired = 51 // 2 = 25
+    # budget = 102 // 2 = 51; per-domain desired = 51 // 2 = 25 (two-stage
+    # integer floor division — this fixture has fraction .5 at the second
+    # stage, the exact case where a round-to-nearest oracle would say 26)
     assert out["abundant"]["desired_tokens"] == 25
     assert out["abundant"]["realized_tokens"] == 25   # 0.25 epochs of 100
     assert out["scarce"]["realized_tokens"] == 6      # capped: 3.0 * 2
     assert out["scarce"]["epochs"] == 3.0
     assert abs(out["abundant"]["realized_share"] + out["scarce"]["realized_share"] - 1.0) < 1e-9
+
+    # oracle parity on the same planted fixture: the DuckDB SQL must use
+    # identical floor semantics (regression pin for the round-5 advisor
+    # finding — a float-division oracle diverges on any fraction >= .5)
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import canonical_rows
+
+    con = duckdb.connect()
+    fixture = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("documents", fixture)
+    oracle = con.sql(wc._MIX_BUDGET_SQL).fetchdf()
+    mine = q_mixture_token_budget(spark, "x").toPandas()
+    assert sorted(mine.columns) == sorted(oracle.columns)
+    assert canonical_rows(mine) == canonical_rows(oracle)
