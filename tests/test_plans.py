@@ -49,6 +49,7 @@ ARROW_EVAL_OK = {
     "simhash_dedup",
     "similarity_topk_cosine",
     "similarity_topk_ivf",
+    "similarity_topk_ivfpq",  # seeded coarse assign/probe + exact re-rank dot
     "similarity_topk_lsh",
 }
 MAP_IN_PANDAS_OK = {
@@ -121,7 +122,8 @@ EXCHANGE_CEILING = {
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
     "token_entropy": 0, "containment_dedup_pairs": 11,
     "bpe_merge_learn": 1, "bpe_tokenize_stats": 2, "target_encoding": 3,
-    "vocab_coverage": 2, "pca_project": 0, "mixture_token_budget": 2,
+    "vocab_coverage": 3,  # type agg + totals scalar + per-size agg (scale-safe top-max(V) rework)
+    "pca_project": 0, "mixture_token_budget": 2,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
     "kmeans_assign": 0, "semantic_dedup": 2,
@@ -157,7 +159,8 @@ EXCHANGE_CEILING = {
     "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
-    "ann_recall_methods": 19, "similarity_triangles": 6,
+    "similarity_topk_ivfpq": 2,
+    "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
     "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
