@@ -50,6 +50,7 @@ ARROW_EVAL_OK = {
     "similarity_topk_cosine",
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",  # seeded coarse assign/probe + exact re-rank dot
+    "ann_index_serve",  # query-side probe udf + exact re-rank dot (serving path)
     "similarity_topk_lsh",
 }
 MAP_IN_PANDAS_OK = {
@@ -80,6 +81,7 @@ BNLJ_OK = {
     "quartile_bucketize",    # 1-row quartile-breakpoint array
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
     "target_encoding",       # 1-row global-mean prior scalar
+    "dsir_select_threshold",  # 1-row quantile-cut scalar onto the score stream
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
@@ -120,6 +122,7 @@ EXCHANGE_CEILING = {
     "funnel_analysis": 2, "gap_filled_hourly": 3, "group_median": 1,
     "hash_reservoir_sample": 1, "high_balance_inactive": 2,
     "hourly_rollup": 1, "image_phash_dedup": 3, "dsir_select": 3,
+    "dsir_select_threshold": 7,  # scoring chain twice (scores + exact-cut agg) at sf-test scale
     "token_entropy": 0, "containment_dedup_pairs": 11,
     "bpe_merge_learn": 1, "bpe_tokenize_stats": 2, "target_encoding": 3,
     "vocab_coverage": 3,  # type agg + totals scalar + per-size agg (scale-safe top-max(V) rework)
@@ -159,7 +162,7 @@ EXCHANGE_CEILING = {
     "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
-    "similarity_topk_ivfpq": 2,
+    "similarity_topk_ivfpq": 2, "ann_index_serve": 2,
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
@@ -258,6 +261,7 @@ def test_bnlj_allowlisted(plan_props):
 # window pass the pin). Each entry documents why its key domain is bounded.
 GROUPED_AGG_WINDOW_OK = {
     "dsir_select",           # keys = md5 % 2048 hash buckets (fixed by construction)
+    "dsir_select_threshold",  # same 2048-bucket LM window as dsir_select
     "mixture_token_budget",  # keys = corpus source domains (config-sized enum)
     "domain_mixture",        # keys = corpus source domains (config-sized enum)
     "drift_psi",             # keys = fixed-width value bins over a bounded range
