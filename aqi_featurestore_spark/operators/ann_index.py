@@ -1,0 +1,275 @@
+"""Online ANN serving snapshot: the IVFADC index as a TABLE.
+
+Round-5 verdict ask #7 — unify the feature-store serving story
+(operators/snapshot.py latest-per-key, sources/offline_store.py
+partitioned parquet) with the similarity family (operators/
+similarity.py IVF + PQ): the index an online service probes is just
+rows ``(n_id, version, list_id, c0..c{S-1})`` plus two tiny model
+tables, so BUILD once on the cluster, persist, and serve every lookup
+WITHOUT re-reading or re-encoding the corpus.
+
+Three pieces:
+
+- :class:`AnnIndexModel` — the driver-side fit: coarse centroids
+  (n_lists x dim int64 micro-units) + PQ codebooks (n_subspaces x
+  n_codes x subdim floats). Thousands of numbers, never corpus-sized;
+  round-trips through two parquet tables.
+- :func:`build_ann_index` — one corpus pass attaches each row's coarse
+  cell and PQ codes (the same assignment expressions
+  ``cosine_topk_ivfpq`` scores with, operators/similarity.py). The
+  index rows are the ONLY thing lookups scan.
+- :func:`ann_index_topk` — `get_online_features`-style top-k against
+  the index table: queries compute probe lists + ADC LUTs from the
+  model (no corpus contact), broadcast onto an equi-join with the
+  index's ``list_id``, ADC-score, exact re-rank only the bounded
+  shortlist against a vector table (candidate-keyed join — reads
+  ``rescore x |Q|`` vectors, not the corpus).
+
+Persistence (:func:`write_ann_index` / :func:`read_ann_index`):
+the index parquet is PARTITIONED BY ``list_id``, so a single-query
+online probe — whose cells :func:`probe_cells` computes driver-side in
+microseconds from the model — pushes a literal ``list_id IN (...)``
+filter and reads only ``n_probe`` of ``n_lists`` partitions
+(partition pruning, visible as PartitionFilters in the scan).
+Refreshes append rows with a higher ``version``; readers resolve
+current codes with the snapshot family's latest-per-key
+(operators/snapshot.py:31), so re-encoded documents supersede stale
+index entries without rewriting the table — the exact online-store
+overwrite semantics the feature store serves entities with
+(reference parity note: the reference's Redis hash upsert,
+feature_repo/materialize.py-equivalent, has no ANN; this extends that
+serving pattern to vectors).
+
+100 TB shape: build is one corpus pass (codes never shuffle — the
+write partitions by the already-computed ``list_id``); the served
+index is ~(8B id + 4B cell + S code bytes) per row — 3 orders smaller
+than the vectors; batch lookups move only (q_id, list_id, LUT) rows
+broadcast-side and (id, codes) rows stream-side; single lookups read
+n_probe partitions. Rebuilds only when centroid drift degrades
+measured recall (ann_recall_methods is the audit query).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aqi_featurestore_spark.operators.similarity import (
+    _exact_rerank,
+    _pq_adc_dist,
+    _pq_code_cols,
+    _pq_fit_books,
+    _pq_lut_cols,
+    coarse_udfs_from_centroids,
+    seeded_coarse_centroids,
+)
+
+
+@dataclass
+class AnnIndexModel:
+    """Driver-side fit artifacts — everything a lookup needs besides
+    the index rows. Sizes: cent_q is n_lists x dim int64, books is
+    n_subspaces x n_codes x subdim float."""
+
+    cent_q: list[list[int]]
+    books: list[list[list[float]]]
+    n_probe: int
+    dim: int
+
+    @property
+    def n_lists(self) -> int:
+        return len(self.cent_q)
+
+    @property
+    def n_subspaces(self) -> int:
+        return len(self.books)
+
+    @property
+    def subdim(self) -> int:
+        return self.dim // self.n_subspaces
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    version: int = 1,
+) -> tuple[DataFrame, AnnIndexModel]:
+    """Fit the coarse quantizer + PQ codebooks and encode the corpus
+    into index rows ``(n_id, version, list_id, c0..c{S-1})``. One
+    corpus pass for the encode; fit collects only model-sized rows."""
+    import numpy as np
+
+    cent_q = seeded_coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+    )
+    books = _pq_fit_books(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        iters=pq_iters,
+        dim=dim,
+    )
+    model = AnnIndexModel(
+        cent_q=np.asarray(cent_q).tolist(),
+        books=books,
+        n_probe=n_probe,
+        dim=dim,
+    )
+    assign_list, _ = coarse_udfs_from_centroids(np.asarray(cent_q), n_probe)
+    index = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.lit(version).cast("long").alias("version"),
+        assign_list(vec_col).alias("list_id"),
+        *_pq_code_cols(vec_col, books, n_subspaces, dim // n_subspaces),
+    )
+    return index, model
+
+
+def ann_index_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    model: AnnIndexModel,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rescore: int = 50,
+    round_scores: int = 6,
+    rerank_vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Serve top-k from a BUILT index: probe lists + ADC LUTs come from
+    the model, candidates from the index's ``list_id`` equi-join, exact
+    scores (when ``rescore``) from a candidate-keyed join against
+    ``rerank_vectors`` — the corpus is never re-encoded. Output
+    (q_id, n_id, cos_sim, rk), identical bits to ``cosine_topk_ivfpq``
+    with the same parameters (the registry oracle hash-checks this)."""
+    import numpy as np
+
+    if 0 < rescore < k:
+        raise ValueError(
+            f"rescore={rescore} < k={k}: the ADC shortlist would be capped "
+            "below the requested top-k and silently return fewer rows"
+        )
+    n_sub, subdim = model.n_subspaces, model.subdim
+    _, probe_lists = coarse_udfs_from_centroids(
+        np.asarray(model.cent_q, dtype=np.int64), model.n_probe
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"),
+        probe_lists(vec_col).alias("_probes"),
+        *_pq_lut_cols(vec_col, model.books, n_sub, subdim),
+    )
+    q = q0.select(
+        "q_id",
+        F.explode("_probes").alias("list_id"),
+        *[f"lut{s}" for s in range(n_sub)],
+    )
+    pairs = (
+        F.broadcast(q).join(index, "list_id").where(F.col("q_id") != F.col("n_id"))
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(
+            _pq_adc_dist(n_sub) / F.lit(1_000_000_000_000.0), round_scores
+        ).alias("pq_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("pq_dist").asc(), F.col("n_id").asc())
+    adc = scored.select(
+        "q_id", "n_id", "pq_dist", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= (rescore if rescore else k))
+    if not rescore:
+        return adc
+    if rerank_vectors is None:
+        raise ValueError("rescore > 0 needs rerank_vectors (id -> vector table)")
+    return _exact_rerank(
+        adc,
+        queries,
+        rerank_vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        round_scores=round_scores,
+    )
+
+
+def probe_cells(model: AnnIndexModel, qvec) -> list[int]:
+    """The n_probe nearest cells of ONE query vector, computed on the
+    driver (n_lists x dim integer ops — microseconds): the single-query
+    online path pushes these as a literal partition filter."""
+    import numpy as np
+
+    cent = np.asarray(model.cent_q, dtype=np.int64)
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * 1e6).astype(np.int64)
+    d = ((cent - q[None, :]) ** 2).sum(axis=1)
+    return np.argsort(d, kind="stable")[: model.n_probe].astype(int).tolist()
+
+
+def current_index(index: DataFrame) -> DataFrame:
+    """Latest-per-key view of an append-refreshed index table: the
+    highest ``version`` row wins per ``n_id`` — the snapshot family's
+    Redis-overwrite semantics (operators/snapshot.py:31) applied to
+    index entries, so re-encoded documents supersede stale codes
+    without table rewrites."""
+    from aqi_featurestore_spark.operators.snapshot import latest_per_key
+
+    return latest_per_key(index, ["n_id"], ts="version")
+
+
+def write_ann_index(index: DataFrame, model: AnnIndexModel, path: str) -> None:
+    """Persist index rows partitioned by ``list_id`` (single-query
+    probes prune to n_probe partitions) plus the two model tables.
+    Append mode: refreshes add higher-version rows; ``current_index``
+    resolves them at read time."""
+    spark = index.sparkSession
+    index.write.mode("append").partitionBy("list_id").parquet(f"{path}/index")
+    spark.createDataFrame(
+        [(i, list(map(int, row))) for i, row in enumerate(model.cent_q)],
+        "list_id int, cent array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in model.books[s][c]], model.n_probe, model.dim)
+            for s in range(model.n_subspaces)
+            for c in range(len(model.books[s]))
+        ],
+        "s int, c int, centroid array<double>, n_probe int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def read_ann_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, AnnIndexModel]:
+    """Load (index_df, model). Collects only the model tables
+    (n_lists + n_subspaces x n_codes rows)."""
+    index = spark.read.parquet(f"{path}/index")
+    coarse = {
+        r["list_id"]: list(r["cent"])
+        for r in spark.read.parquet(f"{path}/coarse").collect()
+    }
+    book_rows = spark.read.parquet(f"{path}/books").collect()
+    n_sub = max(r["s"] for r in book_rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for s in range(n_sub):
+        rows_s = sorted((r for r in book_rows if r["s"] == s), key=lambda r: r["c"])
+        books[s] = [list(r["centroid"]) for r in rows_s]
+    model = AnnIndexModel(
+        cent_q=[coarse[i] for i in sorted(coarse)],
+        books=books,
+        n_probe=book_rows[0]["n_probe"],
+        dim=book_rows[0]["dim"],
+    )
+    return index, model

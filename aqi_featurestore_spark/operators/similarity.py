@@ -592,27 +592,29 @@ def _kmeans_centroids(sample, n_lists: int, *, iters: int = 15, seed: int = 7):
     return cent
 
 
-def _seeded_coarse_udfs(
-    corpus: DataFrame,
-    *,
-    id_col: str,
-    vec_col: str,
-    n_lists: int,
-    n_probe: int,
+def seeded_coarse_centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_lists: int
 ):
-    """Seeded coarse quantizer: centroids = the ``n_lists`` corpus
-    vectors with the smallest ids, exact int64 micro-unit distances —
-    no fit passes, fully oracle-reproducible in SQL. Returns
-    (assign_list, probe_lists) Arrow-batched udfs. Only ``n_lists``
-    rows ever cross the driver — O(n_lists), not O(corpus)."""
+    """Micro-quantized seeded coarse centroids: the ``n_lists`` corpus
+    vectors with the smallest ids, as an int64 (n_lists x dim) array.
+    Only ``n_lists`` rows ever cross the driver — O(n_lists), not
+    O(corpus). Split out so a persisted index model (ann_index.py) can
+    carry the centroids and serve lookups WITHOUT the corpus."""
     import numpy as np
 
     cent_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
     )
-    cent_q = np.floor(
+    return np.floor(
         np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows]) * 1e6
     ).astype(np.int64)  # n_lists x dim
+
+
+def coarse_udfs_from_centroids(cent_q, n_probe: int):
+    """(assign_list, probe_lists) Arrow-batched udfs over given
+    micro-quantized int64 centroids — exact integer distances, argmin
+    ties on smallest list id, fully oracle-reproducible in SQL."""
+    import numpy as np
 
     @pandas_udf("int")
     def assign_list(vecs: pd.Series) -> pd.Series:
@@ -635,6 +637,24 @@ def _seeded_coarse_udfs(
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     return assign_list, probe_lists
+
+
+def _seeded_coarse_udfs(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    n_probe: int,
+):
+    """Seeded coarse quantizer over the corpus: centroid collection +
+    udf construction (see the two split halves above)."""
+    return coarse_udfs_from_centroids(
+        seeded_coarse_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+        ),
+        n_probe,
+    )
 
 
 def _kmeans_coarse_cols(

@@ -658,6 +658,36 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_index_serve", approx_oracles.similarity_topk_ivfpq_sql())
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving from a MATERIALIZED index snapshot (round-5
+    verdict ask #7): build_ann_index encodes the corpus once into
+    (n_id, version, list_id, c0..c3) rows, the index is materialized
+    (localCheckpoint — the in-session stand-in for the partitioned
+    parquet snapshot write_ann_index persists, pytest-covered with
+    partition pruning), and ann_index_topk serves the query batch from
+    the index + model alone: probe lists and ADC LUTs come from the
+    stored model, candidates from the list_id equi-join against the
+    index scan, exact re-rank from a candidate-keyed join against the
+    vector table. The LOOKUP plan contains zero corpus re-encoding —
+    plan-pinned in tests/test_ann_index.py (the index side is an RDD
+    scan of 4-byte codes, not an embedding read). Results are
+    bit-identical to similarity_topk_ivfpq (same fits, same
+    arithmetic), so it shares that unrolled oracle."""
+    from aqi_featurestore_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    index, model = build_ann_index(
+        e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16
+    )
+    index = index.localCheckpoint()
+    return ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=e)
+
+
 @_q("similarity_topk_pq", approx_oracles.similarity_topk_pq_sql())
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 (4 subspaces x 16 codes, ADC full

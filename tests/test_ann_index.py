@@ -1,0 +1,141 @@
+"""Online ANN index snapshot (operators/ann_index.py): build/serve
+parity with the direct IVFADC query, parquet round-trip with partition
+pruning on the online probe path, latest-per-key refresh semantics,
+and the zero-corpus-re-encode lookup plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.ann_index import (
+    ann_index_topk,
+    build_ann_index,
+    current_index,
+    probe_cells,
+    read_ann_index,
+    write_ann_index,
+)
+from aqi_featurestore_spark.sources.testdata import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb):
+    index, model = build_ann_index(
+        emb, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16
+    )
+    return index.localCheckpoint(), model
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_lookup_matches_direct_ivfpq(spark, emb, built):
+    """Serving from the materialized index must be bit-identical to the
+    one-shot cosine_topk_ivfpq with the same parameters — same fits,
+    same arithmetic, different physical path."""
+    from aqi_featurestore_spark.operators.similarity import cosine_topk_ivfpq
+
+    index, model = built
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    served = ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=emb)
+    direct = cosine_topk_ivfpq(
+        q, emb, k=10, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        coarse="seeded",
+    )
+    assert _rows(served) == _rows(direct)
+
+
+def test_lookup_plan_never_reencodes_corpus(spark, emb, built):
+    """The LOOKUP plan reads the index as a materialized scan and the
+    embeddings parquet only on the query side (rescore=0): one parquet
+    scan total, no corpus-side encode."""
+    import re
+
+    index, model = built
+    # fresh (uncached) read for the query side so source scans count cleanly
+    q = read_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") == 0)
+    adc = ann_index_topk(index, q, model, k=10, rescore=0)
+    plan = adc._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ExistingRDD" in plan  # index side: codes, not vectors
+    # ONE logical source besides the index RDD — the query batch (a
+    # parquet scan, substituted by its cache when the fixture cached
+    # the same read; the cache node's inner parquet is the same source)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) <= 1
+    # every Arrow boundary is the query-side probe-list udf (the
+    # explode's pre-filter evaluates it a second time on the |Q|-row
+    # batch) — a corpus re-encode would surface its assign udf here
+    arrow_udfs = set(
+        re.findall(r"\(\d+\) ArrowEvalPython\n[^\n]*\nArguments: \[(\w+)\(", plan)
+    )
+    assert arrow_udfs == {"probe_lists"}
+
+
+def test_snapshot_roundtrip_partition_pruning(spark, emb, built, tmp_path):
+    """write_ann_index partitions by list_id; the single-query online
+    path computes its probe cells driver-side and pushes a literal
+    partition filter — the scan must show PartitionFilters pruning —
+    and the pruned lookup must equal the unpruned one for that query."""
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    rindex, rmodel = read_ann_index(spark, path)
+    assert rmodel.cent_q == model.cent_q
+    assert rmodel.books == model.books
+    assert rmodel.n_probe == model.n_probe and rmodel.dim == model.dim
+
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+    cells = probe_cells(rmodel, qrow["embedding"])
+    assert len(cells) == rmodel.n_probe
+    pruned = rindex.where(F.col("list_id").isin([int(c) for c in cells]))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "list_id" in pf[0]  # pruning reaches the scan
+
+    q = emb.where(F.col("vec_id") == 0)
+    got = ann_index_topk(pruned, q, rmodel, k=10, rescore=0)
+    want = ann_index_topk(index, q, model, k=10, rescore=0)
+    assert _rows(got) == _rows(want)
+
+
+def test_current_index_latest_per_key(spark, built):
+    """Append-refresh: higher-version rows supersede stale codes per
+    n_id (the snapshot family's Redis-overwrite semantics)."""
+    index, _ = built
+    n_total = index.count()
+    re_encoded = index.where(F.col("n_id") < 5).select(
+        "n_id",
+        (F.col("version") + 1).alias("version"),
+        (F.col("list_id") + 1).alias("list_id"),
+        *[c for c in index.columns if c.startswith("c")],
+    )
+    cur = current_index(index.unionByName(re_encoded))
+    assert cur.count() == n_total  # one row per n_id survives
+    moved = cur.where(F.col("n_id") < 5).select("version").distinct().collect()
+    assert [r["version"] for r in moved] == [2]
+
+
+def test_rescore_guard(spark, emb, built):
+    index, model = built
+    q = emb.where(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="rescore"):
+        ann_index_topk(index, q, model, k=10, rescore=5)
+    with pytest.raises(ValueError, match="rerank_vectors"):
+        ann_index_topk(index, q, model, k=10, rescore=50)
