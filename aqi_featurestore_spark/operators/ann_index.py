@@ -63,6 +63,7 @@ from aqi_featurestore_spark.operators.similarity import (
     _pq_code_cols,
     _pq_fit_books,
     _pq_lut_cols,
+    _pq_sub_frame,
     coarse_udfs_from_centroids,
     seeded_coarse_centroids,
 )
@@ -129,11 +130,21 @@ def build_ann_index(
         dim=dim,
     )
     assign_list, _ = coarse_udfs_from_centroids(np.asarray(cent_q), n_probe)
-    index = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.lit(version).cast("long").alias("version"),
+    index = _pq_sub_frame(
+        corpus,
+        [
+            F.col(id_col).alias("n_id"),
+            F.lit(version).cast("long").alias("version"),
+        ],
+        vec_col,
+        n_subspaces,
+        dim // n_subspaces,
+        keep_vec=True,
+    ).select(
+        "n_id",
+        "version",
         assign_list(vec_col).alias("list_id"),
-        *_pq_code_cols(vec_col, books, n_subspaces, dim // n_subspaces),
+        *_pq_code_cols(books, n_subspaces),
     )
     return index, model
 
@@ -167,10 +178,17 @@ def ann_index_topk(
     _, probe_lists = coarse_udfs_from_centroids(
         np.asarray(model.cent_q, dtype=np.int64), model.n_probe
     )
-    q0 = queries.select(
-        F.col(id_col).alias("q_id"),
+    q0 = _pq_sub_frame(
+        queries,
+        [F.col(id_col).alias("q_id")],
+        vec_col,
+        n_sub,
+        subdim,
+        keep_vec=True,
+    ).select(
+        "q_id",
         probe_lists(vec_col).alias("_probes"),
-        *_pq_lut_cols(vec_col, model.books, n_sub, subdim),
+        *_pq_lut_cols(model.books, n_sub),
     )
     q = q0.select(
         "q_id",

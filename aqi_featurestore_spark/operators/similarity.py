@@ -365,52 +365,100 @@ def _pq_fit_books(
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks via the distributed exact-integer
     Lloyd's (clustering.kmeans_fit) on normalized sub-vectors. The
-    driver collects only ``n_subspaces x n_codes x subdim`` numbers."""
+    driver collects only ``n_subspaces x n_codes x subdim`` numbers.
+
+    The normalized vectors are cached ONCE for the whole fit: each
+    Lloyd round re-evaluates its input, and without the cache that
+    re-ran the O(dim^2) normalize fold per row per round per subspace
+    (the same duplication _pq_sub_frame stages out of the encode).
+    Values are unchanged — caching a projection doesn't touch its
+    bits."""
     from aqi_featurestore_spark.operators import clustering as _cl
 
     subdim = dim // n_subspaces
-    books = []
-    for s in range(n_subspaces):
-        sub_df = corpus.select(
-            F.col(id_col),
-            F.slice(_cl.normalized_jvm(vec_col), s * subdim + 1, subdim).alias(
-                "_sub"
-            ),
-        )
-        books.append(
-            _cl.kmeans_fit(
-                sub_df, k=n_codes, iters=iters, id_col=id_col, vec_col="_sub"
+    nv = corpus.select(
+        F.col(id_col), _cl.normalized_jvm(vec_col).alias("_nv")
+    ).cache()
+    try:
+        books = []
+        for s in range(n_subspaces):
+            sub_df = nv.select(
+                F.col(id_col),
+                F.slice(F.col("_nv"), s * subdim + 1, subdim).alias("_sub"),
             )
-        )
+            books.append(
+                _cl.kmeans_fit(
+                    sub_df, k=n_codes, iters=iters, id_col=id_col, vec_col="_sub"
+                )
+            )
+    finally:
+        nv.unpersist()
     return books
 
 
-def _pq_code_cols(
-    vec_col: str, books, n_subspaces: int, subdim: int
-) -> list[Column]:
-    """``c{s}`` columns: each row's nearest-codeword id per subspace."""
+def _pq_sub_frame(
+    df: DataFrame,
+    keep: list[Column],
+    vec_col: str,
+    n_subspaces: int,
+    subdim: int,
+    *,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Stage 1 of the two-stage PQ encode: project each row's
+    normalized micro subvectors ONCE as ``_sub{s}`` columns. The
+    downstream code/LUT projections then reference cheap attributes.
+
+    The split into two selects is DELIBERATE and load-bearing:
+    ``kmeans_dist_structs`` references its input vector once per
+    centroid, and Catalyst's interpreted higher-order functions do no
+    common-subexpression sharing — inlining the O(dim) normalize fold
+    (itself O(dim) per element, O(dim^2) per row) into 16 centroid
+    folds re-normalized every row 16x per subspace. CollapseProject
+    refuses to merge projections when it would duplicate non-cheap
+    expressions, so this boundary survives optimization. Two stages
+    here: the full normalized vector once (``_nv``), then the four
+    micro subvector slices from it — so the O(dim^2) fold runs once
+    per row, not once per subspace or per centroid. Measured on the
+    sf1 probe (20k x 64-dim): corpus encode 473s -> ~10s, identical
+    bits (same expressions, staged)."""
+    from aqi_featurestore_spark.operators import clustering as _cl
+
+    cols = list(keep) + ([F.col(vec_col)] if keep_vec else [])
+    nv = df.select(*cols, _cl.normalized_jvm(vec_col).alias("_nv"))
+    passthrough = [c for c in nv.columns if c != "_nv"]
+    return nv.select(
+        *passthrough,
+        *[
+            F.transform(
+                F.slice(F.col("_nv"), s * subdim + 1, subdim),
+                lambda x: F.round(x * _cl.MICRO, 0).cast("long"),
+            ).alias(f"_sub{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+
+
+def _pq_code_cols(books, n_subspaces: int) -> list[Column]:
+    """``c{s}`` columns: nearest-codeword id per subspace, from the
+    ``_sub{s}`` columns of a :func:`_pq_sub_frame` projection."""
     from aqi_featurestore_spark.operators import clustering as _cl
 
     return [
-        _cl.kmeans_assign_col(
-            _pq_norm_micro_sub(vec_col, s, subdim), books[s]
-        ).alias(f"c{s}")
+        _cl.kmeans_assign_col(F.col(f"_sub{s}"), books[s]).alias(f"c{s}")
         for s in range(n_subspaces)
     ]
 
 
-def _pq_lut_cols(
-    vec_col: str, books, n_subspaces: int, subdim: int
-) -> list[Column]:
+def _pq_lut_cols(books, n_subspaces: int) -> list[Column]:
     """``lut{s}`` columns: per-query squared distances to every codeword
-    of subspace ``s`` (``n_codes`` doubles) — the ADC lookup tables."""
+    of subspace ``s`` (``n_codes`` doubles) — the ADC lookup tables —
+    from the ``_sub{s}`` columns of a :func:`_pq_sub_frame` projection."""
     from aqi_featurestore_spark.operators import clustering as _cl
 
     return [
         F.transform(
-            _cl.kmeans_dist_structs(
-                _pq_norm_micro_sub(vec_col, s, subdim), books[s]
-            ),
+            _cl.kmeans_dist_structs(F.col(f"_sub{s}"), books[s]),
             lambda st: st["d"],
         ).alias(f"lut{s}")
         for s in range(n_subspaces)
@@ -538,14 +586,12 @@ def cosine_topk_pq(
             iters=iters,
             dim=dim,
         )
-    cds = corpus.select(
-        F.col(id_col).alias("n_id"),
-        *_pq_code_cols(vec_col, books, n_subspaces, subdim),
-    )
-    luts = queries.select(
-        F.col(id_col).alias("q_id"),
-        *_pq_lut_cols(vec_col, books, n_subspaces, subdim),
-    )
+    cds = _pq_sub_frame(
+        corpus, [F.col(id_col).alias("n_id")], vec_col, n_subspaces, subdim
+    ).select("n_id", *_pq_code_cols(books, n_subspaces))
+    luts = _pq_sub_frame(
+        queries, [F.col(id_col).alias("q_id")], vec_col, n_subspaces, subdim
+    ).select("q_id", *_pq_lut_cols(books, n_subspaces))
     pairs = cds.join(F.broadcast(luts), F.col("q_id") != F.col("n_id"))
     dist = _pq_adc_dist(n_subspaces)
     scored = pairs.select(
@@ -915,18 +961,32 @@ def cosine_topk_ivfpq(
         )
     # One pass attaches BOTH the cell id and the PQ codes — the index
     # rows an online serving snapshot persists (operators/ann_index.py).
-    cds = corpus.select(
-        F.col(id_col).alias("n_id"),
+    cds = _pq_sub_frame(
+        corpus,
+        [F.col(id_col).alias("n_id")],
+        vec_col,
+        n_subspaces,
+        subdim,
+        keep_vec=True,
+    ).select(
+        "n_id",
         assign_list(vec_col).alias("list_id"),
-        *_pq_code_cols(vec_col, books, n_subspaces, subdim),
+        *_pq_code_cols(books, n_subspaces),
     )
     # LUTs and probe list in one projection, explode in a SECOND select:
     # a Generate in the same projection as the transform-over-struct
     # lambda strips the struct field aliases (col1/col2), breaking st["d"].
-    q0 = queries.select(
-        F.col(id_col).alias("q_id"),
+    q0 = _pq_sub_frame(
+        queries,
+        [F.col(id_col).alias("q_id")],
+        vec_col,
+        n_subspaces,
+        subdim,
+        keep_vec=True,
+    ).select(
+        "q_id",
         probe_lists(vec_col).alias("_probes"),
-        *_pq_lut_cols(vec_col, books, n_subspaces, subdim),
+        *_pq_lut_cols(books, n_subspaces),
     )
     q = q0.select(
         "q_id",
