@@ -245,6 +245,10 @@ EXTENDED_QUERIES = [
     "vocab_coverage",
     "pca_project",
     "mixture_token_budget",
+    # round 6
+    "similarity_topk_ivfpq",
+    "ann_index_serve",
+    "dsir_select_threshold",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -289,6 +293,8 @@ ITERATIVE_CONSTRUCTION = {
     "bpe_merge_learn",  # 6 merge rounds (pair-count agg + 1-row argmax) at build time
     "bpe_tokenize_stats",  # same 6-round fit at build time, then the vocab transform
     "pca_project",  # Gram-matrix fit pass + dim^2-bounded collect at build time
+    "similarity_topk_ivfpq",  # coarse seed collect + PQ codebook fits at build time
+    "ann_index_serve",  # index build (fits + encode + localCheckpoint) at build time
 }
 
 
