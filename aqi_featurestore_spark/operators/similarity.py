@@ -341,18 +341,6 @@ def embedding_cosine_pairs(
     )
 
 
-def _pq_norm_micro_sub(col: Column | str, s: int, subdim: int) -> Column:
-    """Micro-quantized subvector ``s`` of the unit-normalized vector —
-    the exact projection the PQ oracle's ``p{s}_vc`` CTE reproduces."""
-    from aqi_featurestore_spark.operators import clustering as _cl
-
-    nv = _cl.normalized_jvm(col)
-    return F.transform(
-        F.slice(nv, s * subdim + 1, subdim),
-        lambda x: F.round(x * _cl.MICRO, 0).cast("long"),
-    )
-
-
 def _pq_fit_books(
     corpus: DataFrame,
     *,

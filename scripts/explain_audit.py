@@ -141,6 +141,10 @@ AUDIT = [
     "containment_dedup_pairs",
     "bpe_merge_learn",
     "bpe_tokenize_stats",
+    # round 6
+    "similarity_topk_ivfpq",
+    "ann_index_serve",
+    "dsir_select_threshold",
 ]
 
 
