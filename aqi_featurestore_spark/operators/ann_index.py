@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -105,10 +105,18 @@ def build_ann_index(
     pq_iters: int = 1,
     dim: int = 64,
     version: int = 1,
+    attr_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, AnnIndexModel]:
     """Fit the coarse quantizer + PQ codebooks and encode the corpus
     into index rows ``(n_id, version, list_id, c0..c{S-1})``. One
-    corpus pass for the encode; fit collects only model-sized rows."""
+    corpus pass for the encode; fit collects only model-sized rows.
+
+    ``attr_cols``: filterable metadata columns copied onto the index
+    rows (label, language, license, source domain, ...) — the
+    filtered-ANN pattern: a predicate over these prunes candidates AT
+    THE INDEX SCAN (filter-then-search), which both searches the right
+    set (post-filtering a top-k loses results) and pushes down to the
+    parquet snapshot like any other column predicate."""
     import numpy as np
 
     cent_q = seeded_coarse_centroids(
@@ -135,6 +143,7 @@ def build_ann_index(
         [
             F.col(id_col).alias("n_id"),
             F.lit(version).cast("long").alias("version"),
+            *[F.col(c) for c in attr_cols],
         ],
         vec_col,
         n_subspaces,
@@ -143,6 +152,7 @@ def build_ann_index(
     ).select(
         "n_id",
         "version",
+        *attr_cols,
         assign_list(vec_col).alias("list_id"),
         *_pq_code_cols(books, n_subspaces),
     )
@@ -160,13 +170,21 @@ def ann_index_topk(
     rescore: int = 50,
     round_scores: int = 6,
     rerank_vectors: DataFrame | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """Serve top-k from a BUILT index: probe lists + ADC LUTs come from
     the model, candidates from the index's ``list_id`` equi-join, exact
     scores (when ``rescore``) from a candidate-keyed join against
     ``rerank_vectors`` — the corpus is never re-encoded. Output
     (q_id, n_id, cos_sim, rk), identical bits to ``cosine_topk_ivfpq``
-    with the same parameters (the registry oracle hash-checks this)."""
+    with the same parameters (the registry oracle hash-checks this).
+
+    ``where``: filtered ANN — a predicate over the index's attr
+    columns, applied BEFORE the probe join (filter-then-search). The
+    top-k is computed among matching rows only, which is not the same
+    set post-filtering a global top-k would give (that can return
+    < k or miss matches entirely); against the parquet snapshot the
+    predicate pushes down to the scan."""
     import numpy as np
 
     if 0 < rescore < k:
@@ -195,6 +213,8 @@ def ann_index_topk(
         F.explode("_probes").alias("list_id"),
         *[f"lut{s}" for s in range(n_sub)],
     )
+    if where is not None:
+        index = index.where(where)
     pairs = (
         F.broadcast(q).join(index, "list_id").where(F.col("q_id") != F.col("n_id"))
     )

@@ -688,6 +688,43 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=e)
 
 
+@_q(
+    "ann_filtered_topk",
+    approx_oracles.similarity_topk_ivfpq_sql(candidate_pred="cf.label % 2 = 0"),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN from the serving snapshot: top-10 neighbors among
+    corpus vectors whose ``label`` is even — the search-within-a-
+    metadata-slice pattern every production vector store needs
+    (language-restricted retrieval, licensed-subset search,
+    domain-scoped dedup). The index carries ``label`` as an attribute
+    column (build_ann_index attr_cols) and the predicate prunes
+    candidates BEFORE the probe join: filter-then-search. This is
+    semantically different from post-filtering an unfiltered top-k —
+    that can return fewer than k matches or none — and the plan-level
+    difference matters at scale: against the partitioned parquet
+    snapshot the attribute predicate pushes down to the index scan
+    like any other column filter, so excluded rows are never scored.
+    The oracle reproduces the same candidate pruning inside the
+    unrolled IVFADC chain."""
+    from aqi_featurestore_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    index, model = build_ann_index(
+        e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        attr_cols=("label",),
+    )
+    index = index.localCheckpoint()
+    return ann_index_topk(
+        index, q, model, k=10, rescore=50, rerank_vectors=e,
+        where=F.col("label") % 2 == 0,
+    )
+
+
 @_q("similarity_topk_pq", approx_oracles.similarity_topk_pq_sql())
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 (4 subspaces x 16 codes, ADC full

@@ -249,6 +249,7 @@ EXTENDED_QUERIES = [
     "similarity_topk_ivfpq",
     "ann_index_serve",
     "dsir_select_threshold",
+    "ann_filtered_topk",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -295,6 +296,7 @@ ITERATIVE_CONSTRUCTION = {
     "pca_project",  # Gram-matrix fit pass + dim^2-bounded collect at build time
     "similarity_topk_ivfpq",  # coarse seed collect + PQ codebook fits at build time
     "ann_index_serve",  # index build (fits + encode + localCheckpoint) at build time
+    "ann_filtered_topk",  # same index build at build time
 }
 
 

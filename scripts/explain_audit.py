@@ -145,6 +145,7 @@ AUDIT = [
     "similarity_topk_ivfpq",
     "ann_index_serve",
     "dsir_select_threshold",
+    "ann_filtered_topk",
 ]
 
 

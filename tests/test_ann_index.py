@@ -139,3 +139,37 @@ def test_rescore_guard(spark, emb, built):
         ann_index_topk(index, q, model, k=10, rescore=5)
     with pytest.raises(ValueError, match="rerank_vectors"):
         ann_index_topk(index, q, model, k=10, rescore=50)
+
+
+def test_filtered_lookup_filter_then_search(spark, emb):
+    """Filtered ANN: the predicate prunes BEFORE scoring. Every result
+    must satisfy the predicate, queries get their full top-k among
+    matching rows, and the result differs from post-filtering the
+    unfiltered top-k (which would return < k rows for queries whose
+    neighborhoods are mostly excluded)."""
+    from aqi_featurestore_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    index, model = build_ann_index(
+        emb, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        attr_cols=("label",),
+    )
+    index = index.localCheckpoint()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    even = F.col("label") % 2 == 0
+    filtered = ann_index_topk(
+        index, q, model, k=10, rescore=50, rerank_vectors=emb, where=even
+    ).collect()
+    even_ids = {
+        r["vec_id"] for r in emb.where(even).select("vec_id").collect()
+    }
+    assert filtered and all(r["n_id"] in even_ids for r in filtered)
+
+    unfiltered = ann_index_topk(
+        index, q, model, k=10, rescore=50, rerank_vectors=emb
+    ).collect()
+    post = [r for r in unfiltered if r["n_id"] in even_ids]
+    # filter-then-search keeps full depth; post-filter loses rows
+    assert len(filtered) > len(post)

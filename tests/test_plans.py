@@ -51,6 +51,7 @@ ARROW_EVAL_OK = {
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",  # seeded coarse assign/probe + exact re-rank dot
     "ann_index_serve",  # query-side probe udf + exact re-rank dot (serving path)
+    "ann_filtered_topk",  # same serving path with an attr predicate
     "similarity_topk_lsh",
 }
 MAP_IN_PANDAS_OK = {
@@ -162,7 +163,7 @@ EXCHANGE_CEILING = {
     "similarity_pagerank": 29,
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
-    "similarity_topk_ivfpq": 2, "ann_index_serve": 2,
+    "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
