@@ -387,3 +387,65 @@ def run_curation_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_ann_lookup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index: DataFrame,
+    model,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    rerank_vectors: DataFrame | None = None,
+    k: int = 10,
+    rescore: int = 50,
+    where=None,
+) -> None:
+    """Streaming ANN serving: each micro-batch of query vectors probes
+    the STATIC index snapshot (operators/ann_index.py) and lands its
+    top-k — the online half of the vector-serving story running as a
+    stream job, the same stream-static shape as
+    ``run_enrichment_stream`` (the index is re-planned per trigger, so
+    a refreshed snapshot is picked up on the next batch with no job
+    restart).
+
+    Top-k needs a per-query rank window, which append-mode streaming
+    cannot express — so the lookup runs through ``foreachBatch`` (the
+    house pattern for rank-in-stream, like ``run_dedup_ingest_stream``'s
+    gate): each batch executes the SAME ``ann_index_topk`` plan the
+    batch query family hash-verifies, against the same index rows.
+    Nothing is stateful between batches (every query's top-k is
+    self-contained), so there is no watermark and exactly-once comes
+    from the sink's append + checkpointed source offsets.
+
+    100 TB shape: per batch, only the |batch| x n_probe broadcast probe
+    rows and the candidate code rows move — identical to the batch
+    lookup; the corpus is never read (``rerank_vectors`` joins only the
+    rescore-bounded shortlist)."""
+    from aqi_featurestore_spark.operators.ann_index import ann_index_topk
+
+    def serve(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = ann_index_topk(
+            index,
+            batch,
+            model,
+            k=k,
+            rescore=rescore,
+            rerank_vectors=rerank_vectors,
+            where=where,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,57 @@
+"""Streaming ANN serving (streaming/jobs.py run_ann_lookup_stream):
+micro-batches of query vectors against the static index snapshot must
+produce exactly the batch lookup's results — per-query top-k is
+self-contained, so batch boundaries cannot change answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.ann_index import (
+    ann_index_topk,
+    build_ann_index,
+)
+from aqi_featurestore_spark.sources.testdata import read_table
+from aqi_featurestore_spark.streaming.jobs import run_ann_lookup_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_stream_lookup_equals_batch(spark, emb, tmp_path):
+    queries = emb.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    src = str(tmp_path / "qstream")
+    # two part-files -> the availableNow trigger may split batches;
+    # results must be batch-boundary-invariant either way
+    queries.repartition(2).write.parquet(src)
+
+    index, model = build_ann_index(
+        emb, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16
+    )
+    index = index.localCheckpoint()
+    out = str(tmp_path / "out")
+    run_ann_lookup_stream(
+        spark,
+        src,
+        "vec_id long, embedding array<float>",
+        index,
+        model,
+        out,
+        str(tmp_path / "ckpt"),
+        rerank_vectors=emb,
+        k=5,
+        rescore=20,
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in ann_index_topk(
+            index, queries, model, k=5, rescore=20, rerank_vectors=emb
+        ).collect()
+    )
+    assert got == want and len(got) > 0
