@@ -688,6 +688,61 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=e)
 
 
+@_q("ann_index_stats", approx_oracles.ann_index_stats_sql())
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-balance audit: per-cell occupancy of the coarse quantizer
+    (the seeded 16-cell assignment every IVF/IVFADC query probes) plus
+    the balance metrics an operator reads before shipping a serving
+    snapshot — ``share`` per cell, ``size_rank``, non-empty ``n_cells``
+    and ``max_skew`` (max/avg occupancy; 1.0 = balanced). Skewed cells
+    are hot partitions at serve time: every query probing the fat cell
+    scores its whole list, so occupancy skew IS the serving-latency
+    tail. The audit is one assignment pass + a 16-row aggregate; the
+    rank window runs over the bounded cell domain and the totals ride
+    a 1-row broadcast scalar."""
+    from aqi_featurestore_spark.operators.similarity import (
+        coarse_udfs_from_centroids,
+        seeded_coarse_centroids,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    cent = seeded_coarse_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_lists=16
+    )
+    assign_list, _ = coarse_udfs_from_centroids(cent, 1)
+    cellc = (
+        e.select(assign_list("embedding").alias("list_id"))
+        .groupBy("list_id")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    tot = cellc.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("list_id"))
+    return (
+        cellc.withColumn("size_rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+            "size_rank",
+            "n_cells",
+            F.round(
+                F.col("max_rows").cast("double")
+                * F.col("n_cells").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("max_skew"),
+        )
+    )
+
+
 @_q(
     "ann_filtered_topk",
     approx_oracles.similarity_topk_ivfpq_sql(candidate_pred="cf.label % 2 = 0"),

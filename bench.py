@@ -250,6 +250,7 @@ EXTENDED_QUERIES = [
     "ann_index_serve",
     "dsir_select_threshold",
     "ann_filtered_topk",
+    "ann_index_stats",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

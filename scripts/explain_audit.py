@@ -146,6 +146,7 @@ AUDIT = [
     "ann_index_serve",
     "dsir_select_threshold",
     "ann_filtered_topk",
+    "ann_index_stats",
 ]
 
 

@@ -52,6 +52,7 @@ ARROW_EVAL_OK = {
     "similarity_topk_ivfpq",  # seeded coarse assign/probe + exact re-rank dot
     "ann_index_serve",  # query-side probe udf + exact re-rank dot (serving path)
     "ann_filtered_topk",  # same serving path with an attr predicate
+    "ann_index_stats",  # seeded coarse assign udf (one corpus pass)
     "similarity_topk_lsh",
 }
 MAP_IN_PANDAS_OK = {
@@ -83,6 +84,7 @@ BNLJ_OK = {
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
     "target_encoding",       # 1-row global-mean prior scalar
     "dsir_select_threshold",  # 1-row quantile-cut scalar onto the score stream
+    "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
@@ -164,6 +166,7 @@ EXCHANGE_CEILING = {
     "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
     "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
+    "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
@@ -269,6 +272,7 @@ GROUPED_AGG_WINDOW_OK = {
     "ks_drift",              # keys = centi-unit value domain of a bounded sensor
                              # range (~5.6e4 distinct, documented in the query)
     "sequence_packing",      # keys = 256 prefix-sum offset buckets (fixed count)
+    "ann_index_stats",       # keys = n_lists coarse cells (fixed by config)
 }
 
 
