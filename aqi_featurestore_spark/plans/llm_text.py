@@ -688,6 +688,87 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=e)
 
 
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _ann_probe_sweep_sql() -> str:
+    legs = {
+        p: approx_oracles.similarity_topk_ivfpq_sql(n_probe=p)
+        for p in _SWEEP_PROBES
+    }
+    hit_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT {p} AS n_probe, COUNT(l.n_id) AS n_hits
+  FROM exact_tk e LEFT JOIN p{p}_tk l
+    ON e.q_id = l.q_id AND e.n_id = l.n_id"""
+        for p in _SWEEP_PROBES
+    )
+    leg_ctes = ",\n".join(f"p{p}_tk AS ({sql})" for p, sql in legs.items())
+    return f"""
+WITH exact_tk AS ({_SIM_TOPK_SQL}),
+{leg_ctes},
+nq AS (SELECT COUNT(DISTINCT q_id) AS n FROM exact_tk),
+hits AS (
+{hit_selects})
+SELECT CAST(n_probe AS INT) AS n_probe, CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / (10.0 * CAST(nq.n AS DOUBLE)), 6)
+         AS recall_at_10
+FROM hits CROSS JOIN nq"""
+
+
+@_q("ann_probe_sweep", _ann_probe_sweep_sql())
+def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe tuning curve: recall@10 of the IVFADC index at
+    n_probe in {1,2,4,8} against the brute-force ground truth — the
+    measured recall/latency trade an operator reads to size the probe
+    count (serve cost is ~n_probe/n_lists of the corpus codes per
+    query, so this curve prices recall in scan fraction). Construction
+    is shared across legs: ONE set of PQ codebook fits (the books
+    hook), ONE localCheckpoint-ed exact leg; each leg re-encodes only
+    the cheap staged projections. Recall rises monotonically with
+    n_probe by construction (probe sets nest); the MEASURED curve
+    shows where it saturates."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact_tk = (
+        cosine_topk_bruteforce(q, e, k=10)
+        .select("q_id", "n_id")
+        .localCheckpoint()
+    )
+    books = pq_fit_books(
+        e, id_col="vec_id", vec_col="embedding",
+        n_subspaces=4, n_codes=16, iters=1, dim=64,
+    )
+    counted = []
+    for p in _SWEEP_PROBES:
+        leg = cosine_topk_ivfpq(
+            q, e, k=10, n_lists=16, n_probe=p, coarse="seeded", books=books
+        )
+        counted.append(
+            exact_tk.join(
+                leg.select(
+                    F.col("q_id").alias("l_q"), F.col("n_id").alias("l_n")
+                ),
+                (F.col("q_id") == F.col("l_q")) & (F.col("n_id") == F.col("l_n")),
+                "left",
+            )
+            .agg(F.count("l_n").alias("n_hits"))
+            .select(F.lit(p).cast("int").alias("n_probe"), "n_hits")
+        )
+    hits = counted[0]
+    for c in counted[1:]:
+        hits = hits.unionAll(c)
+    nq = exact_tk.agg(F.countDistinct("q_id").alias("n"))
+    return hits.crossJoin(F.broadcast(nq)).select(
+        "n_probe",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / (F.lit(10.0) * F.col("n").cast("double")),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
 @_q("ann_index_stats", approx_oracles.ann_index_stats_sql())
 def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-balance audit: per-cell occupancy of the coarse quantizer

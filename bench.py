@@ -251,6 +251,7 @@ EXTENDED_QUERIES = [
     "dsir_select_threshold",
     "ann_filtered_topk",
     "ann_index_stats",
+    "ann_probe_sweep",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -298,6 +299,7 @@ ITERATIVE_CONSTRUCTION = {
     "similarity_topk_ivfpq",  # coarse seed collect + PQ codebook fits at build time
     "ann_index_serve",  # index build (fits + encode + localCheckpoint) at build time
     "ann_filtered_topk",  # same index build at build time
+    "ann_probe_sweep",  # shared PQ fit + exact-leg localCheckpoint at build time
 }
 
 

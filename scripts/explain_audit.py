@@ -147,6 +147,7 @@ AUDIT = [
     "dsir_select_threshold",
     "ann_filtered_topk",
     "ann_index_stats",
+    "ann_probe_sweep",
 ]
 
 

@@ -53,6 +53,7 @@ ARROW_EVAL_OK = {
     "ann_index_serve",  # query-side probe udf + exact re-rank dot (serving path)
     "ann_filtered_topk",  # same serving path with an attr predicate
     "ann_index_stats",  # seeded coarse assign udf (one corpus pass)
+    "ann_probe_sweep",  # brute ground-truth leg + probe udfs + re-rank dots
     "similarity_topk_lsh",
 }
 MAP_IN_PANDAS_OK = {
@@ -66,6 +67,7 @@ MAP_IN_PANDAS_OK = {
 BNLJ_OK = {
     "ann_recall",            # brute-force ground-truth leg (audit cost)
     "ann_recall_methods",    # brute ground truth + PQ code-scan legs
+    "ann_probe_sweep",       # brute ground-truth leg (audit cost)
     "similarity_topk_pq",    # ADC code scan: streamed (id, 4-byte codes)
                              # rows vs broadcast query LUTs — the PQ contract
     "benford_audit",         # 1-row total-count scalar over a 9-row frame
@@ -167,6 +169,7 @@ EXCHANGE_CEILING = {
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
     "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
+    "ann_probe_sweep": 22,  # 4 sweep legs x (ADC rank + re-rank + hits agg) + exact leg
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
