@@ -1,0 +1,215 @@
+"""Distributed linear quality-classifier training (hard-sigmoid
+logistic regression by full-batch gradient descent) with exact
+integer-micro-unit arithmetic, so a SQL oracle can reproduce every
+weight bit-for-bit.
+
+This is the model-based data-curation primitive (the FineWeb-Edu /
+quality-classifier pipeline shape): fit a linear scorer on labeled
+embedding vectors, then score, select, and evaluate the corpus with it.
+The reference has no model-training surface (its ML is an offline
+sklearn notebook, reference ml/train.py) — this family extends the
+engine per the LLM-pipeline brief; method is standard batch GD with the
+hard-sigmoid activation of quantized-network practice (e.g. Courbariaux
+et al. 2015), chosen here because it is piecewise-RATIONAL: every
+training op stays in exact integer arithmetic, which is what makes the
+cross-engine oracle possible (no transcendental whose libm rounding
+could differ).
+
+Number system (all BIGINT):
+
+- features  x_micro = round(x * 1e6)                 (scale 1e-6)
+- weights   w_micro                                   (scale 1e-6)
+- margins   m_p12 = b_micro*1e6 + sum_d w_d * x_d     (scale 1e-12)
+- hard sigmoid  s_micro = clamp(5e5 + floordiv(m_p12, 4e6), 0, 1e6)
+  — i.e. s = clip(0.5 + m/4, 0, 1), the published hard-sigmoid form.
+- error     e_micro = s_micro - y * 1e6               (scale 1e-6)
+- gradient  G_d = sum_i e_i * x_id  (p12, exact int64 sum, order-free)
+- update    w_d -= floordiv(G_d, n * (2e6 / lr_num))   (lr = lr_num/2)
+            b   -= floordiv(lr_num * B, 2 * n)
+
+``floordiv(a, b) = (a - pmod(a, b)) / b`` (b > 0) floors toward -inf
+identically in Spark (F.pmod), DuckDB (((a%b)+b)%b), and Python (//) —
+the one rounding point in the loop, pinned to a single definition.
+
+Exact-int64 bound: |e*x| <= 1e6 * |x|_micro, so the gradient sum is
+exact while n * max|x_micro| * 1e6 < 2^63 — for unit-ish embeddings
+(|x| <= 2) that is n <~ 4.6e9 / 1, conservatively enforced as
+``max_exact_rows`` = 4_000_000_000 / max_abs_micro-heuristic; we pin a
+flat 1e7 default (same discipline as operators/pca.py MAX_EXACT_ROWS)
+with the same overflow escape: ``on_overflow="error"`` refuses,
+``"sample"`` (default) re-fits on a deterministic md5 row sample.
+
+Scale shape (the Lloyd's-fit discipline, operators/clustering.py):
+each round is ONE no-shuffle margin map against broadcast literal
+weights + ONE map-side-combined aggregate down to a single row of
+dim+2 BIGINTs, collected. Driver state is dim+1 integers; nothing
+corpus-sized is ever collected or shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions.portable_hash import md5_int32
+
+MICRO = 1_000_000
+#: hard-sigmoid slope denominator: s = 0.5 + m/4 -> floordiv(m_p12, 4e6)
+SIG_DEN = 4 * MICRO
+#: Flat exact-int64 row bound for the gradient sums (module header).
+MAX_EXACT_ROWS = 10_000_000
+
+
+def floordiv_col(a: Column, b: int) -> Column:
+    """Floor division of a BIGINT column by a positive int literal,
+    exact and engine-portable: (a - pmod(a, b)) / b. The double
+    division is exact because (a - pmod) is an exact multiple of b and
+    the quotient magnitude stays far below 2^53."""
+    if b <= 0:
+        raise ValueError(f"floordiv_col requires b > 0, got {b}")
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def floordiv_sql(a: str, b: int) -> str:
+    """DuckDB twin of :func:`floordiv_col` (same rounding point)."""
+    return f"CAST(({a} - ((({a}) % {b} + {b}) % {b})) / {b} AS BIGINT)"
+
+
+def micro_vec(vec_col: Column | str) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+    )
+
+
+def margin_col(vec_micro: Column, w_micro: list[int], b_micro: int) -> Column:
+    """m_p12 = b*1e6 + sum_d w_d * x_d over a micro-int vector column
+    against literal weights — a pure-JVM zip_with/aggregate fold, no
+    Python boundary, exact int64."""
+    lits = F.array(*[F.lit(int(w)).cast("long") for w in w_micro])
+    return F.aggregate(
+        F.zip_with(vec_micro, lits, lambda x, wi: x * wi),
+        F.lit(int(b_micro) * MICRO).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hard_sigmoid_micro(m_p12: Column) -> Column:
+    """clamp(5e5 + floordiv(m, 4e6), 0, 1e6) — exact int."""
+    raw = F.lit(MICRO // 2).cast("long") + floordiv_col(m_p12, SIG_DEN)
+    return F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(MICRO).cast("long"))
+
+
+def hardlogit_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: Column,
+    dim: int = 64,
+    iters: int = 6,
+    lr_num: int = 8,
+    max_exact_rows: int = MAX_EXACT_ROWS,
+    on_overflow: str = "sample",
+) -> tuple[list[int], int, int]:
+    """Full-batch hard-sigmoid GD; returns (w_micro[dim], b_micro, n).
+
+    ``label_col``: a 0/1 integer Column (the binary quality target).
+    ``lr_num`` must divide 2e6 (lr = lr_num / 2); the weight update is
+    floordiv(G_d, n * (2_000_000 // lr_num)) and the bias update
+    floordiv(lr_num * B, 2 * n) — both exact.
+
+    Per round: one aggregation job producing dim+2 BIGINTs (gradient
+    per dim, bias gradient, row count) — collected; the margin map runs
+    against broadcast literal weights, so no round shuffles anything
+    but the one map-combined aggregate. The quantized projection is
+    persisted once across rounds (the kmeans_fit discipline)."""
+    if on_overflow not in ("error", "sample"):
+        raise ValueError(f"unknown on_overflow mode {on_overflow!r}")
+    if 2 * MICRO % lr_num:
+        raise ValueError(f"lr_num={lr_num} must divide {2 * MICRO}")
+    w_den = 2 * MICRO // lr_num
+
+    vc = df.select(
+        F.col(id_col).alias("_id"),
+        micro_vec(vec_col).alias("_v"),
+        label_col.cast("long").alias("_y"),
+    ).persist()
+    try:
+        w = [0] * dim
+        b = 0
+        n = 0
+        for _ in range(iters):
+            # Stage the fold ONCE per row before multi-reference use
+            # (the round-6 staged-encode lesson: Catalyst higher-order
+            # fns get no CSE, so an unstaged margin would re-run the
+            # 64-term fold once per consumer expression).
+            staged = vc.select(
+                "_y", margin_col(F.col("_v"), w, b).alias("_m"), "_v"
+            ).select(
+                "_v", (hard_sigmoid_micro(F.col("_m")) - F.col("_y") * MICRO).alias("_e")
+            )
+            row = staged.agg(
+                *[
+                    F.sum(F.element_at("_v", d + 1) * F.col("_e")).alias(f"g{d}")
+                    for d in range(dim)
+                ],
+                F.sum("_e").alias("gb"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            n = row["n"]
+            if n > max_exact_rows:
+                if on_overflow == "error":
+                    raise ValueError(
+                        f"hardlogit_fit: {n} rows exceeds the exact int64 "
+                        f"gradient bound ({max_exact_rows}); sums may have "
+                        "overflowed. Fit on a sample (on_overflow='sample') "
+                        "or pre-filter the corpus."
+                    )
+                thresh = int(0.8 * max_exact_rows / n * (1 << 32))
+                sampled = df.where(
+                    md5_int32(F.concat(F.lit("hl|"), F.col(id_col).cast("string")))
+                    < F.lit(thresh)
+                )
+                return hardlogit_fit(
+                    sampled,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    label_col=label_col,
+                    dim=dim,
+                    iters=iters,
+                    lr_num=lr_num,
+                    max_exact_rows=max_exact_rows,
+                    on_overflow="error",
+                )
+            w = [int(w[d]) - int(row[f"g{d}"]) // (n * w_den) for d in range(dim)]
+            b = int(b) - (lr_num * int(row["gb"])) // (2 * n)
+        return w, b, n
+    finally:
+        vc.unpersist()
+
+
+def fit_reference(
+    xs: list[list[int]], ys: list[int], *, iters: int = 6, lr_num: int = 8
+) -> tuple[list[int], int]:
+    """Pure-Python sequential reference of the same pinned arithmetic
+    (for property tests): identical floordiv, clamp, and update order —
+    must agree with :func:`hardlogit_fit` integer-for-integer."""
+    dim = len(xs[0])
+    n = len(xs)
+    w_den = 2 * MICRO // lr_num
+    w = [0] * dim
+    b = 0
+    for _ in range(iters):
+        gs = [0] * dim
+        gb = 0
+        for x, y in zip(xs, ys):
+            m = b * MICRO + sum(wd * xd for wd, xd in zip(w, x))
+            s = min(max(MICRO // 2 + m // SIG_DEN, 0), MICRO)
+            e = s - y * MICRO
+            gb += e
+            for d in range(dim):
+                gs[d] += e * x[d]
+        w = [w[d] - gs[d] // (n * w_den) for d in range(dim)]
+        b = b - (lr_num * gb) // (2 * n)
+    return w, b

@@ -1,0 +1,289 @@
+"""Model-based quality curation: train a linear quality classifier on
+labeled embeddings, select corpus rows with it, and evaluate it — the
+FineWeb-Edu-style classifier-filtering pipeline as three registry
+queries over the ``embeddings`` table.
+
+- ``quality_classifier_train`` — distributed hard-sigmoid logistic GD
+  (operators/linear_model.py): rounds 1..T-1 collapse to literal
+  weights at build (one bounded 1-row aggregate per round, the
+  kmeans_fit discipline); the FINAL round's gradient aggregate stays in
+  the returned plan, so the result is a genuinely distributed
+  computation ending in the dim+1 model weights.
+- ``quality_classifier_select`` — score every vector with the trained
+  model and keep the predicted-positive rows (margin > 0, the
+  calibrated decision boundary — the fixed-threshold selection shape of
+  classifier-filtered corpora). Zero-exchange scoring plan.
+- ``classifier_auc`` — exact tie-aware binned ROC-AUC of the trained
+  scorer against the held labels, entirely in integer arithmetic:
+  bucketed integer margins -> per-bucket pos/neg counts -> rank-sum
+  numerator 2*P*N*AUC = sum_b pos_b * (2*cumneg_<b + neg_b), one exact
+  int division at the end. Binning is by fixed margin width (1e8 p12 =
+  1e-4 margin units), so the bucket domain is bounded by the weight
+  norm, not the corpus.
+
+Every training op is exact BIGINT arithmetic (module doc in
+operators/linear_model.py); the oracles unroll all T rounds as
+MATERIALIZED CTEs (materialized because round t's 1-row weight CTE is
+referenced twice — DuckDB's default inlining would re-evaluate the
+whole training prefix exponentially, the kmeans_assign_fp lesson).
+
+Reference parity: the reference trains its AQI model in an offline
+sklearn notebook (reference ml/train.py) — no in-engine training
+surface; this family is extension territory per the LLM-pipeline
+brief (quality classifiers are how production corpora are filtered).
+
+100 TB shape: per GD round ONE no-shuffle margin map against broadcast
+literal weights + ONE map-combined aggregate to dim+2 BIGINTs. Scoring
+and selection are zero-exchange row-local maps. The AUC plan shuffles
+only per-bucket count rows (bounded domain). The int64 gradient bound
+is enforced with the PCA-precedent guard (error or deterministic
+md5-sample re-fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.linear_model import (
+    MICRO,
+    SIG_DEN,
+    floordiv_col,
+    floordiv_sql,
+    hard_sigmoid_micro,
+    hardlogit_fit,
+    margin_col,
+    micro_vec,
+)
+from aqi_featurestore_spark.plans._base import _q, _read
+
+_DIM = 64
+_ITERS = 6
+_LR_NUM = 8  # lr = 4
+_W_DEN = 2 * MICRO // _LR_NUM
+#: binary quality target: top half of the 10-class label space
+_POS_MIN = 5
+#: AUC margin-bucket width in p12 units (1e-4 margin units)
+_AUC_BUCKET = 100_000_000
+
+
+def _label_col() -> F.Column:
+    return (F.col("label") >= _POS_MIN).cast("long")
+
+
+def _fit_ctes(iters: int = _ITERS) -> str:
+    """Oracle CTE chain ending in ``w{iters}(wl, b)`` — the trained
+    weights list + bias, reproducing hardlogit_fit round for round:
+    identical quantization, margin fold, hard-sigmoid clamp, floordiv
+    rounding, and update order."""
+    fold = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v[i] * w.wl[i]), (a, c) -> a + c)"
+    )
+    parts = [
+        f"""vcl AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT)) AS v,
+         CAST(CASE WHEN label >= {_POS_MIN} THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM embeddings)""",
+        "nn AS (SELECT COUNT(*) AS c FROM vcl)",
+        f"""w0 AS (
+  SELECT list_transform(range(1, 65), i -> CAST(0 AS BIGINT)) AS wl,
+         CAST(0 AS BIGINT) AS b)""",
+    ]
+    for t in range(1, iters + 1):
+        m = f"w.b * {MICRO} + {fold}"
+        parts.append(f"""st{t} AS (
+  SELECT vec_id, v, y,
+         least(greatest({MICRO // 2} + {floordiv_sql(f"({m})", SIG_DEN)},
+                        0), {MICRO}) - y * {MICRO} AS e
+  FROM vcl, w{t - 1} w)""")
+        parts.append(f"""g{t} AS (
+  SELECT dim, CAST(SUM(e * x) AS BIGINT) AS s FROM (
+    SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x, e
+    FROM st{t}) q
+  GROUP BY dim)""")
+        parts.append(
+            f"gb{t} AS (SELECT CAST(SUM(e) AS BIGINT) AS s FROM st{t})"
+        )
+        # floordiv with a non-literal denominator: inline the same
+        # (a - ((a%b + b)%b)) / b form with b = nn.c * _W_DEN
+        b_w = f"(nn.c * {_W_DEN})"
+        w_upd = (
+            f"p.wl[g.dim] - CAST((g.s - ((g.s % {b_w} + {b_w}) % {b_w})) "
+            f"/ {b_w} AS BIGINT)"
+        )
+        b_b = "(2 * nn.c)"
+        gbl = f"({_LR_NUM} * gb.s)"
+        b_upd = (
+            f"p.b - CAST(({gbl} - (({gbl} % {b_b} + {b_b}) % {b_b})) "
+            f"/ {b_b} AS BIGINT)"
+        )
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT list(nw ORDER BY dim) AS wl, first(nb) AS b FROM (
+    SELECT g.dim, {w_upd} AS nw, {b_upd} AS nb
+    FROM g{t} g, w{t - 1} p, nn, gb{t} gb) u)""")
+    return ",\n".join(parts)
+
+
+_TRAIN_SQL = f"""
+WITH {_fit_ctes()}
+SELECT CAST(t.d AS INT) AS term_id, CAST(w.wl[t.d + 1] AS BIGINT) AS w_micro
+FROM w{_ITERS} w, range(0, {_DIM}) t(d)
+UNION ALL
+SELECT {_DIM} AS term_id, CAST(b AS BIGINT) AS w_micro FROM w{_ITERS}"""
+
+
+@_q("quality_classifier_train", _TRAIN_SQL)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hard-sigmoid linear quality classifier (6 rounds of
+    exact-integer batch GD, lr=4, positive = label >= 5) and emit the
+    model: 65 rows (term_id 0..63 = weights, 64 = bias, all micro-unit
+    BIGINTs). Rounds 1..5 collapse at build time (one bounded 1-row
+    aggregate each — the kmeans_fit discipline); round 6 IS the plan:
+    a staged margin map, the 66-column map-combined gradient aggregate,
+    and the weight update posexploded to rows. The oracle unrolls all
+    six rounds and matches every weight bit-for-bit."""
+    e = _read(spark, sf_dir, "embeddings")
+    w5, b5, n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS - 1, lr_num=_LR_NUM
+    )
+    vc = e.select(micro_vec("embedding").alias("_v"), _label_col().alias("_y"))
+    staged = vc.select(
+        "_v", margin_col(F.col("_v"), w5, b5).alias("_m"), "_y"
+    ).select(
+        "_v", (hard_sigmoid_micro(F.col("_m")) - F.col("_y") * MICRO).alias("_e")
+    )
+    grads = staged.agg(
+        *[
+            F.sum(F.element_at("_v", d + 1) * F.col("_e")).alias(f"g{d}")
+            for d in range(_DIM)
+        ],
+        F.sum("_e").alias("gb"),
+    )
+    upd = F.array(
+        *[
+            F.lit(int(w5[d])).cast("long")
+            - floordiv_col(F.col(f"g{d}"), n * _W_DEN)
+            for d in range(_DIM)
+        ],
+        F.lit(int(b5)).cast("long")
+        - floordiv_col(F.lit(_LR_NUM).cast("long") * F.col("gb"), 2 * n),
+    )
+    return grads.select(F.posexplode(upd).alias("term_id", "w_micro")).select(
+        F.col("term_id").cast("int").alias("term_id"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+    )
+
+
+def _scored_sql() -> str:
+    """Shared oracle tail: per-vector margin + hard-sigmoid score from
+    the unrolled trained weights."""
+    fold = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v[i] * w.wl[i]), (a, c) -> a + c)"
+    )
+    m = f"w.b * {MICRO} + {fold}"
+    return f"""sc AS MATERIALIZED (
+  SELECT vec_id, y, ({m}) AS m,
+         least(greatest({MICRO // 2} + {floordiv_sql(f"({m})", SIG_DEN)},
+                        0), {MICRO}) AS s
+  FROM vcl, w{_ITERS} w)"""
+
+
+_SELECT_SQL = f"""
+WITH {_fit_ctes()},
+{_scored_sql()}
+SELECT vec_id, CAST(m AS BIGINT) AS margin_p12, CAST(s AS BIGINT) AS quality_micro
+FROM sc WHERE m > 0"""
+
+
+@_q("quality_classifier_select", _SELECT_SQL)
+def q_quality_classifier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus selection: score every vector with the
+    trained classifier and keep the predicted-positive rows (margin >
+    0 — the calibrated fixed-threshold selection of classifier-filtered
+    corpora, e.g. FineWeb-Edu's score cut; method only). The full fit
+    happens at build (bounded per-round aggregates); the returned plan
+    is a ZERO-exchange row-local map-and-filter — at 100 TB selection
+    is a pure scan-side predicate, embarrassingly parallel, nothing
+    shuffled."""
+    e = _read(spark, sf_dir, "embeddings")
+    w, b, _n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS, lr_num=_LR_NUM
+    )
+    vc = e.select("vec_id", micro_vec("embedding").alias("_v"))
+    staged = vc.select("vec_id", margin_col(F.col("_v"), w, b).alias("_m"))
+    return staged.where(F.col("_m") > 0).select(
+        "vec_id",
+        F.col("_m").cast("long").alias("margin_p12"),
+        hard_sigmoid_micro(F.col("_m")).cast("long").alias("quality_micro"),
+    )
+
+
+_AUC_SQL = f"""
+WITH {_fit_ctes()},
+{_scored_sql()},
+bk AS (
+  SELECT {floordiv_sql("m", _AUC_BUCKET)} AS bucket, y FROM sc),
+bc AS (
+  SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM bk GROUP BY bucket),
+cm AS (
+  SELECT bucket, pos, neg,
+         COALESCE(CAST(SUM(neg) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cumneg
+  FROM bc)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       round(CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE)
+             / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
+FROM cm"""
+
+
+@_q("classifier_auc", _AUC_SQL)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware binned ROC-AUC of the trained quality scorer:
+    integer margins bucket at fixed width 1e8 p12 (1e-4 margin units),
+    per-bucket pos/neg counts, and the rank-sum identity
+    2*P*N*AUC = sum_b pos_b * (2 * cumneg_<b + neg_b) — every term an
+    exact BIGINT, one int/int division at the end (IEEE-exact parity).
+    Ties inside a bucket contribute the standard 1/2 credit, which is
+    what the +neg_b term encodes — this is the trapezoid AUC on the
+    binned ROC, the scalable evaluator shape (a global score sort never
+    happens; the bucket domain is bounded by the weight norm, so the
+    cumulative window runs over a small aggregate, not the corpus)."""
+    e = _read(spark, sf_dir, "embeddings")
+    w, b, _n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS, lr_num=_LR_NUM
+    )
+    vc = e.select(micro_vec("embedding").alias("_v"), _label_col().alias("_y"))
+    staged = vc.select("_y", margin_col(F.col("_v"), w, b).alias("_m"))
+    bc = (
+        staged.select(floordiv_col(F.col("_m"), _AUC_BUCKET).alias("bucket"), "_y")
+        .groupBy("bucket")
+        .agg(
+            F.sum("_y").alias("pos"),
+            (F.count("*") - F.sum("_y")).alias("neg"),
+        )
+    )
+    win = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cm = bc.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(win), F.lit(0).cast("long")).alias("cumneg"),
+    )
+    return cm.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg"))).cast("double")
+            / (2 * F.sum("pos") * F.sum("neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

@@ -13,6 +13,7 @@ which registers via the shared ``@_q`` decorator in ``plans/_base.py``:
 - plans/clustering.py     — distributed k-means + semantic dedup (round 4)
 - plans/web_curation.py   — URL canonicalization / domain capping (round 4)
 - plans/monitoring.py     — freshness/consistency/drift/contract audits (round 4)
+- plans/model_curation.py — classifier-based quality curation (round 6)
 """
 
 from aqi_featurestore_spark.plans._base import ORACLE_SQL, QUERIES, _q, _read  # noqa: F401
@@ -26,4 +27,5 @@ from aqi_featurestore_spark.plans import (  # noqa: F401  (registration side-eff
     clustering,
     web_curation,
     monitoring,
+    model_curation,
 )

@@ -252,6 +252,9 @@ EXTENDED_QUERIES = [
     "ann_filtered_topk",
     "ann_index_stats",
     "ann_probe_sweep",
+    "quality_classifier_train",
+    "quality_classifier_select",
+    "classifier_auc",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -300,6 +303,9 @@ ITERATIVE_CONSTRUCTION = {
     "ann_index_serve",  # index build (fits + encode + localCheckpoint) at build time
     "ann_filtered_topk",  # same index build at build time
     "ann_probe_sweep",  # shared PQ fit + exact-leg localCheckpoint at build time
+    "quality_classifier_train",  # 5 GD rounds (1-row gradient aggs) at build time
+    "quality_classifier_select",  # full 6-round GD fit at build time
+    "classifier_auc",  # same 6-round GD fit at build time
 }
 
 

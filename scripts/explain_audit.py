@@ -148,6 +148,9 @@ AUDIT = [
     "ann_filtered_topk",
     "ann_index_stats",
     "ann_probe_sweep",
+    "quality_classifier_train",
+    "quality_classifier_select",
+    "classifier_auc",
 ]
 
 

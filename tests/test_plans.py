@@ -170,6 +170,9 @@ EXCHANGE_CEILING = {
     "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
     "ann_probe_sweep": 22,  # 4 sweep legs x (ADC rank + re-rank + hits agg) + exact leg
+    "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
+    "quality_classifier_train": 1,  # the final-round gradient aggregate
+    "quality_classifier_select": 0,  # zero-exchange scoring filter
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
@@ -276,6 +279,9 @@ GROUPED_AGG_WINDOW_OK = {
                              # range (~5.6e4 distinct, documented in the query)
     "sequence_packing",      # keys = 256 prefix-sum offset buckets (fixed count)
     "ann_index_stats",       # keys = n_lists coarse cells (fixed by config)
+    "classifier_auc",        # keys = fixed-width margin buckets; the margin
+                             # range is bounded by the weight norm (model
+                             # size), not the corpus row count
 }
 
 
