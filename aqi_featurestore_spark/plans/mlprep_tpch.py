@@ -1156,3 +1156,67 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 8
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH hashed AS (
+  SELECT d.doc_id, e.epoch,
+         md5('ep' || CAST(e.epoch AS VARCHAR) || '|' ||
+             CAST(d.doc_id AS VARCHAR)) AS h8
+  FROM documents d, (SELECT unnest(range({_SHUFFLE_EPOCHS})) AS epoch) e),
+keyed AS (
+  SELECT doc_id, epoch, ({_ph.duck_hex_int("h8", 1, 8)}) AS hv
+  FROM hashed)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(hv % {_SHUFFLE_SHARDS} AS INT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY epoch, hv % {_SHUFFLE_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM keyed"""
+
+
+@_q("epoch_shuffle_plan", _EPOCH_SHUFFLE_SQL)
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle plan (the data-
+    loader reshuffle shape: every epoch visits the corpus in a fresh
+    pseudo-random order without ever materializing a permutation).
+    Each (epoch, doc) keys md5('ep'||epoch||'|'||doc_id) -> shard =
+    hash mod 8, position = rank of the hash within the shard. A new
+    epoch changes the hash input, so both the shard assignment and the
+    within-shard order reshuffle — seeded, rerun-stable, no RNG state.
+
+    100 TB shape: the epoch fan-out is a row-local Generate (explode of
+    a 3-element sequence — no join); ordering needs ONE hash-partitioned
+    window per (epoch, shard) — each trainer rank sorts only its own
+    shard, never a global sort. At a realistic shard count (thousands)
+    the window partitions stay executor-sized; the md5 is one hash per
+    (epoch, doc)."""
+    d = _read(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SHUFFLE_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        _ph.md5_int32(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    shard = (F.col("hv") % _SHUFFLE_SHARDS).cast("int")
+    w = Window.partitionBy("epoch", F.col("hv") % _SHUFFLE_SHARDS).orderBy(
+        "hv", "doc_id"
+    )
+    return keyed.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        shard.alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )

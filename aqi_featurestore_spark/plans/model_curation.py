@@ -287,3 +287,104 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_MI_BINS = 8
+_MI_BIN_W = 250_000  # micro-units; bins cover [-1.0, 1.0)
+_MI_LO = 1_000_000
+
+
+_FEATURE_MI_SQL = f"""
+WITH vcl AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT)) AS v,
+         CAST(CASE WHEN label >= {_POS_MIN} THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM embeddings),
+cells AS (
+  SELECT dim, least(greatest({floordiv_sql(f"(x + {_MI_LO})", _MI_BIN_W)}, 0),
+                    {_MI_BINS - 1}) AS bin, y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x, y FROM vcl) q
+  GROUP BY 1, 2, 3),
+en AS (
+  SELECT dim, c,
+         CAST(SUM(c) OVER (PARTITION BY dim, bin) AS BIGINT) AS nb,
+         CAST(SUM(c) OVER (PARTITION BY dim, y) AS BIGINT) AS ny,
+         CAST(SUM(c) OVER (PARTITION BY dim) AS BIGINT) AS nn
+  FROM cells),
+terms AS (
+  SELECT dim, nn,
+         c * CAST(round(ln(CAST(c * nn AS DOUBLE) / CAST(nb * ny AS DOUBLE))
+                        * {MICRO}, 0) AS BIGINT) AS t
+  FROM en)
+SELECT CAST(dim - 1 AS INT) AS dim_id,
+       round(CAST(SUM(t) AS DOUBLE) / CAST(MAX(nn) * {MICRO} AS DOUBLE), 6) AS mi
+FROM terms GROUP BY dim"""
+
+
+@_q("feature_mi", _FEATURE_MI_SQL)
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mutual information between the (binned) embedding
+    features and the binary quality label — the feature-selection audit
+    of the classifier family: which dimensions carry the signal the
+    hard-sigmoid model can use. Values bin at fixed width 0.25 over
+    [-1, 1) (8 bins, clamped tails); MI_d in nats =
+    sum_cells (c/N) * ln(c*N / (n_bin * n_y)).
+
+    Exactness: every count is an exact BIGINT; each cell's log-ratio
+    argument is one division of two exact int64 products (IEEE-exact
+    both engines), one ln, rounded to integer micro-nats BEFORE the
+    per-dim sum — integer sums are order-free (the DSIR discipline) —
+    then ONE int/int division at the end. Absent cells are true zero
+    contributions (0 * ln 0 = 0 by the MI convention).
+
+    100 TB shape: posexplode fans the scan dim-fold, but the map-side
+    combine collapses it straight to <= dim x bins x 2 rows (1024 here)
+    — the only shuffled data. The marginal windows and final aggregate
+    run over that bounded cell table, never corpus rows."""
+    e = _read(spark, sf_dir, "embeddings")
+    vc = e.select(micro_vec("embedding").alias("_v"), _label_col().alias("_y"))
+    binned = vc.select(
+        F.posexplode("_v").alias("_dim", "_x"), "_y"
+    ).select(
+        "_dim",
+        F.least(
+            F.greatest(
+                floordiv_col(F.col("_x") + _MI_LO, _MI_BIN_W), F.lit(0).cast("long")
+            ),
+            F.lit(_MI_BINS - 1).cast("long"),
+        ).alias("_b"),
+        "_y",
+    )
+    cells = binned.groupBy("_dim", "_b", "_y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    en = cells.select(
+        "_dim",
+        "c",
+        F.sum("c").over(Window.partitionBy("_dim", "_b")).cast("long").alias("nb"),
+        F.sum("c").over(Window.partitionBy("_dim", "_y")).cast("long").alias("ny"),
+        F.sum("c").over(Window.partitionBy("_dim")).cast("long").alias("nn"),
+    )
+    terms = en.select(
+        "_dim",
+        "nn",
+        (
+            F.col("c")
+            * F.round(
+                F.log(
+                    (F.col("c") * F.col("nn")).cast("double")
+                    / (F.col("nb") * F.col("ny")).cast("double")
+                )
+                * MICRO,
+                0,
+            ).cast("long")
+        ).alias("t"),
+    )
+    return terms.groupBy("_dim").agg(
+        F.round(
+            F.sum("t").cast("double")
+            / (F.max("nn") * F.lit(MICRO)).cast("double"),
+            6,
+        ).alias("mi"),
+    ).select(F.col("_dim").cast("int").alias("dim_id"), "mi")

@@ -255,6 +255,8 @@ EXTENDED_QUERIES = [
     "quality_classifier_train",
     "quality_classifier_select",
     "classifier_auc",
+    "feature_mi",
+    "epoch_shuffle_plan",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

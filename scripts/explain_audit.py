@@ -151,6 +151,8 @@ AUDIT = [
     "quality_classifier_train",
     "quality_classifier_select",
     "classifier_auc",
+    "feature_mi",
+    "epoch_shuffle_plan",
 ]
 
 

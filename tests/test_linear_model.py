@@ -206,3 +206,61 @@ def test_auc_hand_case():
     n = sum(b[1] for b in buckets)
     assert (num, p, n) == (17, 3, 3)
     assert num / (2 * p * n) == pytest.approx(17 / 18)
+
+
+def test_feature_mi_hand_cases(spark):
+    """MI ground truths on planted data: a dimension that equals the
+    label has MI = ln 2 (one bit); a constant dimension has MI = 0.
+    Balanced 4-row corpus, labels {0,0,1,1}, dim0 = +-0.5 tracking the
+    label, dim1 constant 0."""
+    from aqi_featurestore_spark.plans.model_curation import q_feature_mi
+    import math, os, tempfile
+
+    rows = [
+        (0, [-0.5, 0.0], 0),
+        (1, [-0.5, 0.0], 4),
+        (2, [0.5, 0.0], 5),
+        (3, [0.5, 0.0], 9),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["dim_id"]: r["mi"]
+            for r in q_feature_mi(spark, d).collect()
+        }
+    assert got[0] == pytest.approx(math.log(2), abs=2e-6)
+    assert got[1] == 0.0
+
+
+def test_epoch_shuffle_plan_contract(spark):
+    """Positions are contiguous 1..n within every (epoch, shard); every
+    doc appears exactly once per epoch; epochs genuinely reshuffle (the
+    per-epoch doc orderings differ); rerun is bit-stable."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["epoch_shuffle_plan"](spark, sf)
+    rows = df.collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    per_epoch = {}
+    by_shard = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], []).append(r["doc_id"])
+        by_shard.setdefault((r["epoch"], r["shard_id"]), []).append(r["pos"])
+    assert set(per_epoch) == {0, 1, 2}
+    for ep, docs in per_epoch.items():
+        assert len(docs) == n_docs == len(set(docs))
+    for key, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+    order = {
+        ep: [d for _, _, d in sorted(
+            (r["shard_id"], r["pos"], r["doc_id"]) for r in rows if r["epoch"] == ep
+        ) ]
+        for ep in (0, 1, 2)
+    }
+    # hash re-keying must actually permute the visit order across epochs
+    assert order[0] != order[1] != order[2]
+    rerun = {tuple(r) for r in QUERIES["epoch_shuffle_plan"](spark, sf).collect()}
+    assert rerun == {tuple(r) for r in rows}

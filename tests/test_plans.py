@@ -173,6 +173,8 @@ EXCHANGE_CEILING = {
     "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
     "quality_classifier_train": 1,  # the final-round gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
+    "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
+    "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
