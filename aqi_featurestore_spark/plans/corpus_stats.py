@@ -30,6 +30,7 @@ from aqi_featurestore_spark.functions.time_features import entity_key
 from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
 from aqi_featurestore_spark.operators.near_dedup import (
     minhash_dedup_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -1591,3 +1592,199 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _read(spark, sf_dir, "embeddings")
     pcs, mean = pca_fit(vecs, dim=_PCA_DIM, n_iter=_PCA_ITER, n_components=2)
     return pca_project(vecs, pcs, mean)
+
+
+_OVL_HASHES = 64
+
+
+def _domain_overlap_sql(num_hashes: int = _OVL_HASHES) -> str:
+    """Per-source MinHash signatures (the md5-affine family shared with
+    minhash_lsh_dedup) + pairwise signature agreement. min() over the
+    multiset equals min() over the set, so no shingle DISTINCT."""
+    fam = _ph.hash_family(num_hashes)
+    p = _ph.MERSENNE31
+    mins = ",\n         ".join(
+        f"min(({a} * hb + {b}) % {p}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return rf"""WITH tok AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+shp AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM tok),
+shh AS (
+  SELECT source, ({_ph.duck_hex_int('h', 1, 8)} % {p}) AS hb
+  FROM (SELECT source, md5(s) AS h FROM shp)),
+sig AS (
+  SELECT source,
+         {mins}
+  FROM shh GROUP BY source)
+SELECT s1.source AS source_a, s2.source AS source_b,
+       CAST(({agree}) AS BIGINT) AS agree,
+       round(CAST(({agree}) AS DOUBLE) / {num_hashes}, 6) AS jaccard_est
+FROM sig s1 JOIN sig s2 ON s1.source < s2.source"""
+
+
+@_q("domain_minhash_overlap", _domain_overlap_sql())
+def q_domain_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set overlap matrix between sources: one MinHash
+    signature per SOURCE (64 md5-affine permutation mins over every
+    3-word shingle of every doc in the source — the same portable family
+    as `minhash_lsh_dedup`), then signature agreement between every
+    source pair estimates their content Jaccard. The cross-domain
+    contamination / redundancy audit a mixture planner wants before
+    weighting domains (two mirrors of the same crawl should not both get
+    full budget).
+
+    Exactness: min() is duplicate-insensitive, so the signature needs no
+    shingle dedup and agrees bit-for-bit with the oracle's multiset min;
+    agreement counts are integers, one int division at the end.
+
+    100 TB shape: shingles explode map-side and collapse straight into
+    the 64-way min aggregate keyed by source (partial mins merge
+    map-side — the shuffle carries n_sources x 64 longs, not shingles).
+    The pair join is a broadcast non-equi self-join of the n_sources-row
+    signature table — bounded by the domain count, never the corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, id_col="source", num_hashes=_OVL_HASHES, scheme="md5"
+    )
+    a = sigs.select(F.col("source").alias("source_a"), F.col("sig").alias("_sa"))
+    b = sigs.select(F.col("source").alias("source_b"), F.col("sig").alias("_sb"))
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b"), "inner"
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "_sa", "_sb", lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        agree.alias("agree"),
+        F.round(agree.cast("double") / _OVL_HASHES, 6).alias("jaccard_est"),
+    )
+
+
+_LM_NLL_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+tokp AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS token
+  FROM arr),
+vx AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tokp),
+bg AS (
+  SELECT t1.doc_id, t1.token AS t1, t2.token AS t2
+  FROM tokp t1 JOIN tokp t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+c12 AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY t1, t2),
+c1 AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY t1),
+nt AS (
+  SELECT c.t1, c.t2,
+         CAST(round(ln(CAST(u.c1 + vx.v AS DOUBLE)
+                       / CAST(c.c12 + 1 AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS nll
+  FROM c12 c JOIN c1 u ON c.t1 = u.t1, vx),
+per AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+         CAST(SUM(n.nll) AS BIGINT) AS nll_micro
+  FROM bg b JOIN nt n ON b.t1 = n.t1 AND b.t2 = n.t2
+  GROUP BY b.doc_id)
+SELECT doc_id, n_trans, nll_micro,
+       round(CAST(nll_micro AS DOUBLE) / CAST(n_trans * 1000000 AS DOUBLE),
+             6) AS avg_nll
+FROM per"""
+
+
+@_q("lm_perplexity_score", _LM_NLL_SQL)
+def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under a Laplace-smoothed
+    bigram LM trained on the corpus itself — the CCNet-style perplexity
+    quality filter (Wenzek et al. 2020 train KenLM on Wikipedia and
+    bucket CommonCrawl by doc perplexity; here the LM is the in-engine
+    add-one bigram model so the whole pipeline stays one system).
+    P(t2|t1) = (c(t1,t2) + 1) / (c(t1,*) + V); per-transition NLL
+    ln((c1 + V) / (c12 + 1)) lands in integer micro-nats (single ln of
+    one IEEE-exact int/int division, the DSIR discipline), so per-doc
+    sums are order-free exact BIGINTs; avg_nll is ONE final division.
+    Low avg_nll = familiar prose, high = garbled/outlier text.
+
+    100 TB shape: bigram occurrences explode once from the token-array
+    zip (no positional self-join — that's the oracle's shape) and
+    collapse map-side into the bigram-TYPE count table; c(t1,*) derives
+    from the type table, never re-reading occurrences; V is a 1-row
+    distinct-count scalar (broadcast). Scoring joins occurrences to
+    types on the bigram key — the bigram_familiarity equi-join, AQE
+    splits stop-word-pair skew — then one per-doc hash aggregate.
+    Token arrays and doc bodies never shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(a, 1, size(a) - 1)"),
+        F.expr("slice(a, 2, size(a) - 1)"),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    arr = docs.select(F.col("doc_id"), toks.alias("a"))
+    bg = (
+        arr.where(F.size("a") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+    )
+    vx = arr.select(F.explode("a").alias("token")).agg(
+        F.countDistinct("token").cast("long").alias("v")
+    )
+    c12 = bg.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = c12.groupBy("t1").agg(F.sum("c12").cast("long").alias("c1"))
+    nt = (
+        c12.join(c1, "t1")
+        .crossJoin(F.broadcast(vx))
+        .select(
+            "t1",
+            "t2",
+            F.round(
+                F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    per = (
+        bg.join(nt, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trans"),
+            F.sum("nll").cast("long").alias("nll_micro"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_trans",
+        "nll_micro",
+        F.round(
+            F.col("nll_micro").cast("double")
+            / (F.col("n_trans") * F.lit(1_000_000)).cast("double"),
+            6,
+        ).alias("avg_nll"),
+    )

@@ -289,6 +289,87 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAL_BINS = 10
+_CAL_W = MICRO // _CAL_BINS
+
+
+_CALIBRATION_SQL = f"""
+WITH {_fit_ctes()},
+{_scored_sql()},
+bk AS (
+  SELECT least({floordiv_sql("s", _CAL_W)}, {_CAL_BINS - 1}) AS bucket, y, s
+  FROM sc),
+bc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(y) AS BIGINT) AS sy
+  FROM bk GROUP BY bucket)
+SELECT CAST(bucket AS INT) AS bucket_id, n,
+       round(CAST(ss AS DOUBLE) / CAST(n * {MICRO} AS DOUBLE), 6) AS mean_pred,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       round(CAST(abs(sy * {MICRO} - ss) AS DOUBLE)
+             / CAST(n * {MICRO} AS DOUBLE), 6) AS gap
+FROM bc"""
+
+
+@_q("classifier_calibration", _CALIBRATION_SQL)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the trained quality scorer: hard-sigmoid
+    scores bucket at fixed width 0.1 over [0, 1] (10 bins, s = 1.0
+    clamps into the top bin); per bucket the mean predicted probability
+    vs the empirical positive rate plus their absolute gap — the
+    calibration audit behind any fixed-threshold selection cut (a
+    miscalibrated scorer makes `quality_classifier_select`'s margin>0
+    boundary mean something other than p>0.5). ECE is the n-weighted
+    mean of `gap`.
+
+    Exactness: scores and labels sum as exact BIGINT micro-units; every
+    output is ONE int/int division (IEEE-exact both engines) rounded at
+    6. The gap numerator |sy*1e6 - ss| stays in integer space, so gap
+    is exact, not a difference of two rounded doubles.
+
+    100 TB shape: the fit collapses at build (bounded per-round 1-row
+    aggregates); the returned plan is a zero-shuffle score map feeding
+    ONE map-combined aggregate to <= 10 bucket rows."""
+    e = _read(spark, sf_dir, "embeddings")
+    w, b, _n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS, lr_num=_LR_NUM
+    )
+    vc = e.select(micro_vec("embedding").alias("_v"), _label_col().alias("_y"))
+    staged = vc.select(
+        "_y", hard_sigmoid_micro(margin_col(F.col("_v"), w, b)).alias("_s")
+    )
+    bc = (
+        staged.select(
+            F.least(
+                floordiv_col(F.col("_s"), _CAL_W), F.lit(_CAL_BINS - 1).cast("long")
+            ).alias("bucket"),
+            "_y",
+            "_s",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_s").cast("long").alias("ss"),
+            F.sum("_y").cast("long").alias("sy"),
+        )
+    )
+    return bc.select(
+        F.col("bucket").cast("int").alias("bucket_id"),
+        "n",
+        F.round(
+            F.col("ss").cast("double") / (F.col("n") * MICRO).cast("double"), 6
+        ).alias("mean_pred"),
+        F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.abs(F.col("sy") * MICRO - F.col("ss")).cast("double")
+            / (F.col("n") * MICRO).cast("double"),
+            6,
+        ).alias("gap"),
+    )
+
+
 _MI_BINS = 8
 _MI_BIN_W = 250_000  # micro-units; bins cover [-1.0, 1.0)
 _MI_LO = 1_000_000

@@ -257,6 +257,9 @@ EXTENDED_QUERIES = [
     "classifier_auc",
     "feature_mi",
     "epoch_shuffle_plan",
+    "classifier_calibration",
+    "domain_minhash_overlap",
+    "lm_perplexity_score",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -153,6 +153,9 @@ AUDIT = [
     "classifier_auc",
     "feature_mi",
     "epoch_shuffle_plan",
+    "classifier_calibration",
+    "domain_minhash_overlap",
+    "lm_perplexity_score",
 ]
 
 

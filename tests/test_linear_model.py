@@ -264,3 +264,22 @@ def test_epoch_shuffle_plan_contract(spark):
     assert order[0] != order[1] != order[2]
     rerun = {tuple(r) for r in QUERIES["epoch_shuffle_plan"](spark, sf).collect()}
     assert rerun == {tuple(r) for r in rows}
+
+
+def test_classifier_calibration_invariants(spark):
+    """Reliability-curve contract at sf0.001: buckets in [0, 10), counts
+    cover the corpus, mean_pred stays inside its bucket's probability
+    range, and gap is exactly |pos_rate - mean_pred| (to rounding)."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["classifier_calibration"](spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["bucket_id"] < 10
+        lo, hi = r["bucket_id"] / 10, (r["bucket_id"] + 1) / 10
+        # top bucket includes s == 1.0 exactly
+        assert lo - 1e-6 <= r["mean_pred"] <= (hi + 1e-6 if r["bucket_id"] < 9 else 1.0)
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["gap"] == pytest.approx(abs(r["pos_rate"] - r["mean_pred"]), abs=3e-6)

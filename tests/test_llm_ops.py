@@ -764,3 +764,55 @@ def test_bpe_realistic_merge_count(spark):
     for src, (n_sym, n_words) in per_source.items():
         assert stats[src]["sum_symbols"] == n_sym
         assert stats[src]["n_words"] == n_words
+
+
+def test_domain_minhash_overlap_hand_case(spark, tmp_path):
+    """Identical shingle sets across two sources -> signature agreement
+    is exactly 64/64; a disjoint third source agrees only by chance."""
+    from aqi_featurestore_spark.plans.corpus_stats import q_domain_minhash_overlap
+
+    text_ab = "the quick brown fox jumps over the lazy dog tonight"
+    text_c = "entirely different words compose this other corpus sample here now"
+    rows = [
+        (1, text_ab, "en", "src_a", len(text_ab)),
+        (2, text_ab, "en", "src_b", len(text_ab)),
+        (3, text_c, "en", "src_c", len(text_c)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_domain_minhash_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got[("src_a", "src_b")]["agree"] == 64
+    assert got[("src_a", "src_b")]["jaccard_est"] == 1.0
+    assert got[("src_a", "src_c")]["jaccard_est"] < 0.5
+    assert got[("src_b", "src_c")]["jaccard_est"] < 0.5
+
+
+def test_lm_perplexity_hand_case(spark, tmp_path):
+    """Add-one bigram NLL on a corpus computable by hand:
+    V = 4 (a, b, c, solo); c(a,b) = 2, c(a,c) = 1, c(a,*) = 3.
+    NLL(a,b) = ln((3+4)/(2+1)) = ln(7/3); NLL(a,c) = ln((3+4)/(1+1)) =
+    ln(7/2). The 1-token doc contributes to V but emits no row."""
+    import math
+
+    from aqi_featurestore_spark.plans.corpus_stats import q_lm_perplexity_score
+
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "a b", "en", "s", 3),
+        (3, "a c", "en", "s", 3),
+        (4, "solo", "en", "s", 4),  # < 2 tokens -> no output row
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_lm_perplexity_score(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_trans"] == 1
+    assert got[1]["nll_micro"] == round(math.log(7 / 3) * 1_000_000)
+    assert got[3]["nll_micro"] == round(math.log(7 / 2) * 1_000_000)
+    assert got[1]["avg_nll"] == pytest.approx(math.log(7 / 3), abs=1e-6)
+    assert got[3]["avg_nll"] == pytest.approx(math.log(7 / 2), abs=1e-6)

@@ -86,6 +86,8 @@ BNLJ_OK = {
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
     "target_encoding",       # 1-row global-mean prior scalar
     "dsir_select_threshold",  # 1-row quantile-cut scalar onto the score stream
+    "domain_minhash_overlap",  # n_sources-row signature-table self-join
+    "lm_perplexity_score",   # 1-row vocab-size scalar onto bigram types
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
@@ -174,6 +176,9 @@ EXCHANGE_CEILING = {
     "quality_classifier_train": 1,  # the final-round gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
     "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
+    "classifier_calibration": 1,  # the 10-bucket score aggregate
+    "domain_minhash_overlap": 2,  # per-source signature agg x 2 join inputs
+    "lm_perplexity_score": 6,  # bigram types, c1 rollup, V scalar, score join
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
