@@ -118,20 +118,33 @@ def cosine_topk_bruteforce(
     k: int = 10,
     round_scores: int = 6,
     norm_col: str | None = None,
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """For each query vector, the k nearest corpus vectors by cosine
     (excluding self-matches by id). Scores are rounded *before* ranking so
     rank boundaries are stable across engines/summation orders; ties break
-    on corpus id. Output: (q_id, n_id, cos_sim, rk)."""
+    on corpus id. Output: (q_id, n_id, cos_sim, rk).
+
+    ``exclude_same`` names a column present on both frames; pairs whose
+    values match are dropped BEFORE ranking — the hard-negative-mining
+    contract (nearest items that are NOT the query's own class)."""
+    extra_q = [F.col(exclude_same).alias("_q_ex")] if exclude_same else []
+    extra_c = [F.col(exclude_same).alias("_n_ex")] if exclude_same else []
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), _norm_expr(vec_col, norm_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            _norm_expr(vec_col, norm_col).alias("q_vec"),
+            *extra_q,
         )
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), _norm_expr(vec_col, norm_col).alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        _norm_expr(vec_col, norm_col).alias("n_vec"),
+        *extra_c,
     )
     pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
+    if exclude_same:
+        pairs = pairs.where(F.col("_q_ex") != F.col("_n_ex"))
     # unbounded |Q| x |N| scan: fold dot (Arrow transfer dominates here)
     cos = _dot_fold(F.col("q_vec"), F.col("n_vec"))  # unit-normalized upstream
     scored = pairs.select(

@@ -1296,3 +1296,43 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "doc_id", "n_tokens", "n_types", "sum_clog2_micro", entropy
     )
+
+
+_HARD_NEG_SQL = f"""
+WITH {_SIM_NORM_CTE},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (
+  SELECT n.vec_id AS q_id, n.v AS q_vec, l.label AS q_lab
+  FROM norm n JOIN lab l ON n.vec_id = l.vec_id
+  WHERE n.vec_id % 50 = 0),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_SIM_NORM_DOT.format(a='q.q_vec', b='c.v')}, 6) AS cos_sim
+  FROM q CROSS JOIN norm c
+  JOIN lab cl ON c.vec_id = cl.vec_id
+  WHERE q.q_id <> c.vec_id AND q.q_lab <> cl.label)
+SELECT q_id, n_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rk
+  FROM pairs) t
+WHERE rk <= 5"""
+
+
+@_q("hard_negative_mining", _HARD_NEG_SQL)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    every 50th vector (the query sample), the 5 most cosine-similar
+    corpus vectors whose LABEL DIFFERS — near-misses of the wrong class,
+    the negatives that actually move an embedding model (random
+    negatives are trivially separable). Same rank-before-round and
+    id-tiebreak discipline as `similarity_topk_cosine`.
+
+    100 TB shape: this exact leg is the audit-cost baseline (broadcast
+    query sample vs a linear corpus scan — the `similarity_topk_cosine`
+    pattern); production mining swaps the scan for the IVFADC shortlist
+    (`similarity_topk_ivfpq` with a deeper k, then the same label
+    anti-filter on the candidate rows), which prices each query at
+    n_probe cells instead of the corpus."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(q, e, k=5, exclude_same="label")

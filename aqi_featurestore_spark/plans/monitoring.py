@@ -292,3 +292,80 @@ def q_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.when(F.col("x.n_violations") == 0, 1).otherwise(0).cast("int").alias("pass"),
     )
+
+
+_EMB_DRIFT_SQL = """
+WITH vc AS (
+  SELECT CAST(vec_id % 2 AS BIGINT) AS grp,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM embeddings),
+cells AS (
+  SELECT dim, grp, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT grp, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM vc) q
+  GROUP BY dim, grp),
+m AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN grp = 0 THEN s END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN grp = 0 THEN c END) * 1000000 AS DOUBLE) AS m_ref,
+         CAST(SUM(CASE WHEN grp = 1 THEN s END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN grp = 1 THEN c END) * 1000000 AS DOUBLE) AS m_cur
+  FROM cells GROUP BY dim)
+SELECT CAST(dim - 1 AS INT) AS dim_id,
+       round(m_ref, 6) AS mean_ref, round(m_cur, 6) AS mean_cur,
+       round(m_cur - m_ref, 6) AS shift
+FROM m"""
+
+
+@_q("embedding_drift", _EMB_DRIFT_SQL)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-dimension centroid of
+    the reference snapshot (even vec_id — the deterministic stand-in for
+    'last month's index build') vs the current one (odd vec_id), and the
+    per-dimension mean shift. The audit run before trusting a static ANN
+    index against a moving corpus: centroid shift is the cheapest signal
+    that the coarse quantizer's cells no longer fit the data
+    (`ann_index_stats` then shows WHERE the imbalance lands).
+
+    Exactness: per-cell sums are exact BIGINT micro-units; each mean is
+    ONE int/int division (IEEE-exact both engines); the shift subtracts
+    the two unrounded quotients before its own round, so it is the
+    rounding of the exact difference, not a difference of rounded
+    values.
+
+    100 TB shape: the dim-fold explodes map-side and combines straight
+    into dim x 2 sum/count cells — the only shuffled rows; no windows,
+    no joins, one bounded final aggregate."""
+    e = _read(spark, sf_dir, "embeddings")
+    vc = e.select(
+        (F.col("vec_id") % 2).cast("long").alias("grp"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+        ).alias("_v"),
+    )
+    cells = (
+        vc.select("grp", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("dim", "grp")
+        .agg(F.sum("x").cast("long").alias("s"), F.count("*").cast("long").alias("c"))
+    )
+    m = cells.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("grp") == 0, F.col("s"))).cast("double")
+            / (F.sum(F.when(F.col("grp") == 0, F.col("c"))) * F.lit(1_000_000)).cast(
+                "double"
+            )
+        ).alias("m_ref"),
+        (
+            F.sum(F.when(F.col("grp") == 1, F.col("s"))).cast("double")
+            / (F.sum(F.when(F.col("grp") == 1, F.col("c"))) * F.lit(1_000_000)).cast(
+                "double"
+            )
+        ).alias("m_cur"),
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim_id"),
+        F.round("m_ref", 6).alias("mean_ref"),
+        F.round("m_cur", 6).alias("mean_cur"),
+        F.round(F.col("m_cur") - F.col("m_ref"), 6).alias("shift"),
+    )

@@ -260,6 +260,8 @@ EXTENDED_QUERIES = [
     "classifier_calibration",
     "domain_minhash_overlap",
     "lm_perplexity_score",
+    "embedding_drift",
+    "hard_negative_mining",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

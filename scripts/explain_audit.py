@@ -156,6 +156,8 @@ AUDIT = [
     "classifier_calibration",
     "domain_minhash_overlap",
     "lm_perplexity_score",
+    "embedding_drift",
+    "hard_negative_mining",
 ]
 
 

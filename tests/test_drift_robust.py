@@ -113,3 +113,20 @@ def test_prefix_filter_equals_naive_exact_jaccard(spark):
         for r in jaccard_prefix_pairs(docs, k=3, threshold=0.2).collect()
     }
     assert naive == fast and len(fast) > 0
+
+
+def test_embedding_drift_hand_case(spark, tmp_path):
+    """Planted two-snapshot corpus: even ids (reference) at +0.5 on dim0,
+    odd ids (current) at -0.25 -> shift is exactly -0.75; dim1 constant
+    across snapshots -> shift 0."""
+    from aqi_featurestore_spark.plans.monitoring import q_embedding_drift
+
+    rows = [(i, [0.5 if i % 2 == 0 else -0.25, 0.125], i % 3) for i in range(8)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["dim_id"]: r for r in q_embedding_drift(spark, str(tmp_path)).collect()}
+    assert got[0]["mean_ref"] == 0.5
+    assert got[0]["mean_cur"] == -0.25
+    assert got[0]["shift"] == -0.75
+    assert got[1]["shift"] == 0.0 and got[1]["mean_ref"] == 0.125

@@ -816,3 +816,29 @@ def test_lm_perplexity_hand_case(spark, tmp_path):
     assert got[3]["nll_micro"] == round(math.log(7 / 2) * 1_000_000)
     assert got[1]["avg_nll"] == pytest.approx(math.log(7 / 3), abs=1e-6)
     assert got[3]["avg_nll"] == pytest.approx(math.log(7 / 2), abs=1e-6)
+
+
+def test_hard_negative_mining_label_filter(spark):
+    """Every mined negative has a label different from its query's, ranks
+    are dense 1..k, and scores are the exact cosine (agreement with the
+    unrestricted brute-force scores on shared pairs)."""
+    vecs = _vectors(spark, n=80, dim=16)  # label = vec_id % 3
+    q = vecs.where(F.col("vec_id") % 20 == 0)
+    out = cosine_topk_bruteforce(q, vecs, k=5, exclude_same="label").collect()
+    labels = {r["vec_id"]: r["label"] for r in vecs.collect()}
+    by_q = {}
+    for r in out:
+        assert labels[r["n_id"]] != labels[r["q_id"]]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        assert sorted(r["rk"] for r in rows) == [1, 2, 3, 4, 5]
+        scores = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert scores == sorted(scores, reverse=True)
+    unrestricted = {
+        (r["q_id"], r["n_id"]): r["cos_sim"]
+        for r in cosine_topk_bruteforce(q, vecs, k=20).collect()
+    }
+    for r in out:
+        key = (r["q_id"], r["n_id"])
+        if key in unrestricted:
+            assert r["cos_sim"] == unrestricted[key]

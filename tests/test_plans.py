@@ -55,6 +55,7 @@ ARROW_EVAL_OK = {
     "ann_index_stats",  # seeded coarse assign udf (one corpus pass)
     "ann_probe_sweep",  # brute ground-truth leg + probe udfs + re-rank dots
     "similarity_topk_lsh",
+    "hard_negative_mining",  # same normalized-dot Arrow batch as the cosine baseline
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -88,6 +89,7 @@ BNLJ_OK = {
     "dsir_select_threshold",  # 1-row quantile-cut scalar onto the score stream
     "domain_minhash_overlap",  # n_sources-row signature-table self-join
     "lm_perplexity_score",   # 1-row vocab-size scalar onto bigram types
+    "hard_negative_mining",  # exact brute-force baseline (audit cost)
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
@@ -179,6 +181,8 @@ EXCHANGE_CEILING = {
     "classifier_calibration": 1,  # the 10-bucket score aggregate
     "domain_minhash_overlap": 2,  # per-source signature agg x 2 join inputs
     "lm_perplexity_score": 6,  # bigram types, c1 rollup, V scalar, score join
+    "embedding_drift": 2,  # dim x 2 cell agg + 64-row mean rollup
+    "hard_negative_mining": 1,  # top-k window after the broadcast scan
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
