@@ -23,6 +23,7 @@ from aqi_featurestore_spark.functions.text import (
     lang_id,
     quality_features,
     token_count,
+    word_shingles,
 )
 from aqi_featurestore_spark.functions.time_features import entity_key
 from aqi_featurestore_spark.operators.dedup import append_if_absent, dedup_exact
@@ -1336,3 +1337,202 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_bruteforce(q, e, k=5, exclude_same="label")
+
+
+_WINNOW_W = 4  # winnowing window (guarantee threshold t = w + k - 1)
+_B31 = 1 << 31
+
+
+_WINNOW_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+shp AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM tok, unnest(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3),
+hh AS (
+  SELECT doc_id, pos,
+         (({_ph.duck_hex_int('h', 1, 8)}) % {_B31}) * {_B31}
+           + ({_B31} - 1 - pos) AS comb
+  FROM (SELECT doc_id, pos, md5(s) AS h FROM shp)),
+wins AS (
+  SELECT doc_id, pos,
+         min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+  FROM hh),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE pos <= maxpos - {_WINNOW_W - 1})
+SELECT doc_id,
+       CAST({_B31} - 1 - (fp % {_B31}) AS BIGINT) AS fp_pos,
+       CAST(fp // {_B31} AS BIGINT) AS fp_hash
+FROM sel"""
+
+
+@_q("winnowing_fingerprints", _WINNOW_SQL)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS scheme): hash every 3-word shingle, slide a window of
+    4 consecutive positions, keep each window's minimum hash with
+    rightmost-position tie-break, emit the distinct selected
+    (position, hash) pairs per doc. Guarantees any shared run of
+    >= w + k - 1 tokens yields at least one shared fingerprint — the
+    local-fingerprint primitive under partial-overlap / plagiarism
+    detection, where whole-doc MinHash dilutes short shared spans.
+
+    Exactness: selection compares the single BIGINT h31 * 2^31 +
+    (2^31-1-pos), so "min hash, rightmost tie" is ONE integer min —
+    no float, no multi-key window semantics to align across engines.
+
+    100 TB shape: shingles explode map-side; the sliding min is one
+    doc-partitioned window (each partition is one document — the spine
+    bound); the distinct collapses w-fold duplicates before anything
+    shuffles further. Fingerprints (2 ints/row) shuffle, never text.
+    Docs with fewer than w + 2 tokens emit nothing (no full window)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.posexplode(word_shingles("text", 3)).alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "s")
+    comb = (
+        (_ph.md5_int32("s") % _B31) * F.lit(_B31)
+        + (F.lit(_B31 - 1) - F.col("pos"))
+    ).alias("comb")
+    hh = sh.select("doc_id", "pos", comb)
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, _WINNOW_W - 1
+    )
+    w_doc = Window.partitionBy("doc_id")
+    wins = hh.select(
+        "doc_id",
+        "pos",
+        F.min("comb").over(w_min).alias("fp"),
+        F.max("pos").over(w_doc).alias("maxpos"),
+    )
+    sel = (
+        wins.where(F.col("pos") <= F.col("maxpos") - (_WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_B31 - 1) - F.col("fp") % _B31).cast("long").alias("fp_pos"),
+        # integer div — float `/` would round 2^62-scale values
+        F.expr(f"CAST(fp DIV {_B31} AS BIGINT)").alias("fp_hash"),
+    )
+
+
+_SPAN_RATE = 20  # 1-in-20 span starts x length-3 spans ~ 15% mask budget
+_SPAN_LEN = 3
+
+
+_SPAN_CORRUPT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS a
+        FROM documents)),
+st AS (
+  SELECT doc_id, pos,
+         CASE WHEN ({_ph.duck_hex_int('h', 1, 8)}) % {_SPAN_RATE} = 0
+              THEN 1 ELSE 0 END AS s
+  FROM (SELECT doc_id, pos,
+               md5(CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)) AS h
+        FROM tok)),
+cov AS (
+  SELECT doc_id, pos,
+         CASE WHEN s = 1
+              OR COALESCE(lag(s, 1) OVER w, 0) = 1
+              OR COALESCE(lag(s, 2) OVER w, 0) = 1
+              THEN 1 ELSE 0 END AS c
+  FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+runs AS (
+  SELECT doc_id, c,
+         CASE WHEN c = 1 AND COALESCE(lag(c, 1) OVER (
+                PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS r
+  FROM cov)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_masked,
+       CAST(SUM(r) AS BIGINT) AS n_spans,
+       round(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mask_ratio
+FROM runs GROUP BY doc_id"""
+
+
+@_q("span_corruption_plan", _SPAN_CORRUPT_SQL)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption masking plan (the T5/UL2 denoising
+    objective's data side): every token position whose
+    md5(doc_id|pos) lands 1-in-20 starts a length-3 mask span;
+    overlapping spans merge. Per doc: token count, masked-token count,
+    merged-span count, and the realized mask ratio (target ~15%).
+    Seeded and rerun-stable — two trainer jobs regenerate the identical
+    mask without storing it, the epoch_shuffle_plan discipline.
+
+    Exactness: coverage and run-starts are integer window flags; the
+    one division is the final ratio.
+
+    100 TB shape: positions explode map-side; both windows partition by
+    doc_id (the spine bound — each partition is one document), then one
+    hash aggregate per doc. Token strings never shuffle (positions
+    only)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokp = docs.select("doc_id", toks.alias("a")).select(
+        "doc_id", F.posexplode("a").alias("pos0", "_t")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"))
+    st = tokp.select(
+        "doc_id",
+        "pos",
+        (
+            _ph.md5_int32(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("pos").cast("string"),
+                )
+            )
+            % _SPAN_RATE
+            == 0
+        )
+        .cast("int")
+        .alias("s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = st.select(
+        "doc_id",
+        "pos",
+        F.when(
+            (F.col("s") == 1)
+            | (F.coalesce(F.lag("s", 1).over(w), F.lit(0)) == 1)
+            | (F.coalesce(F.lag("s", 2).over(w), F.lit(0)) == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+    )
+    runs = cov.select(
+        "doc_id",
+        "c",
+        F.when(
+            (F.col("c") == 1)
+            & (F.coalesce(F.lag("c", 1).over(w), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("r"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("c").cast("long").alias("n_masked"),
+        F.sum("r").cast("long").alias("n_spans"),
+        F.round(
+            F.sum("c").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mask_ratio"),
+    )

@@ -262,6 +262,8 @@ EXTENDED_QUERIES = [
     "lm_perplexity_score",
     "embedding_drift",
     "hard_negative_mining",
+    "winnowing_fingerprints",
+    "span_corruption_plan",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -158,6 +158,8 @@ AUDIT = [
     "lm_perplexity_score",
     "embedding_drift",
     "hard_negative_mining",
+    "winnowing_fingerprints",
+    "span_corruption_plan",
 ]
 
 

@@ -842,3 +842,55 @@ def test_hard_negative_mining_label_filter(spark):
         key = (r["q_id"], r["n_id"])
         if key in unrestricted:
             assert r["cos_sim"] == unrestricted[key]
+
+
+def test_winnowing_guarantee_and_tiebreak(spark, tmp_path):
+    """The winnowing guarantee on planted data: two docs sharing a long
+    token run share at least one fingerprint at identical hashes; a doc
+    with < w+2 tokens emits nothing; every window of 4 positions
+    contains at least one selected position (coverage property)."""
+    from aqi_featurestore_spark.plans.llm_text import q_winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro words here " + shared, "en", "s", 1),
+        (2, shared + " totally different tail words follow now", "en", "s", 1),
+        (3, "one two three four five", "en", "s", 1),  # 3 shingles < w
+        (4, "tiny doc", "en", "s", 1),  # no shingles
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_winnowing_fingerprints(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc
+    h1 = {r["fp_hash"] for r in by_doc[1]}
+    h2 = {r["fp_hash"] for r in by_doc[2]}
+    assert h1 & h2, "shared 10-token run must share a fingerprint"
+    # coverage: consecutive selected positions are at most w apart
+    for doc_id, rows_ in by_doc.items():
+        poss = sorted(r["fp_pos"] for r in rows_)
+        assert all(b - a <= 4 for a, b in zip(poss, poss[1:])), doc_id
+
+
+def test_span_corruption_plan_contract(spark):
+    """Masking plan invariants at sf0.001: ratio = n_masked/n_tokens,
+    spans never exceed masked tokens (consecutive starts chain into
+    one longer merged span, so there is no per-span upper bound),
+    corpus-level realized ratio lands near the 15% budget, rerun is
+    bit-stable."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["span_corruption_plan"](spark, sf).collect()
+    tot_t = sum(r["n_tokens"] for r in rows)
+    tot_m = sum(r["n_masked"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        assert r["n_spans"] <= r["n_masked"]
+        assert r["mask_ratio"] == pytest.approx(r["n_masked"] / r["n_tokens"], abs=1e-6)
+    assert 0.10 < tot_m / tot_t < 0.20  # 1/20 starts x ~3-token spans
+    rerun = {tuple(r) for r in QUERIES["span_corruption_plan"](spark, sf).collect()}
+    assert rerun == {tuple(r) for r in rows}

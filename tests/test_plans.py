@@ -183,6 +183,8 @@ EXCHANGE_CEILING = {
     "lm_perplexity_score": 6,  # bigram types, c1 rollup, V scalar, score join
     "embedding_drift": 2,  # dim x 2 cell agg + 64-row mean rollup
     "hard_negative_mining": 1,  # top-k window after the broadcast scan
+    "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
+    "span_corruption_plan": 1,  # doc-partitioned flag windows + per-doc agg
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
