@@ -983,3 +983,76 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("realized_share"),
     )
+
+
+_TEMP_MIX_SQL = r"""
+WITH dc AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+sq AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS s_micro
+  FROM dc),
+tot AS (
+  SELECT CAST(SUM(s_micro) AS BIGINT) AS tot_s,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot_n
+  FROM sq)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(t.tot_n AS DOUBLE), 6) AS p_raw,
+       round(CAST(s_micro AS DOUBLE) / CAST(t.tot_s AS DOUBLE), 6) AS p_temp,
+       round((CAST(s_micro AS DOUBLE) / CAST(t.tot_s AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(t.tot_n AS DOUBLE)), 6) AS boost
+FROM sq, tot t"""
+
+
+@_q("temperature_mixture", _TEMP_MIX_SQL)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled domain mixture at alpha = 0.5: sampling
+    probability p_d proportional to n_d^alpha instead of n_d — the
+    multilingual/multi-domain rebalancing of mBERT/XLM-R (method only),
+    which up-weights small domains (boost > 1) and down-weights the
+    head without the uniform mixture's total loss of size signal.
+    Output per source: raw token share, tempered share, and the boost
+    ratio the sampler applies.
+
+    Exactness: token counts are exact BIGINTs; sqrt is IEEE
+    correctly-rounded on both engines and lands in micro-units BIGINT
+    *before* the cross-domain sum (float sums over domains would be
+    order-sensitive; integer sums are not — the DSIR discipline). Each
+    share is one division of exact values; boost divides those two
+    identically-computed doubles, so every output bit agrees.
+
+    100 TB shape: ONE map-combined aggregate to n_sources rows, a 1-row
+    totals scalar broadcast back (BroadcastNestedLoopJoin on one row),
+    zero corpus re-reads — the mixture_token_budget planning shape."""
+    docs = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tok = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    )
+    dc = docs.groupBy("source").agg(
+        F.sum(n_tok).cast("long").alias("n_tokens")
+    )
+    sq = dc.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    tot = sq.agg(
+        F.sum("s_micro").cast("long").alias("tot_s"),
+        F.sum("n_tokens").cast("long").alias("tot_n"),
+    )
+    p_raw = F.col("n_tokens").cast("double") / F.col("tot_n").cast("double")
+    p_temp = F.col("s_micro").cast("double") / F.col("tot_s").cast("double")
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("boost"),
+    )

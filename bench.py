@@ -264,6 +264,7 @@ EXTENDED_QUERIES = [
     "hard_negative_mining",
     "winnowing_fingerprints",
     "span_corruption_plan",
+    "temperature_mixture",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -160,6 +160,7 @@ AUDIT = [
     "hard_negative_mining",
     "winnowing_fingerprints",
     "span_corruption_plan",
+    "temperature_mixture",
 ]
 
 

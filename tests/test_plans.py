@@ -90,6 +90,7 @@ BNLJ_OK = {
     "domain_minhash_overlap",  # n_sources-row signature-table self-join
     "lm_perplexity_score",   # 1-row vocab-size scalar onto bigram types
     "hard_negative_mining",  # exact brute-force baseline (audit cost)
+    "temperature_mixture",   # 1-row totals scalar onto n_sources rows
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
@@ -185,6 +186,7 @@ EXCHANGE_CEILING = {
     "hard_negative_mining": 1,  # top-k window after the broadcast scan
     "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
     "span_corruption_plan": 1,  # doc-partitioned flag windows + per-doc agg
+    "temperature_mixture": 3,  # source agg + totals scalar (both subtrees)
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,

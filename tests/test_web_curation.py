@@ -316,3 +316,18 @@ def test_mixture_token_budget_caps_scarce_domains(spark, monkeypatch):
     mine = q_mixture_token_budget(spark, "x").toPandas()
     assert sorted(mine.columns) == sorted(oracle.columns)
     assert canonical_rows(mine) == canonical_rows(oracle)
+
+
+def test_temperature_mixture_rebalances(spark):
+    """alpha=0.5 tempering: shares sum to ~1, the largest domain's share
+    shrinks (boost < 1), the smallest grows (boost > 1), and tempered
+    shares preserve the size ordering."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    rows = QUERIES["temperature_mixture"](spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r["p_temp"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_raw"] for r in rows) - 1.0) < 1e-4
+    by_n = sorted(rows, key=lambda r: r["n_tokens"])
+    assert by_n[0]["boost"] > 1.0 > by_n[-1]["boost"]
+    temps = [r["p_temp"] for r in by_n]
+    assert temps == sorted(temps)
