@@ -1536,3 +1536,58 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("double") / F.count("*").cast("double"), 6
         ).alias("mask_ratio"),
     )
+
+
+_FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words
+  FROM documents),
+ag AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM per GROUP BY lang)
+SELECT lang, n_docs, n_words, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
+FROM ag"""
+
+
+@_q("tokenizer_fertility", _FERTILITY_SQL)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens-per-whitespace-word under
+    the BPE-ish pattern — the standard multilingual-tokenizer equity
+    audit (a language whose fertility is 2x pays 2x the context budget
+    for the same content; the signal that drives vocab rebalancing, cf.
+    `vocab_coverage` for the vocab-size axis). Integer token and word
+    counts, one division per language row.
+
+    100 TB shape: both counts are row-local native expressions; ONE
+    map-combined aggregate to n_langs rows. Nothing but the tiny
+    aggregate shuffles."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_words = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    )
+    ag = d.select(
+        "lang",
+        token_count("text").cast("long").alias("n_tok"),
+        n_words.cast("long").alias("n_words"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    return ag.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+    )

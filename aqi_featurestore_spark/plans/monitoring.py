@@ -369,3 +369,73 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_cur", 6).alias("mean_cur"),
         F.round(F.col("m_cur") - F.col("m_ref"), 6).alias("shift"),
     )
+
+
+_K_ANON = 5
+
+
+_K_ANONYMITY_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM qi GROUP BY 1, 2, 3),
+hist AS (
+  SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(group_size * COUNT(*) AS BIGINT) AS n_rows
+  FROM grp GROUP BY group_size),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM hist)
+SELECT group_size, n_groups, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS row_share,
+       CAST(CASE WHEN group_size < {_K_ANON} THEN 1 ELSE 0 END AS INT)
+         AS under_k
+FROM hist, tot"""
+
+
+@_q("k_anonymity_audit", _K_ANONYMITY_SQL)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, account-balance kilobucket): the group-size
+    histogram with each size's row share and a k<5 re-identification
+    flag — the privacy gate before exporting joined training features
+    (a row in a group of 1 is identifiable from the QI alone; Sweeney's
+    k-anonymity, method only). Summing row_share over under_k rows gives
+    the at-risk fraction.
+
+    Exactness: group sizes and the histogram are exact BIGINTs; the
+    bucket floor is one deterministic double op; row_share is one
+    int/int division.
+
+    100 TB shape: two map-combined hash aggregates (rows -> QI groups ->
+    size histogram) plus a 1-row total broadcast; the histogram domain
+    is bounded by the max group size, not row count."""
+    c = _read(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").cast("long").alias("group_size"))
+    )
+    hist = grp.groupBy("group_size").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        (F.col("group_size") * F.count("*")).cast("long").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").cast("long").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "group_size",
+        "n_groups",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("t").cast("double"), 6).alias(
+            "row_share"
+        ),
+        F.when(F.col("group_size") < _K_ANON, 1).otherwise(0).cast("int").alias(
+            "under_k"
+        ),
+    )

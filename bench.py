@@ -265,6 +265,8 @@ EXTENDED_QUERIES = [
     "winnowing_fingerprints",
     "span_corruption_plan",
     "temperature_mixture",
+    "tokenizer_fertility",
+    "k_anonymity_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -161,6 +161,8 @@ AUDIT = [
     "winnowing_fingerprints",
     "span_corruption_plan",
     "temperature_mixture",
+    "tokenizer_fertility",
+    "k_anonymity_audit",
 ]
 
 

@@ -130,3 +130,26 @@ def test_embedding_drift_hand_case(spark, tmp_path):
     assert got[0]["mean_cur"] == -0.25
     assert got[0]["shift"] == -0.75
     assert got[1]["shift"] == 0.0 and got[1]["mean_ref"] == 0.125
+
+
+def test_k_anonymity_hand_case(spark, tmp_path):
+    """Planted QI groups: 3 identical rows (one group of 3), 1 singleton
+    -> histogram {3: 1 group, 1: 1 group}, singleton flagged under_k."""
+    from aqi_featurestore_spark.plans.monitoring import q_k_anonymity_audit
+
+    rows = [
+        (1, "a", 1, 1500.0, "AUTO"),
+        (2, "b", 1, 1600.0, "AUTO"),  # same (1, AUTO, bucket 1)
+        (3, "c", 1, 1700.0, "AUTO"),
+        (4, "d", 2, 9100.0, "HOUSE"),  # singleton
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r["group_size"]: r for r in q_k_anonymity_audit(spark, str(tmp_path)).collect()}
+    assert got[3]["n_groups"] == 1 and got[3]["n_rows"] == 3
+    assert got[1]["n_groups"] == 1 and got[1]["under_k"] == 1
+    assert got[3]["under_k"] == 1  # 3 < 5
+    assert got[1]["row_share"] == 0.25 and got[3]["row_share"] == 0.75

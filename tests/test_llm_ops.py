@@ -894,3 +894,21 @@ def test_span_corruption_plan_contract(spark):
     assert 0.10 < tot_m / tot_t < 0.20  # 1/20 starts x ~3-token spans
     rerun = {tuple(r) for r in QUERIES["span_corruption_plan"](spark, sf).collect()}
     assert rerun == {tuple(r) for r in rows}
+
+
+def test_tokenizer_fertility_hand_case(spark, tmp_path):
+    """Punctuation-heavy text has higher fertility: 'don't stop.' is 3
+    words but splits into 5 BPE-ish tokens (don / ' / t, stop / .)."""
+    from aqi_featurestore_spark.plans.llm_text import q_tokenizer_fertility
+
+    rows = [
+        (1, "plain words only here", "en", "s", 1),  # 4 words, 4 tokens
+        (2, "don't stop. now", "xx", "s", 1),  # 3 words, 6 tokens
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["lang"]: r for r in q_tokenizer_fertility(spark, str(tmp_path)).collect()}
+    assert got["en"]["fertility"] == 1.0
+    assert got["xx"]["n_words"] == 3 and got["xx"]["n_tokens"] == 6
+    assert got["xx"]["fertility"] == 2.0

@@ -91,6 +91,7 @@ BNLJ_OK = {
     "lm_perplexity_score",   # 1-row vocab-size scalar onto bigram types
     "hard_negative_mining",  # exact brute-force baseline (audit cost)
     "temperature_mixture",   # 1-row totals scalar onto n_sources rows
+    "k_anonymity_audit",     # 1-row total-rows scalar onto the size histogram
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
@@ -187,6 +188,8 @@ EXCHANGE_CEILING = {
     "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
     "span_corruption_plan": 1,  # doc-partitioned flag windows + per-doc agg
     "temperature_mixture": 3,  # source agg + totals scalar (both subtrees)
+    "tokenizer_fertility": 1,  # one per-lang aggregate
+    "k_anonymity_audit": 5,  # QI groups -> size histogram + totals scalar
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
