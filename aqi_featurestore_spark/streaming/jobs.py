@@ -449,3 +449,53 @@ def run_ann_lookup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_quality_filter_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    w_micro: list[int],
+    b_micro: int,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming model-based corpus selection: score each arriving
+    vector with the TRAINED quality classifier (literal micro-unit
+    weights — the output of `hardlogit_fit` / the
+    `quality_classifier_train` registry query) and append only the
+    predicted-positive rows. The streaming half of
+    `quality_classifier_select`: scoring is a row-local exact-int fold
+    against broadcast literals, so it composes onto a stream unchanged
+    — append mode, stateless, no watermark, exactly-once from the
+    parquet sink + checkpointed offsets.
+
+    100 TB shape: identical to the batch plan — zero-exchange
+    map-and-filter per micro-batch; refresh the model by restarting
+    the query with new literals (weights are plan constants, the
+    ann_index_serve snapshot discipline)."""
+    from aqi_featurestore_spark.operators.linear_model import (
+        MICRO,
+        hard_sigmoid_micro,
+        margin_col,
+        micro_vec,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    scored = stream.select(
+        "vec_id",
+        margin_col(micro_vec("embedding"), w_micro, b_micro).alias("margin_p12"),
+    )
+    kept = scored.where(F.col("margin_p12") > 0).select(
+        "vec_id",
+        F.col("margin_p12").cast("long").alias("margin_p12"),
+        hard_sigmoid_micro(F.col("margin_p12")).cast("long").alias("quality_micro"),
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

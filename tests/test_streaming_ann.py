@@ -55,3 +55,47 @@ def test_stream_lookup_equals_batch(spark, emb, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_quality_filter_stream_equals_batch(spark, emb, tmp_path):
+    """Streaming classifier selection == the batch select on the same
+    rows: train once, stream the corpus through the filter in 2+
+    micro-batches, compare against the batch margin>0 plan."""
+    from aqi_featurestore_spark.operators.linear_model import (
+        hard_sigmoid_micro,
+        hardlogit_fit,
+        margin_col,
+        micro_vec,
+    )
+    from aqi_featurestore_spark.streaming.jobs import run_quality_filter_stream
+
+    w, b, _n = hardlogit_fit(
+        emb, label_col=(F.col("label") >= 5).cast("long"), dim=64, iters=3, lr_num=8
+    )
+    src = str(tmp_path / "vstream")
+    emb.select("vec_id", "embedding").repartition(2).write.parquet(src)
+    out = str(tmp_path / "kept")
+    q = run_quality_filter_stream(
+        spark,
+        src,
+        "vec_id long, embedding array<float>",
+        [int(x) for x in w],
+        int(b),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = (
+        emb.select(
+            "vec_id", margin_col(micro_vec("embedding"), w, b).alias("m")
+        )
+        .where(F.col("m") > 0)
+        .select(
+            "vec_id",
+            F.col("m").cast("long").alias("margin_p12"),
+            hard_sigmoid_micro(F.col("m")).cast("long").alias("quality_micro"),
+        )
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
