@@ -1020,3 +1020,81 @@ def cosine_topk_ivfpq(
         k=k,
         round_scores=round_scores,
     )
+
+
+def pq_reconstruction_stats(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    books: list | None = None,
+) -> DataFrame:
+    """Per-subspace PQ reconstruction error — the standard quantizer
+    QA metric alongside recall (`ann_recall_methods`) and cell balance
+    (`ann_index_stats`): average squared distance between each row's
+    normalized micro subvector and its NEAREST codeword, i.e. the
+    distortion the ADC scan scores through. A subspace whose error is
+    an outlier is the one to give more codes.
+
+    Exactness: each row's min over the n_codes double distances is
+    order-free (same candidate set both engines -> same min); the min
+    rounds to an integer and accumulates in TWO int64 limbs (hi = e div
+    1e8, lo = e mod 1e8 — the q1 sum_charge discipline, exact to ~9e10
+    rows/subspace), and the average reconstructs with the identical
+    two-rounding double expression on both engines.
+
+    100 TB shape: the fit collects only n_subspaces x n_codes x subdim
+    centroids; the error pass is a zero-join projection (distances to
+    broadcast literal codewords) into one bounded aggregate of
+    n_subspaces rows."""
+    from aqi_featurestore_spark.operators import clustering as _cl
+
+    if books is None:
+        books = _pq_fit_books(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            iters=iters,
+            dim=dim,
+        )
+    subdim = dim // n_subspaces
+    sub = _pq_sub_frame(corpus, [F.col(id_col)], vec_col, n_subspaces, subdim)
+    limb = 100_000_000
+    err_cols = [
+        F.round(
+            F.array_min(
+                F.transform(
+                    _cl.kmeans_dist_structs(F.col(f"_sub{s}"), books[s]),
+                    lambda st: st["d"],
+                )
+            ),
+            0,
+        )
+        .cast("long")
+        .alias(f"e{s}")
+        for s in range(n_subspaces)
+    ]
+    errs = sub.select(F.posexplode(F.array(*err_cols)).alias("subspace_id", "e"))
+    ag = errs.groupBy("subspace_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(f"e DIV {limb}")).cast("long").alias("hi"),
+        F.sum(F.col("e") % limb).cast("long").alias("lo"),
+    )
+    return ag.select(
+        F.col("subspace_id").cast("int").alias("subspace_id"),
+        "n_rows",
+        F.round(
+            (
+                F.col("hi").cast("double") * F.lit(float(limb))
+                + F.col("lo").cast("double")
+            )
+            / (F.col("n_rows").cast("double") * F.lit(1_000_000_000_000.0)),
+            6,
+        ).alias("avg_sq_err"),
+    )

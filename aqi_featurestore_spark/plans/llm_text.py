@@ -40,6 +40,7 @@ from aqi_featurestore_spark.operators.multimodal import (
 )
 from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    pq_reconstruction_stats,
     cosine_topk_ivf,
     cosine_topk_ivfpq,
     cosine_topk_lsh,
@@ -1591,3 +1592,61 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6
         ).alias("fertility"),
     )
+
+
+def _pq_recon_sql(
+    n_subspaces: int = 4, n_codes: int = 16, iters: int = 1, dim: int = 64
+) -> str:
+    """Oracle: reuse the PQ fit CTE chain (codebooks bit-identical to
+    the Spark fit), then per subspace the per-row MIN codeword distance
+    rounded to BIGINT and limb-summed (hi = e div 1e8, lo = e mod 1e8 —
+    the q1 discipline)."""
+    subdim = dim // n_subspaces
+    parts = approx_oracles._pq_fit_code_ctes(
+        n_subspaces=n_subspaces, n_codes=n_codes, iters=iters, dim=dim
+    )
+    dist = (
+        f"list_reduce(list_transform(range(1, {subdim + 1}), "
+        "i -> (CAST(vc.v[i] AS DOUBLE) - c.carr[i]) * "
+        "(CAST(vc.v[i] AS DOUBLE) - c.carr[i])), (x, y) -> x + y)"
+    )
+    limb = 100_000_000
+    err_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT {s} AS subspace_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(e // {limb}) AS BIGINT) AS hi,
+         CAST(SUM(e % {limb}) AS BIGINT) AS lo
+  FROM (SELECT CAST(round(MIN({dist}), 0) AS BIGINT) AS e
+        FROM p{s}_vc vc CROSS JOIN p{s}_c{iters} c GROUP BY vc.vec_id) q{s}"""
+        for s in range(n_subspaces)
+    )
+    return f"""
+WITH {','.join(parts)},
+recon AS (
+{err_selects})
+SELECT CAST(subspace_id AS INT) AS subspace_id, n_rows,
+       round((CAST(hi AS DOUBLE) * {float(limb)} + CAST(lo AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) * 1000000000000.0), 6) AS avg_sq_err
+FROM recon"""
+
+
+@_q("pq_reconstruction_error", _pq_recon_sql())
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantizer distortion audit: per subspace, the average squared
+    distance between each row's normalized micro subvector and its
+    nearest codeword — the reconstruction error the ADC scan scores
+    through. Completes the serving-index QA set: recall
+    (`ann_recall_methods`), probe tuning (`ann_probe_sweep`), cell
+    balance (`ann_index_stats`), distortion (here). A subspace with
+    outlier error is the one to give more codes; error ~0 means the
+    codebook memorized the corpus (overfit k).
+
+    Shares the exact fit/encode machinery (and its staged-projection
+    perf fix) with `similarity_topk_pq`; the oracle unrolls the same
+    Lloyd rounds, so every codeword and every min distance agrees
+    bit-for-bit. Error accumulation is two-limb exact-int (operator
+    docstring, operators/similarity.py pq_reconstruction_stats).
+
+    100 TB shape: zero-join error pass against broadcast literal
+    codewords into one n_subspaces-row aggregate."""
+    e = _read(spark, sf_dir, "embeddings")
+    return pq_reconstruction_stats(e)

@@ -267,6 +267,7 @@ EXTENDED_QUERIES = [
     "temperature_mixture",
     "tokenizer_fertility",
     "k_anonymity_audit",
+    "pq_reconstruction_error",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -318,6 +319,8 @@ ITERATIVE_CONSTRUCTION = {
     "quality_classifier_train",  # 5 GD rounds (1-row gradient aggs) at build time
     "quality_classifier_select",  # full 6-round GD fit at build time
     "classifier_auc",  # same 6-round GD fit at build time
+    "classifier_calibration",  # same 6-round GD fit at build time
+    "pq_reconstruction_error",  # 4 per-subspace codebook fits at build time
 }
 
 

@@ -163,6 +163,7 @@ AUDIT = [
     "temperature_mixture",
     "tokenizer_fertility",
     "k_anonymity_audit",
+    "pq_reconstruction_error",
 ]
 
 

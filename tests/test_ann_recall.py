@@ -53,3 +53,38 @@ def test_ivfpq_kmeans_coarse_path(spark):
     hits = got.select("q_id", "n_id").intersect(exact).count()
     n_q = len(counts)
     assert hits / (10 * n_q) >= 0.3  # same band as the seeded variant
+
+
+def test_pq_reconstruction_memorization_and_noise(spark):
+    """A 16-distinct-vector corpus with a 16-code book memorizes exactly
+    (every subspace error == 0.0 — each distinct row seeds its own
+    codeword); adding per-row noise makes every subspace error > 0.
+    n_rows covers the corpus in both cases."""
+    import math
+
+    from aqi_featurestore_spark.operators.similarity import pq_reconstruction_stats
+
+    base = [
+        (i, [math.sin(0.37 * i + 0.11 * j) for j in range(64)], 0)
+        for i in range(16)
+    ]
+    clean = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["subspace_id"]: r for r in pq_reconstruction_stats(clean).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for r in got.values():
+        assert r["n_rows"] == 16
+        assert r["avg_sq_err"] == 0.0
+    noisy = spark.createDataFrame(
+        [
+            (i, [v + 0.01 * math.cos(1.7 * i * (j + 1)) for j, v in enumerate(vec)], 0)
+            for k in range(4)
+            for i, vec, _ in [(r[0] + 16 * k, r[1], 0) for r in base]
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got_n = {r["subspace_id"]: r for r in pq_reconstruction_stats(noisy).collect()}
+    for r in got_n.values():
+        assert r["n_rows"] == 64
+        assert r["avg_sq_err"] > 0.0

@@ -190,6 +190,7 @@ EXCHANGE_CEILING = {
     "temperature_mixture": 3,  # source agg + totals scalar (both subtrees)
     "tokenizer_fertility": 1,  # one per-lang aggregate
     "k_anonymity_audit": 5,  # QI groups -> size histogram + totals scalar
+    "pq_reconstruction_error": 1,  # n_subspaces-row error aggregate (fit at build)
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
