@@ -120,11 +120,24 @@ def quality_features(text: Column | str) -> dict[str, Column]:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles of the lowercased, whitespace-split text; empty
-    array when the document has fewer than k tokens."""
+    array when the document has fewer than k tokens.
+
+    Built as a zip_with fold over k shifted slices — NOT a transform
+    whose lambda indexes the token array: interpreted higher-order
+    functions do no common-subexpression sharing, so ``element_at(
+    split(...), i)`` inside the lambda re-ran the whole split per
+    element per reference (O(k·T) splits of an O(T) array = O(T²) per
+    doc — the PQ staged-normalize lesson). Slices evaluate the split
+    once per ROW; the concat fold is O(k) per shingle. Same strings,
+    same order, measured ~9x faster on the sf1 winnowing probe."""
     tokens = F.split(F.lower(F.trim(_c(text))), r"\s+")
     n = F.size(tokens)
-    idx = F.sequence(F.lit(0), n - k)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(k)])  # noqa: E731
-    return F.when(n >= k, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = n - (k - 1)
+    sh = F.slice(tokens, 1, cnt)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(tokens, j + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))

@@ -916,6 +916,8 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the same key (AQE splits the boilerplate-bigram skew);
     per-doc reduction is a hash aggregate. Token arrays never shuffle."""
     docs = _read(spark, sf_dir, "documents")
+    # spread before the bigram explode (see lm_perplexity_score note)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
@@ -1654,8 +1656,11 @@ def q_domain_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair join is a broadcast non-equi self-join of the n_sources-row
     signature table — bounded by the domain count, never the corpus."""
     docs = _read(spark, sf_dir, "documents")
+    # spread before the shingle explode + 64-hash signature work (the
+    # near_dedup._spread pattern); the min-aggregate absorbs it map-side
     sigs = minhash_signatures(
-        docs, id_col="source", num_hashes=_OVL_HASHES, scheme="md5"
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        id_col="source", num_hashes=_OVL_HASHES, scheme="md5"
     )
     a = sigs.select(F.col("source").alias("source_a"), F.col("sig").alias("_sa"))
     b = sigs.select(F.col("source").alias("source_b"), F.col("sig").alias("_sb"))
@@ -1733,6 +1738,10 @@ def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits stop-word-pair skew — then one per-doc hash aggregate.
     Token arrays and doc bodies never shuffle."""
     docs = _read(spark, sf_dir, "documents")
+    # spread the narrow scan before the bigram explode (the
+    # near_dedup._spread pattern — a single-file scan would tokenize
+    # serially); the round-robin moves only (doc_id, text) rows
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )

@@ -1395,7 +1395,12 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles further. Fingerprints (2 ints/row) shuffle, never text.
     Docs with fewer than w + 2 tokens emit nothing (no full window)."""
     docs = _read(spark, sf_dir, "documents")
-    sh = docs.select(
+    # spread BEFORE the shingle explode (the near_dedup._spread pattern:
+    # a small single-file scan arrives as 1-2 partitions and would run
+    # the expensive per-row work serially); hashing by doc_id makes this
+    # the SAME exchange the sliding-min window needs, so plan cost is
+    # unchanged while the explode runs at full parallelism.
+    sh = docs.repartition("doc_id").select(
         "doc_id", F.posexplode(word_shingles("text", 3)).alias("pos0", "s")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "s")
     comb = (
@@ -1485,7 +1490,10 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
-    tokp = docs.select("doc_id", toks.alias("a")).select(
+    # doc_id repartition = the flag windows' own requirement, pulled
+    # ahead of the token explode so tokenization runs wide (see
+    # winnowing_fingerprints note)
+    tokp = docs.repartition("doc_id").select("doc_id", toks.alias("a")).select(
         "doc_id", F.posexplode("a").alias("pos0", "_t")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"))
     st = tokp.select(

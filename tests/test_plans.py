@@ -114,7 +114,7 @@ EXCHANGE_CEILING = {
     "ab_test_zscore": 3, "ann_recall": 6,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
-    "bigram_familiarity": 3, "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
+    "bigram_familiarity": 5,  # +2 static: spread exchange planned per bg reference (runtime-reused) "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
     "nearest_station_join": 2,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
@@ -181,8 +181,11 @@ EXCHANGE_CEILING = {
     "quality_classifier_select": 0,  # zero-exchange scoring filter
     "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
     "classifier_calibration": 1,  # the 10-bucket score aggregate
-    "domain_minhash_overlap": 2,  # per-source signature agg x 2 join inputs
-    "lm_perplexity_score": 6,  # bigram types, c1 rollup, V scalar, score join
+    "domain_minhash_overlap": 4,  # per-source signature agg x 2 join inputs
+    #   (+2 static: spread exchange per reference, runtime-reused)
+    "lm_perplexity_score": 10,  # bigram types, c1 rollup, V scalar, score join
+    #   (+4 static: the pre-explode spread exchange is planned once per
+    #   docs reference; runtime ReuseExchange collapses them)
     "embedding_drift": 2,  # dim x 2 cell agg + 64-row mean rollup
     "hard_negative_mining": 1,  # top-k window after the broadcast scan
     "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
