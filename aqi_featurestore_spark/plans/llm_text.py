@@ -729,6 +729,13 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap staged projections. Recall rises monotonically with
     n_probe by construction (probe sets nest); the MEASURED curve
     shows where it saturates."""
+    from dataclasses import replace
+
+    from aqi_featurestore_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     exact_tk = (
@@ -736,14 +743,20 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id")
         .localCheckpoint()
     )
-    books = pq_fit_books(
-        e, id_col="vec_id", vec_col="embedding",
-        n_subspaces=4, n_codes=16, iters=1, dim=64,
+    # ONE index build (coarse fit + PQ fit + corpus encode), checkpointed;
+    # each leg is then a pure lookup with its own n_probe — the corpus is
+    # encoded once instead of once per leg (ann_index_topk is hash-proven
+    # bit-identical to cosine_topk_ivfpq at equal params by the
+    # ann_index_serve oracle, so the sweep's oracle is unchanged).
+    index, model = build_ann_index(
+        e, n_lists=16, n_probe=_SWEEP_PROBES[0], n_subspaces=4, n_codes=16
     )
+    index = index.localCheckpoint()
     counted = []
     for p in _SWEEP_PROBES:
-        leg = cosine_topk_ivfpq(
-            q, e, k=10, n_lists=16, n_probe=p, coarse="seeded", books=books
+        leg = ann_index_topk(
+            index, q, replace(model, n_probe=p), k=10, rescore=50,
+            rerank_vectors=e,
         )
         counted.append(
             exact_tk.join(

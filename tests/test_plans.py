@@ -175,7 +175,7 @@ EXCHANGE_CEILING = {
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
     "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
-    "ann_probe_sweep": 22,  # 4 sweep legs x (ADC rank + re-rank + hits agg) + exact leg
+    "ann_probe_sweep": 22,  # 4 lookups vs ONE checkpointed index + exact leg
     "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
     "quality_classifier_train": 1,  # the final-round gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
