@@ -469,3 +469,119 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi"),
     ).select(F.col("_dim").cast("int").alias("dim_id"), "mi")
+
+
+_PPL_CUT_NUM = 34_000_000  # keep iff nll_micro * 10 <= n_trans * 34e6 (3.4 nats)
+_FUNNEL2_STAGES = ["raw", "gopher", "gopher+ppl", "gopher+ppl+clf"]
+
+
+def _funnel2_sql() -> str:
+    from aqi_featurestore_spark.plans.corpus_stats import _LM_NLL_SQL
+    from aqi_featurestore_spark.plans.web_curation import _GOPHER_SQL
+
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+lmq AS ({_LM_NLL_SQL}),
+{_fit_ctes()},
+{_scored_sql()},
+j AS (
+  SELECT g.doc_id, g.keep AS kg,
+         COALESCE(CASE WHEN l.nll_micro * 10 <= l.n_trans * {_PPL_CUT_NUM}
+                       THEN 1 ELSE 0 END, 0) AS kp,
+         CASE WHEN sc.m > 0 THEN 1 ELSE 0 END AS kc
+  FROM g LEFT JOIN lmq l USING (doc_id)
+  JOIN sc ON sc.vec_id = g.doc_id),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS raw,
+         CAST(SUM(kg) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN kg = 1 AND kp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN kg = 1 AND kp = 1 AND kc = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s3
+  FROM j)
+SELECT r.stage_id, r.stage, r.n_docs
+FROM m, LATERAL (VALUES
+  (0, 'raw', m.raw),
+  (1, 'gopher', m.s1),
+  (2, 'gopher+ppl', m.s2),
+  (3, 'gopher+ppl+clf', m.s3)) AS r(stage_id, stage, n_docs)"""
+
+
+@_q("curation_funnel_v2", _funnel2_sql())
+def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation pipeline as ONE declarative plan: Gopher
+    quality rules, then the corpus-LM perplexity cut (keep iff
+    avg NLL <= 3.4 nats, evaluated as the EXACT integer predicate
+    nll_micro * 10 <= n_trans * 34e6 — no float compare), then the
+    trained quality-classifier margin on each doc's embedding — the
+    rule-based -> statistical -> model-based filtering ladder real
+    corpora run (C4 -> CCNet -> FineWeb-Edu, methods only), with
+    survivor counts per stage. Every keep decision comes from the SAME
+    builders as its standalone query (`gopher_quality_filter`,
+    `lm_perplexity_score`, `quality_classifier_select`), so the funnel
+    cannot drift from the audited operators. Docs the LM cannot score
+    (< 2 tokens) fail the perplexity stage by definition (COALESCE 0):
+    a doc too short to score is too short to keep.
+
+    The synthetic testdata aligns vec_id with doc_id (same 0..N-1 id
+    space); in production the join is the documents -> embeddings
+    foreign key.
+
+    100 TB shape: the union of the component shapes (each audited on
+    its own) joined doc_id-keyed, one global conditional-count
+    aggregate unpivoted to 4 rows."""
+    from aqi_featurestore_spark.plans.corpus_stats import q_lm_perplexity_score
+    from aqi_featurestore_spark.plans.web_curation import q_gopher_quality_filter
+
+    g = q_gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kg")
+    )
+    lm = q_lm_perplexity_score(spark, sf_dir).select(
+        "doc_id",
+        (F.col("nll_micro") * 10 <= F.col("n_trans") * _PPL_CUT_NUM)
+        .cast("int")
+        .alias("kp"),
+    )
+    e = _read(spark, sf_dir, "embeddings")
+    w, b, _n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS, lr_num=_LR_NUM
+    )
+    clf = e.select(
+        F.col("vec_id").alias("doc_id"),
+        (margin_col(micro_vec("embedding"), w, b) > 0).cast("int").alias("kc"),
+    )
+    j = (
+        g.join(lm, ["doc_id"], "left")
+        .join(clf, ["doc_id"])
+        .select("doc_id", "kg", F.coalesce("kp", F.lit(0)).alias("kp"), "kc")
+    )
+    m = j.agg(
+        F.count("*").cast("long").alias("raw"),
+        F.sum("kg").cast("long").alias("s1"),
+        F.sum(F.when((F.col("kg") == 1) & (F.col("kp") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                (F.col("kg") == 1) & (F.col("kp") == 1) & (F.col("kc") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s3"),
+    )
+    stacked = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_id"),
+                        F.lit(stage).alias("stage"),
+                        F.col(col).alias("n_docs"),
+                    )
+                    for i, (stage, col) in enumerate(
+                        zip(_FUNNEL2_STAGES, ["raw", "s1", "s2", "s3"])
+                    )
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.stage_id", "r.stage", "r.n_docs")

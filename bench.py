@@ -268,6 +268,7 @@ EXTENDED_QUERIES = [
     "tokenizer_fertility",
     "k_anonymity_audit",
     "pq_reconstruction_error",
+    "curation_funnel_v2",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -321,6 +322,7 @@ ITERATIVE_CONSTRUCTION = {
     "classifier_auc",  # same 6-round GD fit at build time
     "classifier_calibration",  # same 6-round GD fit at build time
     "pq_reconstruction_error",  # 4 per-subspace codebook fits at build time
+    "curation_funnel_v2",  # 6-round GD fit at build time (classifier stage)
 }
 
 

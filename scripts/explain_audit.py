@@ -164,6 +164,7 @@ AUDIT = [
     "tokenizer_fertility",
     "k_anonymity_audit",
     "pq_reconstruction_error",
+    "curation_funnel_v2",
 ]
 
 

@@ -92,6 +92,7 @@ BNLJ_OK = {
     "hard_negative_mining",  # exact brute-force baseline (audit cost)
     "temperature_mixture",   # 1-row totals scalar onto n_sources rows
     "k_anonymity_audit",     # 1-row total-rows scalar onto the size histogram
+    "curation_funnel_v2",    # 1-row vocab scalar inside the lm stage
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
@@ -194,6 +195,7 @@ EXCHANGE_CEILING = {
     "tokenizer_fertility": 1,  # one per-lang aggregate
     "k_anonymity_audit": 5,  # QI groups -> size histogram + totals scalar
     "pq_reconstruction_error": 1,  # n_subspaces-row error aggregate (fit at build)
+    "curation_funnel_v2": 12,  # gopher + lm + classifier stages, doc-keyed joins
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,

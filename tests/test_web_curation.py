@@ -331,3 +331,28 @@ def test_temperature_mixture_rebalances(spark):
     assert by_n[0]["boost"] > 1.0 > by_n[-1]["boost"]
     temps = [r["p_temp"] for r in by_n]
     assert temps == sorted(temps)
+
+
+def test_curation_funnel_v2_consistency(spark):
+    """Funnel-v2 counts agree with the standalone component queries at
+    sf0.001 and shrink monotonically through the stages."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["stage"]: r["n_docs"] for r in QUERIES["curation_funnel_v2"](spark, sf).collect()}
+    assert got["raw"] >= got["gopher"] >= got["gopher+ppl"] >= got["gopher+ppl+clf"]
+    g = {r["doc_id"]: r["keep"] for r in QUERIES["gopher_quality_filter"](spark, sf).collect()}
+    lm = {
+        r["doc_id"]: int(r["nll_micro"] * 10 <= r["n_trans"] * 34_000_000)
+        for r in QUERIES["lm_perplexity_score"](spark, sf).collect()
+    }
+    clf = {r["vec_id"] for r in QUERIES["quality_classifier_select"](spark, sf).collect()}
+    assert got["raw"] == len(g)
+    assert got["gopher"] == sum(g.values())
+    assert got["gopher+ppl"] == sum(
+        1 for d, k in g.items() if k and lm.get(d, 0)
+    )
+    assert got["gopher+ppl+clf"] == sum(
+        1 for d, k in g.items() if k and lm.get(d, 0) and d in clf
+    )
+    assert got["gopher+ppl+clf"] > 0  # the planted corpus survives the ladder
