@@ -585,3 +585,71 @@ def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return stacked.select("r.stage_id", "r.stage", "r.n_docs")
+
+
+_LABEL_NOISE_SQL = f"""
+WITH {_fit_ctes()},
+{_scored_sql()},
+lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+j AS (
+  SELECT l.label, CASE WHEN sc.m > 0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN l.label >= {_POS_MIN} THEN 1 ELSE 0 END AS y
+  FROM sc JOIN lab l ON sc.vec_id = l.vec_id),
+ag AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+         CAST(SUM(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+  FROM j GROUP BY label)
+SELECT label, n, n_pred_pos, n_disagree,
+       round(CAST(n_pred_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pred_pos_rate,
+       round(CAST(n_disagree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS disagree_rate
+FROM ag"""
+
+
+@_q("label_noise_audit", _LABEL_NOISE_SQL)
+def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit in the confident-learning spirit (Northcutt et
+    al., method only): per ORIGINAL label class (0..9), how often the
+    trained quality classifier disagrees with the binarized target
+    (label >= 5). Classes far from the decision boundary (0-1, 8-9)
+    should disagree rarely; a high disagree_rate on an extreme class
+    flags mislabeled strata — the rows to re-annotate or drop before
+    the next training round. Boundary classes (4, 5) naturally
+    disagree most; read the rate against class position.
+
+    Exactness: predictions come from the same exact-integer margin as
+    `quality_classifier_select`; counts are exact BIGINTs; the two
+    rates are single int/int divisions.
+
+    100 TB shape: fit at build (bounded per-round aggregates); the
+    returned plan is a zero-shuffle score map into ONE map-combined
+    aggregate over the 10-class domain."""
+    e = _read(spark, sf_dir, "embeddings")
+    w, b, _n = hardlogit_fit(
+        e, label_col=_label_col(), dim=_DIM, iters=_ITERS, lr_num=_LR_NUM
+    )
+    j = e.select(
+        F.col("label").cast("int").alias("label"),
+        (margin_col(micro_vec("embedding"), w, b) > 0).cast("int").alias("pred"),
+        _label_col().cast("int").alias("y"),
+    )
+    ag = j.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pred_pos"),
+        F.sum(F.when(F.col("pred") != F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_disagree"),
+    )
+    return ag.select(
+        "label",
+        "n",
+        "n_pred_pos",
+        "n_disagree",
+        F.round(
+            F.col("n_pred_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pred_pos_rate"),
+        F.round(
+            F.col("n_disagree").cast("double") / F.col("n").cast("double"), 6
+        ).alias("disagree_rate"),
+    )

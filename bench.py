@@ -269,6 +269,7 @@ EXTENDED_QUERIES = [
     "k_anonymity_audit",
     "pq_reconstruction_error",
     "curation_funnel_v2",
+    "label_noise_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -323,6 +324,7 @@ ITERATIVE_CONSTRUCTION = {
     "classifier_calibration",  # same 6-round GD fit at build time
     "pq_reconstruction_error",  # 4 per-subspace codebook fits at build time
     "curation_funnel_v2",  # 6-round GD fit at build time (classifier stage)
+    "label_noise_audit",  # same 6-round GD fit at build time
 }
 
 

@@ -165,6 +165,7 @@ AUDIT = [
     "k_anonymity_audit",
     "pq_reconstruction_error",
     "curation_funnel_v2",
+    "label_noise_audit",
 ]
 
 

@@ -283,3 +283,28 @@ def test_classifier_calibration_invariants(spark):
         assert lo - 1e-6 <= r["mean_pred"] <= (hi + 1e-6 if r["bucket_id"] < 9 else 1.0)
         assert 0.0 <= r["pos_rate"] <= 1.0
         assert r["gap"] == pytest.approx(abs(r["pos_rate"] - r["mean_pred"]), abs=3e-6)
+
+
+def test_label_noise_audit_contract(spark):
+    """Disagreement audit at sf0.001: rows cover all present classes,
+    counts are consistent (n_disagree = n - n_pred_pos for positive
+    classes, = n_pred_pos for negative ones), and extreme classes
+    disagree no more than the boundary pair on average."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    rows = QUERIES["label_noise_audit"](spark, "/root/testdata/sf0.001").collect()
+    got = {r["label"]: r for r in rows}
+    n_total = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert sum(r["n"] for r in rows) == n_total
+    for r in rows:
+        want = (
+            r["n"] - r["n_pred_pos"] if r["label"] >= 5 else r["n_pred_pos"]
+        )
+        assert r["n_disagree"] == want, r
+        assert r["disagree_rate"] == pytest.approx(r["n_disagree"] / r["n"], abs=1e-6)
+    extreme = [got[c]["disagree_rate"] for c in (0, 1, 8, 9) if c in got]
+    boundary = [got[c]["disagree_rate"] for c in (4, 5) if c in got]
+    if extreme and boundary:
+        assert sum(extreme) / len(extreme) <= sum(boundary) / len(boundary) + 0.25

@@ -196,6 +196,7 @@ EXCHANGE_CEILING = {
     "k_anonymity_audit": 5,  # QI groups -> size histogram + totals scalar
     "pq_reconstruction_error": 1,  # n_subspaces-row error aggregate (fit at build)
     "curation_funnel_v2": 12,  # gopher + lm + classifier stages, doc-keyed joins
+    "label_noise_audit": 1,  # 10-class disagreement aggregate (fit at build)
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
     "ann_recall_methods": 21, "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
