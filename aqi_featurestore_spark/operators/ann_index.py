@@ -72,17 +72,31 @@ from aqi_featurestore_spark.operators.similarity import (
 @dataclass
 class AnnIndexModel:
     """Driver-side fit artifacts — everything a lookup needs besides
-    the index rows. Sizes: cent_q is n_lists x dim int64, books is
-    n_subspaces x n_codes x subdim float."""
+    the index rows. Sizes: cent_q is n_lists x dim int64 (seeded
+    coarse) or cent_d is n_lists x dim double (k-means-trained coarse,
+    micro-unit s/n centroids); books is n_subspaces x n_codes x subdim
+    float.
+
+    ``coarse="seeded"``: fit-free centroids, exact-int64 assignment
+    (Arrow udf). ``coarse="kmeans"``: the clustering family's
+    distributed Lloyd's fit; assignment/probing are pure-JVM literal-
+    centroid projections (kmeans_assign_col — no Python boundary), the
+    arithmetic the clustering oracles hash-verify. The serving default
+    is DECIDED BY MEASURED RECALL (ann_recall_methods ivfpq vs
+    ivfpq_km: 0.34 vs 0.49 at sf0.01 — seed vectors stop spanning a
+    growing corpus; Lloyd rounds track it), so the registry serving
+    queries build with kmeans coarse."""
 
     cent_q: list[list[int]]
     books: list[list[list[float]]]
     n_probe: int
     dim: int
+    coarse: str = "seeded"
+    cent_d: list[list[float]] | None = None
 
     @property
     def n_lists(self) -> int:
-        return len(self.cent_q)
+        return len(self.cent_d) if self.coarse == "kmeans" else len(self.cent_q)
 
     @property
     def n_subspaces(self) -> int:
@@ -91,6 +105,43 @@ class AnnIndexModel:
     @property
     def subdim(self) -> int:
         return self.dim // self.n_subspaces
+
+
+def _micro_col(vec_col: Column | str) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
+    )
+
+
+def _coarse_builders(model: AnnIndexModel):
+    """(assign, probe) Column builders for the model's coarse mode —
+    the ONE place lookup/encode arithmetic is chosen, so the serve,
+    refresh, and build paths cannot drift from each other."""
+    if model.coarse == "kmeans":
+        from aqi_featurestore_spark.operators import clustering as _cl
+
+        cents = model.cent_d
+
+        def assign(col):
+            return _cl.kmeans_assign_col(_micro_col(col), cents)
+
+        def probe(col):
+            ds = _cl.kmeans_dist_structs(_micro_col(col), cents)
+            return F.transform(
+                F.slice(F.array_sort(ds), 1, model.n_probe),
+                lambda s: s["cid"].cast("int"),
+            )
+
+        return assign, probe
+    if model.coarse == "seeded":
+        import numpy as np
+
+        a, p = coarse_udfs_from_centroids(
+            np.asarray(model.cent_q, dtype=np.int64), model.n_probe
+        )
+        return a, p
+    raise ValueError(f"unknown coarse mode {model.coarse!r}")
 
 
 def build_ann_index(
@@ -106,10 +157,16 @@ def build_ann_index(
     dim: int = 64,
     version: int = 1,
     attr_cols: tuple[str, ...] = (),
+    coarse: str = "seeded",
+    coarse_iters: int = 3,
 ) -> tuple[DataFrame, AnnIndexModel]:
     """Fit the coarse quantizer + PQ codebooks and encode the corpus
     into index rows ``(n_id, version, list_id, c0..c{S-1})``. One
     corpus pass for the encode; fit collects only model-sized rows.
+
+    ``coarse``: "seeded" (fit-free) or "kmeans" (``coarse_iters``
+    distributed Lloyd rounds — the MEASURED-recall serving choice, see
+    :class:`AnnIndexModel`).
 
     ``attr_cols``: filterable metadata columns copied onto the index
     rows (label, language, license, source domain, ...) — the
@@ -119,9 +176,22 @@ def build_ann_index(
     parquet snapshot like any other column predicate."""
     import numpy as np
 
-    cent_q = seeded_coarse_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists
-    )
+    if coarse == "seeded":
+        cent_q = np.asarray(
+            seeded_coarse_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+            )
+        ).tolist()
+        cent_d = None
+    elif coarse == "kmeans":
+        from aqi_featurestore_spark.operators.clustering import kmeans_fit
+
+        cent_q = []
+        cent_d = kmeans_fit(
+            corpus, k=n_lists, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        raise ValueError(f"unknown coarse mode {coarse!r}")
     books = _pq_fit_books(
         corpus,
         id_col=id_col,
@@ -132,12 +202,14 @@ def build_ann_index(
         dim=dim,
     )
     model = AnnIndexModel(
-        cent_q=np.asarray(cent_q).tolist(),
+        cent_q=cent_q,
         books=books,
         n_probe=n_probe,
         dim=dim,
+        coarse=coarse,
+        cent_d=cent_d,
     )
-    assign_list, _ = coarse_udfs_from_centroids(np.asarray(cent_q), n_probe)
+    assign_list, _ = _coarse_builders(model)
     index = _pq_sub_frame(
         corpus,
         [
@@ -185,17 +257,13 @@ def ann_index_topk(
     set post-filtering a global top-k would give (that can return
     < k or miss matches entirely); against the parquet snapshot the
     predicate pushes down to the scan."""
-    import numpy as np
-
     if 0 < rescore < k:
         raise ValueError(
             f"rescore={rescore} < k={k}: the ADC shortlist would be capped "
             "below the requested top-k and silently return fewer rows"
         )
     n_sub, subdim = model.n_subspaces, model.subdim
-    _, probe_lists = coarse_udfs_from_centroids(
-        np.asarray(model.cent_q, dtype=np.int64), model.n_probe
-    )
+    _, probe_lists = _coarse_builders(model)
     q0 = _pq_sub_frame(
         queries,
         [F.col(id_col).alias("q_id")],
@@ -244,12 +312,35 @@ def ann_index_topk(
     )
 
 
+def _round_half_up_micro(x: float) -> float:
+    """Spark F.round(_, 0) HALF_UP (away from zero at .5) on x * 1e6 —
+    the driver-side twin of :func:`_micro_col`'s quantization."""
+    import math
+
+    v = float(x) * 1e6
+    return float(math.floor(v + 0.5)) if v >= 0 else float(math.ceil(v - 0.5))
+
+
 def probe_cells(model: AnnIndexModel, qvec) -> list[int]:
     """The n_probe nearest cells of ONE query vector, computed on the
-    driver (n_lists x dim integer ops — microseconds): the single-query
-    online path pushes these as a literal partition filter."""
+    driver (n_lists x dim scalar ops — microseconds): the single-query
+    online path pushes these as a literal partition filter. Arithmetic
+    matches the model's coarse mode exactly: int64 floor-quantized
+    distances for seeded; the kmeans mode reproduces the JVM left-fold
+    of IEEE doubles term for term (sequential adds == F.aggregate's
+    fold order), so the driver's probe set equals the cluster's."""
     import numpy as np
 
+    if model.coarse == "kmeans":
+        q = [_round_half_up_micro(x) for x in qvec]
+        dists = []
+        for cid, cent in enumerate(model.cent_d):
+            acc = 0.0
+            for v, c in zip(q, cent):
+                acc += (v - c) * (v - c)
+            dists.append((acc, cid))
+        dists.sort()
+        return [cid for _, cid in dists[: model.n_probe]]
     cent = np.asarray(model.cent_q, dtype=np.int64)
     q = np.floor(np.asarray(qvec, dtype=np.float64) * 1e6).astype(np.int64)
     d = ((cent - q[None, :]) ** 2).sum(axis=1)
@@ -267,37 +358,116 @@ def current_index(index: DataFrame) -> DataFrame:
     return latest_per_key(index, ["n_id"], ts="version")
 
 
-def write_ann_index(index: DataFrame, model: AnnIndexModel, path: str) -> None:
+def encode_with_model(
+    corpus: DataFrame,
+    model: AnnIndexModel,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int = 1,
+    attr_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode vectors into index rows ``(n_id, version, list_id,
+    c0..c{S-1})`` against an EXISTING model — no fit passes. The
+    refresh path: newly arrived vectors (a micro-batch, a backfill
+    partition) become higher-``version`` rows that ``current_index``
+    resolves over stale codes, while the coarse/books tables stay
+    frozen — so every row in the table, old or new, decodes against the
+    codebooks it was encoded with. One pass, row-local, codes never
+    shuffle (the write partitions by the computed ``list_id``)."""
+    assign_list, _ = _coarse_builders(model)
+    return _pq_sub_frame(
+        corpus,
+        [
+            F.col(id_col).alias("n_id"),
+            F.lit(int(version)).cast("long").alias("version"),
+            *[F.col(c) for c in attr_cols],
+        ],
+        vec_col,
+        model.n_subspaces,
+        model.subdim,
+        keep_vec=True,
+    ).select(
+        "n_id",
+        "version",
+        *attr_cols,
+        assign_list(vec_col).alias("list_id"),
+        *_pq_code_cols(model.books, model.n_subspaces),
+    )
+
+
+def write_ann_index(
+    index: DataFrame, model: AnnIndexModel, path: str, *, mode: str = "create"
+) -> None:
     """Persist index rows partitioned by ``list_id`` (single-query
     probes prune to n_probe partitions) plus the two model tables.
-    Append mode: refreshes add higher-version rows; ``current_index``
-    resolves them at read time."""
+
+    ``mode="create"``: first publication — writes the model tables and
+    the index rows, and REFUSES a path whose model tables already
+    exist. Overwriting a live model would silently corrupt every index
+    row not re-encoded in the same write: ``current_index`` supersedes
+    rows per ``n_id``, so surviving old-version rows would have their
+    PQ codes scored against the NEW model's LUTs (the round-6 ADVICE
+    hazard).
+
+    ``mode="refresh"``: append-only index refresh — adds
+    higher-``version`` rows (encode them with :func:`encode_with_model`
+    against the PERSISTED model from :func:`read_ann_index`) and leaves
+    the model tables untouched. A refit (centroid drift, measured
+    recall decay) is a NEW index path + full re-encode, never an
+    in-place model swap."""
+    from aqi_featurestore_spark.sources import fs as _fs
+
     spark = index.sparkSession
+    if mode not in ("create", "refresh"):
+        raise ValueError(f"unknown write_ann_index mode {mode!r}")
+    if mode == "create":
+        if _fs.exists(spark, f"{path}/coarse") or _fs.exists(spark, f"{path}/books"):
+            raise ValueError(
+                f"write_ann_index(mode='create'): model tables already exist at "
+                f"{path!r}. Refreshes must reuse the persisted model "
+                "(read_ann_index + encode_with_model + mode='refresh'); a refit "
+                "belongs at a new path — overwriting codebooks in place would "
+                "mis-decode every index row that was not re-encoded."
+            )
+        cent_rows = (
+            model.cent_d
+            if model.coarse == "kmeans"
+            else [[float(int(x)) for x in row] for row in model.cent_q]
+        )
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in row], model.coarse)
+                for i, row in enumerate(cent_rows)
+            ],
+            "list_id int, cent array<double>, mode string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+        spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in model.books[s][c]], model.n_probe, model.dim)
+                for s in range(model.n_subspaces)
+                for c in range(len(model.books[s]))
+            ],
+            "s int, c int, centroid array<double>, n_probe int, dim int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     index.write.mode("append").partitionBy("list_id").parquet(f"{path}/index")
-    spark.createDataFrame(
-        [(i, list(map(int, row))) for i, row in enumerate(model.cent_q)],
-        "list_id int, cent array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
-    spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in model.books[s][c]], model.n_probe, model.dim)
-            for s in range(model.n_subspaces)
-            for c in range(len(model.books[s]))
-        ],
-        "s int, c int, centroid array<double>, n_probe int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
 
 def read_ann_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, AnnIndexModel]:
     """Load (index_df, model). Collects only the model tables
-    (n_lists + n_subspaces x n_codes rows)."""
+    (n_lists + n_subspaces x n_codes rows). The coarse mode round-trips
+    with its arithmetic intact: seeded centroids come back as exact
+    int64 (micro magnitudes are exactly representable in double), the
+    kmeans centroids as the exact s/n IEEE doubles the fit produced —
+    so a served lookup is bit-identical to one against the in-memory
+    model (pytest-pinned)."""
     index = spark.read.parquet(f"{path}/index")
-    coarse = {
-        r["list_id"]: list(r["cent"])
-        for r in spark.read.parquet(f"{path}/coarse").collect()
-    }
+    crows = spark.read.parquet(f"{path}/coarse").collect()
+    mode = crows[0]["mode"]
+    cent = {r["list_id"]: list(r["cent"]) for r in crows}
+    cent_sorted = [cent[i] for i in sorted(cent)]
     book_rows = spark.read.parquet(f"{path}/books").collect()
     n_sub = max(r["s"] for r in book_rows) + 1
     books: list[list[list[float]]] = [[] for _ in range(n_sub)]
@@ -305,9 +475,15 @@ def read_ann_index(
         rows_s = sorted((r for r in book_rows if r["s"] == s), key=lambda r: r["c"])
         books[s] = [list(r["centroid"]) for r in rows_s]
     model = AnnIndexModel(
-        cent_q=[coarse[i] for i in sorted(coarse)],
+        cent_q=(
+            [[int(x) for x in row] for row in cent_sorted]
+            if mode == "seeded"
+            else []
+        ),
         books=books,
         n_probe=book_rows[0]["n_probe"],
         dim=book_rows[0]["dim"],
+        coarse=mode,
+        cent_d=cent_sorted if mode == "kmeans" else None,
     )
     return index, model

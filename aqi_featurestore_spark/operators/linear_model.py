@@ -31,13 +31,17 @@ Number system (all BIGINT):
 identically in Spark (F.pmod), DuckDB (((a%b)+b)%b), and Python (//) —
 the one rounding point in the loop, pinned to a single definition.
 
-Exact-int64 bound: |e*x| <= 1e6 * |x|_micro, so the gradient sum is
-exact while n * max|x_micro| * 1e6 < 2^63 — for unit-ish embeddings
-(|x| <= 2) that is n <~ 4.6e9 / 1, conservatively enforced as
-``max_exact_rows`` = 4_000_000_000 / max_abs_micro-heuristic; we pin a
-flat 1e7 default (same discipline as operators/pca.py MAX_EXACT_ROWS)
-with the same overflow escape: ``on_overflow="error"`` refuses,
-``"sample"`` (default) re-fits on a deterministic md5 row sample.
+Exact-int64 bound: per row |e * x| <= 1e6 * max|x_micro|, so the
+gradient sum stays exact while n * 1e6 * max|x_micro| < 2^63. For
+|x| <= 1 (max|x_micro| = 1e6) that allows n <~ 9.2e6; for the |x| <= 2
+envelope this module documents (max|x_micro| = 2e6) it is n <~ 4.6e6.
+``MAX_EXACT_ROWS`` pins 4_000_000 — provably inside the bound at
+|x| <= 2 without measuring max|x_micro| (operators/pca.py pins 9e6
+under its own 9.2e6 bound because its inputs are contractually
+|x| <= 1). Same overflow escape as pca: ``on_overflow="error"``
+refuses, ``"sample"`` (default) re-fits on a deterministic md5 row
+sample — and the fit hands back the sampled frame so callers staging
+extra rounds train on the SAME rows the returned weights came from.
 
 Scale shape (the Lloyd's-fit discipline, operators/clustering.py):
 each round is ONE no-shuffle margin map against broadcast literal
@@ -48,6 +52,8 @@ corpus-sized is ever collected or shuffled.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,8 +62,10 @@ from aqi_featurestore_spark.functions.portable_hash import md5_int32
 MICRO = 1_000_000
 #: hard-sigmoid slope denominator: s = 0.5 + m/4 -> floordiv(m_p12, 4e6)
 SIG_DEN = 4 * MICRO
-#: Flat exact-int64 row bound for the gradient sums (module header).
-MAX_EXACT_ROWS = 10_000_000
+#: Flat exact-int64 row bound for the gradient sums — provable at the
+#: documented |x| <= 2 input envelope: 2^63 / (1e6 * 2e6) ~ 4.6e6
+#: rows, pinned conservatively below (module header).
+MAX_EXACT_ROWS = 4_000_000
 
 
 def floordiv_col(a: Column, b: int) -> Column:
@@ -100,7 +108,26 @@ def hard_sigmoid_micro(m_p12: Column) -> Column:
     return F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(MICRO).cast("long"))
 
 
-def hardlogit_fit(
+@dataclass
+class HardlogitFit:
+    """Full fit result: the (w_micro, b_micro) state after EVERY round
+    (``rounds[t]`` = weights after round t+1, ``rounds[-1]`` = final),
+    the training row count, and — critically — the exact DataFrame the
+    weights were trained on (``train_df``). When the overflow guard
+    sampled, ``train_df`` IS the md5 sample and ``sampled`` is True, so
+    a caller staging an extra in-plan GD round (the
+    quality_classifier_train hybrid) aggregates over the same rows it
+    divides by ``n`` for — never full-corpus gradients over a sampled
+    count. The trajectory also gives model-registry consumers every
+    intermediate version (e.g. the T-1 model) from ONE fit."""
+
+    rounds: list[tuple[list[int], int]]
+    n: int
+    train_df: DataFrame
+    sampled: bool = False
+
+
+def hardlogit_fit_trajectory(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
@@ -111,8 +138,8 @@ def hardlogit_fit(
     lr_num: int = 8,
     max_exact_rows: int = MAX_EXACT_ROWS,
     on_overflow: str = "sample",
-) -> tuple[list[int], int, int]:
-    """Full-batch hard-sigmoid GD; returns (w_micro[dim], b_micro, n).
+) -> HardlogitFit:
+    """Full-batch hard-sigmoid GD keeping every round's weights.
 
     ``label_col``: a 0/1 integer Column (the binary quality target).
     ``lr_num`` must divide 2e6 (lr = lr_num / 2); the weight update is
@@ -123,7 +150,18 @@ def hardlogit_fit(
     per dim, bias gradient, row count) — collected; the margin map runs
     against broadcast literal weights, so no round shuffles anything
     but the one map-combined aggregate. The quantized projection is
-    persisted once across rounds (the kmeans_fit discipline)."""
+    persisted once across rounds (the kmeans_fit discipline).
+
+    Plan-width bound: the gradient aggregate is dim+2 columns wide —
+    dim-LINEAR in both plan size and driver state, property-tested at
+    dim=256 (tests/test_linear_model.py). The practical ceiling is
+    Catalyst's wide-aggregate handling (whole-stage codegen splits past
+    ~100 exprs; compilation cost grows ~linearly), comfortably fine
+    through embedding-realistic dim 512-1024; past a few thousand dims,
+    switch the gradient to a posexplode + (dim)-keyed hash aggregate
+    (the feature_mi shape) instead of widening the plan further. The
+    int64 margin bound is separate and dim-linear too:
+    |m_p12| <= |b|*1e6 + dim * max|w| * max|x_micro|."""
     if on_overflow not in ("error", "sample"):
         raise ValueError(f"unknown on_overflow mode {on_overflow!r}")
     if 2 * MICRO % lr_num:
@@ -139,6 +177,7 @@ def hardlogit_fit(
         w = [0] * dim
         b = 0
         n = 0
+        rounds: list[tuple[list[int], int]] = []
         for _ in range(iters):
             # Stage the fold ONCE per row before multi-reference use
             # (the round-6 staged-encode lesson: Catalyst higher-order
@@ -171,7 +210,7 @@ def hardlogit_fit(
                     md5_int32(F.concat(F.lit("hl|"), F.col(id_col).cast("string")))
                     < F.lit(thresh)
                 )
-                return hardlogit_fit(
+                refit = hardlogit_fit_trajectory(
                     sampled,
                     id_col=id_col,
                     vec_col=vec_col,
@@ -182,11 +221,49 @@ def hardlogit_fit(
                     max_exact_rows=max_exact_rows,
                     on_overflow="error",
                 )
+                return HardlogitFit(
+                    rounds=refit.rounds,
+                    n=refit.n,
+                    train_df=sampled,
+                    sampled=True,
+                )
             w = [int(w[d]) - int(row[f"g{d}"]) // (n * w_den) for d in range(dim)]
             b = int(b) - (lr_num * int(row["gb"])) // (2 * n)
-        return w, b, n
+            rounds.append((w, b))
+        return HardlogitFit(rounds=rounds, n=n, train_df=df, sampled=False)
     finally:
         vc.unpersist()
+
+
+def hardlogit_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: Column,
+    dim: int = 64,
+    iters: int = 6,
+    lr_num: int = 8,
+    max_exact_rows: int = MAX_EXACT_ROWS,
+    on_overflow: str = "sample",
+) -> tuple[list[int], int, int]:
+    """Final-round view of :func:`hardlogit_fit_trajectory`:
+    (w_micro[dim], b_micro, n). Callers that stage additional in-plan
+    rounds or need intermediate versions should take the trajectory
+    (it carries the possibly-sampled ``train_df``)."""
+    fit = hardlogit_fit_trajectory(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        dim=dim,
+        iters=iters,
+        lr_num=lr_num,
+        max_exact_rows=max_exact_rows,
+        on_overflow=on_overflow,
+    )
+    w, b = fit.rounds[-1]
+    return w, b, fit.n
 
 
 def fit_reference(

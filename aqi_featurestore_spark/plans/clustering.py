@@ -51,13 +51,21 @@ _SEM_TAU = 0.8
 
 
 def _kmeans_ctes(
-    k: int = _K, iters: int = _ITERS, dim: int = _DIM, seeding: str = "md5"
+    k: int = _K,
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    seeding: str = "md5",
+    prefix: str = "",
 ) -> str:
-    """Oracle CTE chain ending in ``af(vec_id, cid, d)`` — the final
-    assignment against the post-``iters`` centroids, mirroring
+    """Oracle CTE chain ending in ``{prefix}af(vec_id, cid, d)`` — the
+    final assignment against the post-``iters`` centroids, mirroring
     operators/clustering.kmeans_fit round for round (both seeding
     modes: md5-order TakeOrdered(k), or the Gonzalez farthest-point
-    traversal unrolled as k-1 one-row argmax CTEs)."""
+    traversal unrolled as k-1 one-row argmax CTEs). ``prefix`` renames
+    every CTE so the chain can embed inside another oracle's WITH
+    (the IVFADC kmeans-coarse leg) without name collisions; the default
+    "" keeps the historical names byte-for-byte."""
+    p = prefix
     dist = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * "
@@ -65,24 +73,24 @@ def _kmeans_ctes(
     )
     hexpr = _ph.duck_hex_int("h8", 1, 8)
     parts = [
-        f"""vc AS (
+        f"""{p}vc AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT)) AS v
   FROM embeddings)""",
-        """hh AS (
+        f"""{p}hh AS (
   SELECT vec_id, md5('km|' || CAST(vec_id AS VARCHAR)) AS h8 FROM embeddings)""",
     ]
     if seeding == "md5":
         parts += [
-            f"""sr AS (
+            f"""{p}sr AS (
   SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
     SELECT vec_id, row_number() OVER (ORDER BY {hexpr}, vec_id) AS rn
-    FROM hh) t
+    FROM {p}hh) t
   WHERE rn <= {k})""",
-            """c0 AS (
+            f"""{p}c0 AS (
   SELECT sr.cid, list_transform(vc.v, x -> CAST(x AS DOUBLE)) AS carr
-  FROM sr JOIN vc USING (vec_id))""",
+  FROM {p}sr sr JOIN {p}vc vc USING (vec_id))""",
         ]
     elif seeding == "farthest":
         # AS MATERIALIZED on every one-row seed CTE: s{i} references all of
@@ -91,52 +99,55 @@ def _kmeans_ctes(
         # made this oracle ~78 s at sf0.01 (round-4 verdict blemish #2).
         # Materialization pins each seed to one evaluation (same rows, same
         # hash) and brings the fixture to sub-second.
-        parts.append(f"""s0 AS MATERIALIZED (
-  SELECT vc.vec_id, vc.v FROM vc JOIN hh USING (vec_id)
+        parts.append(f"""{p}s0 AS MATERIALIZED (
+  SELECT vc.vec_id, vc.v FROM {p}vc vc JOIN {p}hh hh USING (vec_id)
   ORDER BY {hexpr}, vec_id LIMIT 1)""")
         for i in range(1, k):
             mins = ", ".join(
-                dist.format(v="vc.v", c=f"list_transform(s{j}.v, x -> CAST(x AS DOUBLE))")
+                dist.format(
+                    v="vc.v",
+                    c=f"list_transform({p}s{j}.v, x -> CAST(x AS DOUBLE))",
+                )
                 for j in range(i)
             )
-            froms = ", ".join(f"s{j}" for j in range(i))
+            froms = ", ".join(f"{p}s{j}" for j in range(i))
             least = f"least({mins})" if i > 1 else mins
-            parts.append(f"""s{i} AS MATERIALIZED (
-  SELECT vc.vec_id, vc.v FROM vc, {froms}
+            parts.append(f"""{p}s{i} AS MATERIALIZED (
+  SELECT vc.vec_id, vc.v FROM {p}vc vc, {froms}
   ORDER BY {least} DESC, vc.vec_id LIMIT 1)""")
         union = "\n  UNION ALL\n".join(
-            f"  SELECT {i} AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS carr FROM s{i}"
+            f"  SELECT {i} AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS carr FROM {p}s{i}"
             for i in range(k)
         )
-        parts.append(f"c0 AS (\n{union})")
+        parts.append(f"{p}c0 AS (\n{union})")
     else:  # pragma: no cover
         raise ValueError(seeding)
     for t in range(1, iters + 1):
         d = dist.format(v="vc.v", c="c.carr")
-        parts.append(f"""a{t} AS (
+        parts.append(f"""{p}a{t} AS (
   SELECT vec_id, v, cid FROM (
     SELECT vc.vec_id, vc.v, c.cid,
            row_number() OVER (PARTITION BY vc.vec_id
                               ORDER BY {d}, c.cid) AS rn
-    FROM vc CROSS JOIN c{t - 1} c) t WHERE rn = 1)""")
-        parts.append(f"""g{t} AS (
+    FROM {p}vc vc CROSS JOIN {p}c{t - 1} c) t WHERE rn = 1)""")
+        parts.append(f"""{p}g{t} AS (
   SELECT cid, dim, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM (
     SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-    FROM a{t}) e
+    FROM {p}a{t}) e
   GROUP BY cid, dim)""")
-        parts.append(f"""cn{t} AS (
+        parts.append(f"""{p}cn{t} AS (
   SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim) AS carr
-  FROM g{t} GROUP BY cid)""")
-        parts.append(f"""c{t} AS (
+  FROM {p}g{t} GROUP BY cid)""")
+        parts.append(f"""{p}c{t} AS (
   SELECT p.cid, COALESCE(nw.carr, p.carr) AS carr
-  FROM c{t - 1} p LEFT JOIN cn{t} nw USING (cid))""")
+  FROM {p}c{t - 1} p LEFT JOIN {p}cn{t} nw USING (cid))""")
     d = dist.format(v="vc.v", c="c.carr")
-    parts.append(f"""af AS (
+    parts.append(f"""{p}af AS (
   SELECT vec_id, cid, d FROM (
     SELECT vc.vec_id, c.cid, {d} AS d,
            row_number() OVER (PARTITION BY vc.vec_id
                               ORDER BY {d}, c.cid) AS rn
-    FROM vc CROSS JOIN c{iters} c) t WHERE rn = 1)""")
+    FROM {p}vc vc CROSS JOIN {p}c{iters} c) t WHERE rn = 1)""")
     return ",\n".join(parts)
 
 

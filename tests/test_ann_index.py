@@ -141,6 +141,110 @@ def test_rescore_guard(spark, emb, built):
         ann_index_topk(index, q, model, k=10, rescore=50)
 
 
+def test_kmeans_coarse_lookup_matches_direct(spark, emb):
+    """The trained-coarse serving path (the measured-recall registry
+    default) must be bit-identical to the one-shot
+    cosine_topk_ivfpq(coarse='kmeans') at equal params."""
+    from aqi_featurestore_spark.operators.similarity import cosine_topk_ivfpq
+
+    index, model = build_ann_index(
+        emb, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        coarse="kmeans", coarse_iters=3,
+    )
+    assert model.coarse == "kmeans" and model.n_lists == 16
+    index = index.localCheckpoint()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    served = ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=emb)
+    direct = cosine_topk_ivfpq(
+        q, emb, k=10, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        coarse="kmeans", coarse_iters=3,
+    )
+    assert _rows(served) == _rows(direct)
+
+
+def test_kmeans_coarse_roundtrip_and_probe_cells(spark, emb, tmp_path):
+    """write/read round-trip preserves the kmeans mode and its double
+    centroids bit-for-bit; served lookups from the read-back model are
+    identical; driver-side probe_cells reproduces the JVM probe list
+    (sequential IEEE fold parity)."""
+    index, model = build_ann_index(
+        emb, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+        coarse="kmeans", coarse_iters=3,
+    )
+    path = str(tmp_path / "annidx_km")
+    write_ann_index(index, model, path)
+    rindex, rmodel = read_ann_index(spark, path)
+    assert rmodel.coarse == "kmeans"
+    assert rmodel.cent_d == model.cent_d  # exact double round-trip
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    got = ann_index_topk(rindex, q, rmodel, k=10, rescore=0)
+    want = ann_index_topk(index, q, model, k=10, rescore=0)
+    assert _rows(got) == _rows(want)
+
+    # driver-side probe == cluster-side probe list for single queries
+    from aqi_featurestore_spark.operators.ann_index import _coarse_builders
+
+    _, probe = _coarse_builders(rmodel)
+    rows = (
+        emb.where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding", probe("embedding").alias("p"))
+        .collect()
+    )
+    for r in rows:
+        assert probe_cells(rmodel, r["embedding"]) == list(r["p"]), r["vec_id"]
+
+
+def test_create_refuses_live_model_overwrite(spark, emb, built, tmp_path):
+    """mode='create' on a path with existing model tables must refuse:
+    overwriting codebooks in place would mis-decode every index row not
+    re-encoded in the same write (the round-6 ADVICE hazard)."""
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    with pytest.raises(ValueError, match="already exist"):
+        write_ann_index(index, model, path)
+    with pytest.raises(ValueError, match="unknown write_ann_index mode"):
+        write_ann_index(index, model, path, mode="replace")
+
+
+def test_refresh_appends_and_preserves_model(spark, emb, built, tmp_path):
+    """mode='refresh': higher-version rows encoded with the PERSISTED
+    model append; model tables stay byte-identical; current_index
+    resolves the refreshed codes."""
+    from aqi_featurestore_spark.operators.ann_index import encode_with_model
+
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    before = _rows(spark.read.parquet(f"{path}/coarse"))
+
+    rindex, rmodel = read_ann_index(spark, path)
+    re_rows = encode_with_model(
+        emb.where(F.col("vec_id") < 5), rmodel, version=2
+    )
+    write_ann_index(re_rows, rmodel, path, mode="refresh")
+
+    assert _rows(spark.read.parquet(f"{path}/coarse")) == before
+    cur = current_index(spark.read.parquet(f"{path}/index"))
+    assert cur.count() == index.count()
+    got = {
+        r["version"]
+        for r in cur.where(F.col("n_id") < 5).select("version").collect()
+    }
+    assert got == {2}
+
+
+def test_encode_with_model_matches_build(spark, emb, built):
+    """Encoding against the read-back model reproduces the build's own
+    index rows bit-for-bit — the refresh path can't drift from the
+    build path."""
+    from aqi_featurestore_spark.operators.ann_index import encode_with_model
+
+    index, model = built
+    re_enc = encode_with_model(emb, model, version=1)
+    assert _rows(re_enc) == _rows(index)
+
+
 def test_filtered_lookup_filter_then_search(spark, emb):
     """Filtered ANN: the predicate prunes BEFORE scoring. Every result
     must satisfy the predicate, queries get their full top-k among

@@ -1,0 +1,163 @@
+"""Model registry (operators/model_store.py): versioned-append
+round-trip of the trained classifier weights, current_model resolution,
+historical pinning, and serve-equals-train parity — plus the fit
+trajectory contracts the registry relies on (every-round weights, the
+sampled-frame consistency escape, and dim-scaling of the gradient
+aggregate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.operators.linear_model import (
+    MICRO,
+    fit_reference,
+    hardlogit_fit_trajectory,
+)
+from aqi_featurestore_spark.operators.model_store import (
+    current_model,
+    read_model,
+    write_model,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _wdf(spark, w, b):
+    return spark.createDataFrame(
+        [(d, int(x)) for d, x in enumerate(w)] + [(len(w), int(b))],
+        "term_id int, w_micro long",
+    )
+
+
+def test_roundtrip_bit_lossless_and_version_pinning(spark, tmp_path):
+    """Two published versions: current resolves to v2 bit-for-bit;
+    version=1 pins the historical model."""
+    path = str(tmp_path / "models")
+    w1, b1 = [5, -7, 123_456], -42
+    w2, b2 = [6, -9, 123_000], -40
+    write_model(_wdf(spark, w1, b1), path, version=1)
+    write_model(_wdf(spark, w2, b2), path, version=2)
+    w, b, v = read_model(spark, path)
+    assert (w, b, v) == (w2, b2, 2)
+    w, b, v = read_model(spark, path, version=1)
+    assert (w, b, v) == (w1, b1, 1)
+
+
+def test_partial_refresh_latest_per_term(spark, tmp_path):
+    """A version that republishes ONE term supersedes just that term —
+    the Redis-overwrite semantics per term_id."""
+    path = str(tmp_path / "models")
+    write_model(_wdf(spark, [10, 20], 30), path, version=1)
+    # partial refresh: only the bias term at version 2
+    write_model(
+        spark.createDataFrame([(2, 99)], "term_id int, w_micro long"),
+        path,
+        version=2,
+    )
+    w, b, v = read_model(spark, path)
+    assert (w, b, v) == ([10, 20], 99, 2)
+
+
+def test_read_model_missing_term_errors(spark, tmp_path):
+    path = str(tmp_path / "models")
+    write_model(
+        spark.createDataFrame([(0, 1), (2, 3)], "term_id int, w_micro long"),
+        path,
+        version=1,
+    )
+    with pytest.raises(ValueError, match="missing term_ids"):
+        read_model(spark, path)
+
+
+def test_current_model_shape(spark, tmp_path):
+    path = str(tmp_path / "models")
+    write_model(_wdf(spark, [1, 2], 3), path, version=1)
+    write_model(_wdf(spark, [4, 5], 6), path, version=7)
+    cur = current_model(spark.read.parquet(path))
+    got = {r["term_id"]: (r["w_micro"], r["version"]) for r in cur.collect()}
+    assert got == {0: (4, 7), 1: (5, 7), 2: (6, 7)}
+
+
+def test_registry_serve_equals_in_plan_trained(spark):
+    """The serve-from-table plan must reproduce the in-plan trained
+    selection bit-for-bit (the oracle hash-checks this cross-engine;
+    this pins it Spark-vs-Spark so a store bug fails fast and local)."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    served = sorted(
+        tuple(r) for r in QUERIES["model_registry_serve"](spark, SF_DIR).collect()
+    )
+    trained = sorted(
+        tuple(r)
+        for r in QUERIES["quality_classifier_select"](spark, SF_DIR).collect()
+    )
+    assert served == trained and len(served) > 0
+
+
+def test_trajectory_rounds_consistent(spark):
+    """rounds[-1] must equal a fresh fit at the same iters, and every
+    prefix must equal the shorter fit — the trajectory IS the versioned
+    model history."""
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 31 + d * 17) % 41 - 20) / 20.0 for d in range(4)], i % 2)
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    lab = F.col("label").cast("long")
+    fit3 = hardlogit_fit_trajectory(df, label_col=lab, dim=4, iters=3, lr_num=8)
+    fit2 = hardlogit_fit_trajectory(df, label_col=lab, dim=4, iters=2, lr_num=8)
+    assert len(fit3.rounds) == 3 and not fit3.sampled
+    assert fit3.rounds[:2] == fit2.rounds
+    assert fit3.n == 24 and fit3.train_df is df
+
+
+def test_sampled_fit_returns_training_frame(spark):
+    """Overflow sampling: the trajectory's train_df IS the md5 sample
+    (count == n), so a caller staging an extra round aggregates over
+    the same rows it divides by n for — the round-6 ADVICE consistency
+    fix."""
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.25), F.lit(-0.25)).cast("array<float>").alias("embedding"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    fit = hardlogit_fit_trajectory(
+        df,
+        label_col=F.col("label").cast("long"),
+        dim=2,
+        iters=2,
+        max_exact_rows=20,
+        on_overflow="sample",
+    )
+    assert fit.sampled
+    assert fit.train_df.count() == fit.n <= 20
+    assert len(fit.rounds) == 2
+
+
+def test_fit_dim256_matches_reference(spark):
+    """Dim-scaling pin (round-6 verdict ask #6): the dim+2-column
+    gradient aggregate is plan-width-linear; at embedding-realistic
+    dim=256 the distributed fit must still reproduce the sequential
+    reference integer-for-integer. (Bound notes: plan width is dim+2
+    aggregate exprs — fine through dim ~1024; past a few thousand,
+    switch to the posexplode/keyed-aggregate shape, see
+    hardlogit_fit_trajectory docstring.)"""
+    dim, n = 256, 48
+    rows = [
+        (i, [((i * 31 + d * 17) % 41 - 20) / 20.0 for d in range(dim)], i % 2)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    fit = hardlogit_fit_trajectory(
+        df, label_col=F.col("label").cast("long"), dim=dim, iters=2, lr_num=8
+    )
+    xs = [[round(x * MICRO) for x in v] for _, v, _ in rows]
+    ys = [y for _, _, y in rows]
+    rw, rb = fit_reference(xs, ys, iters=2, lr_num=8)
+    w, b = fit.rounds[-1]
+    assert w == rw and b == rb
+    assert any(x != 0 for x in w)

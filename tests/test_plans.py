@@ -115,7 +115,10 @@ EXCHANGE_CEILING = {
     "ab_test_zscore": 3, "ann_recall": 6,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
-    "bigram_familiarity": 5,  # +2 static: spread exchange planned per bg reference (runtime-reused) "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
+    # bigram_familiarity: +2 static: spread exchange planned per bg
+    # reference (runtime-reused)
+    "bigram_familiarity": 5,
+    "bloom_dedup_gate": 3, "cms_heavy_hitters": 4,
     "nearest_station_join": 2,
     "bigram_pmi": 6, "brand_supplier_distinct": 2, "cluster_centroids": 1,
     "contamination_check": 4, "corpus_quantiles": 1, "corpus_select_topp": 1,
@@ -180,6 +183,9 @@ EXCHANGE_CEILING = {
     "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
     "quality_classifier_train": 1,  # the final-round gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
+    "model_registry_serve": 0,  # scoring vs table-read literal weights
+    "model_version_diff": 1,  # two-version margin map + 10-class agg
+    "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
     "classifier_calibration": 1,  # the 10-bucket score aggregate
     "domain_minhash_overlap": 4,  # per-source signature agg x 2 join inputs
@@ -198,7 +204,8 @@ EXCHANGE_CEILING = {
     "curation_funnel_v2": 12,  # gopher + lm + classifier stages, doc-keyed joins
     "label_noise_audit": 1,  # 10-class disagreement aggregate (fit at build)
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
-    "ann_recall_methods": 21, "similarity_triangles": 6,
+    "ann_recall_methods": 26,  # +5 for the ivfpq_km leg (round-7 coarse compare)
+    "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
     "snapshot_diff_docs": 2, "sparse_lexical_topk": 9,
@@ -307,6 +314,8 @@ GROUPED_AGG_WINDOW_OK = {
     "classifier_auc",        # keys = fixed-width margin buckets; the margin
                              # range is bounded by the weight norm (model
                              # size), not the corpus row count
+    "classifier_pr_curve",   # same fixed-width margin-bucket domain as
+                             # classifier_auc (suffix-sum PR windows)
 }
 
 

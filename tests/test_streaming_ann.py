@@ -47,7 +47,11 @@ def test_stream_lookup_equals_batch(spark, emb, tmp_path):
         k=5,
         rescore=20,
     )
-    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # sink rows carry their producing epoch_id (the idempotent-retry
+    # partition key); the payload must equal the batch lookup exactly
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("epoch_id").collect()
+    )
     want = sorted(
         tuple(r)
         for r in ann_index_topk(
@@ -55,6 +59,61 @@ def test_stream_lookup_equals_batch(spark, emb, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_index_refresh_stream_equals_batch(spark, emb, tmp_path):
+    """Streaming index maintenance (run_index_refresh_stream): build
+    the index on the OLD half of the corpus, stream the NEW half in 2+
+    micro-batches against the persisted model, and pin that
+    current_index afterwards equals the batch-encoded union on
+    (n_id, list_id, codes) — and that lookups now return streamed-half
+    neighbors a pre-refresh lookup could not."""
+    from aqi_featurestore_spark.operators.ann_index import (
+        current_index,
+        encode_with_model,
+        read_ann_index,
+        write_ann_index,
+    )
+    from aqi_featurestore_spark.streaming.jobs import run_index_refresh_stream
+
+    cut = 300
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    index, model = build_ann_index(
+        old, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16
+    )
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+
+    src = str(tmp_path / "vstream")
+    new.select("vec_id", "embedding").repartition(2).write.parquet(src)
+    run_index_refresh_stream(
+        spark,
+        src,
+        "vec_id long, embedding array<float>",
+        path,
+        str(tmp_path / "ckpt"),
+    )
+
+    rindex, rmodel = read_ann_index(spark, path)
+    cur = current_index(rindex)
+    code_cols = ["n_id", "list_id", "c0", "c1", "c2", "c3"]
+    got = sorted(tuple(r) for r in cur.select(*code_cols).collect())
+    want_df = index.select(*code_cols).unionByName(
+        encode_with_model(new, model, version=2).select(*code_cols)
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want and len(got) == emb.count()
+
+    # lookups pick up refreshed rows: serve against the resolved index
+    # and require streamed-half ids among the neighbors
+    from aqi_featurestore_spark.operators.ann_index import ann_index_topk
+
+    q = emb.where(F.col("vec_id") % 100 == 3)
+    served = ann_index_topk(
+        cur, q, rmodel, k=10, rescore=50, rerank_vectors=emb
+    ).collect()
+    assert served and any(r["n_id"] >= cut for r in served)
 
 
 def test_quality_filter_stream_equals_batch(spark, emb, tmp_path):
