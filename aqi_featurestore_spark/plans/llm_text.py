@@ -762,9 +762,14 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices recall in scan fraction). Construction is shared across
     legs: ONE set of PQ codebook fits (the books hook), ONE coarse
     Lloyd fit, ONE localCheckpoint-ed exact leg; each leg re-encodes
-    only the cheap staged projections. Recall rises monotonically with
-    n_probe by construction (probe sets nest); the MEASURED curve
-    shows where it saturates."""
+    only the cheap staged projections. Probe sets NEST as n_probe
+    grows, but recall is NOT guaranteed monotone at a fixed ``rescore``
+    budget: extra probed cells add ADC-cheap impostors that can push
+    true neighbors out of the 50-candidate shortlist before the exact
+    re-rank sees them (measured at sf0.001: 0.39 at n_probe=2 vs 0.37
+    at 4) — which is exactly why the curve must be MEASURED, and why
+    n_probe and rescore tune together (raise rescore if recall dips as
+    probes rise)."""
     from dataclasses import replace
 
     from aqi_featurestore_spark.operators.ann_index import (
@@ -845,6 +850,63 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign_list, _ = coarse_udfs_from_centroids(cent, 1)
     cellc = (
         e.select(assign_list("embedding").alias("list_id"))
+        .groupBy("list_id")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    tot = cellc.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("list_id"))
+    return (
+        cellc.withColumn("size_rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+            "size_rank",
+            "n_cells",
+            F.round(
+                F.col("max_rows").cast("double")
+                * F.col("n_cells").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("max_skew"),
+        )
+    )
+
+
+@_q("serving_index_stats", approx_oracles.serving_index_stats_sql())
+def q_serving_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit of the SERVING quantizer: the same balance
+    metrics as `ann_index_stats` (share / size_rank / n_cells /
+    max_skew) computed for the k-means-TRAINED coarse fit the registry
+    index actually builds with (the measured-recall default — see
+    ann_index_serve), so the skew an operator ships is the skew of the
+    quantizer being served, while `ann_index_stats` keeps the fit-free
+    seeded baseline for comparison. Reading both prices what the Lloyd
+    rounds buy in balance (trained cells track density, so max_skew
+    drops) alongside what ann_recall_methods shows they buy in recall.
+
+    100 TB shape: the fit collapses at build (iters bounded aggregate
+    passes, k x dim driver state); the returned plan is one pure-JVM
+    literal-centroid assignment map into a 16-cell aggregate — the rank
+    window and totals ride the bounded cell domain."""
+    from aqi_featurestore_spark.operators.clustering import (
+        kmeans_assign_col,
+        kmeans_fit,
+    )
+    from aqi_featurestore_spark.operators.ann_index import _micro_col
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=16, iters=3, id_col="vec_id", vec_col="embedding")
+    cellc = (
+        e.select(kmeans_assign_col(_micro_col("embedding"), cents).alias("list_id"))
         .groupBy("list_id")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )

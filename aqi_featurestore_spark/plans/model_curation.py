@@ -415,6 +415,98 @@ SELECT CAST(bucket AS BIGINT) AS threshold_bucket, n_pred_pos, tp,
 FROM cm"""
 
 
+#: precision target for the tuned selection cut, as an exact fraction
+#: (3/4): the keep-threshold is the smallest margin bucket whose
+#: cumulative precision reaches it.
+_PREC_NUM, _PREC_DEN = 3, 4
+
+_SELECT_AT_PRECISION_SQL = f"""
+WITH {_fit_ctes()},
+{_scored_sql()},
+bk AS (
+  SELECT vec_id, {floordiv_sql("m", _AUC_BUCKET)} AS bucket, y, m, s FROM sc),
+bc AS (
+  SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM bk GROUP BY bucket),
+cm AS (
+  SELECT bucket,
+         CAST(SUM(pos) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(SUM(pos + neg) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pred_pos
+  FROM bc),
+cut AS (
+  SELECT MIN(bucket) AS b FROM cm
+  WHERE tp * {_PREC_DEN} >= n_pred_pos * {_PREC_NUM})
+SELECT k.vec_id, CAST(k.m AS BIGINT) AS margin_p12,
+       CAST(k.s AS BIGINT) AS quality_micro
+FROM bk k, cut WHERE k.bucket >= cut.b"""
+
+
+@_q("quality_select_at_precision", _SELECT_AT_PRECISION_SQL)
+def q_quality_select_at_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-TUNED corpus selection: instead of the fixed margin>0
+    cut (`quality_classifier_select`), pick the operating point off the
+    PR curve — the smallest margin bucket whose cumulative precision
+    reaches 3/4 (max recall at the precision floor, evaluated as the
+    EXACT integer predicate tp*4 >= n_pred_pos*3 — no float compare) —
+    and keep every row at or above it. This is the FineWeb-Edu
+    threshold-tuning step as ONE plan: curve, cut, and selection share
+    the same margins, so the kept set is exactly what the published
+    curve promises. If no bucket meets the floor, the cut is NULL and
+    the selection is honestly empty.
+
+    100 TB shape: one zero-shuffle margin map feeds BOTH the bounded
+    bucket aggregate (suffix-sum windows over bucket rows) and the
+    selection filter; the cut is a 1-row scalar broadcast onto the
+    stream — the dsir_select_threshold discipline, so a billion-doc
+    keep needs no global sort and no second scoring pass semantics
+    (the margin map re-evaluates scan-side, embarrassingly parallel)."""
+    e = _read(spark, sf_dir, "embeddings")
+    w, b = _get_fit(spark, sf_dir).rounds[-1]
+    vc = e.select(
+        "vec_id", micro_vec("embedding").alias("_v"), _label_col().alias("_y")
+    )
+    bk = vc.select(
+        "vec_id",
+        margin_col(F.col("_v"), w, b).alias("_m"),
+        "_y",
+    ).select(
+        "vec_id",
+        "_m",
+        floordiv_col(F.col("_m"), _AUC_BUCKET).alias("bucket"),
+        "_y",
+    )
+    bc = bk.groupBy("bucket").agg(
+        F.sum("_y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("_y")).cast("long").alias("neg"),
+    )
+    w_desc = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cm = bc.select(
+        "bucket",
+        F.sum("pos").over(w_desc).cast("long").alias("tp"),
+        F.sum(F.col("pos") + F.col("neg")).over(w_desc).cast("long").alias(
+            "n_pred_pos"
+        ),
+    )
+    cut = cm.where(
+        F.col("tp") * _PREC_DEN >= F.col("n_pred_pos") * _PREC_NUM
+    ).agg(F.min("bucket").alias("b"))
+    return (
+        bk.crossJoin(F.broadcast(cut))
+        .where(F.col("bucket") >= F.col("b"))
+        .select(
+            "vec_id",
+            F.col("_m").cast("long").alias("margin_p12"),
+            hard_sigmoid_micro(F.col("_m")).cast("long").alias("quality_micro"),
+        )
+    )
+
+
 @_q("classifier_pr_curve", _PR_CURVE_SQL)
 def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall curve of the trained scorer over every OBSERVED

@@ -270,6 +270,12 @@ EXTENDED_QUERIES = [
     "pq_reconstruction_error",
     "curation_funnel_v2",
     "label_noise_audit",
+    # round 7
+    "model_registry_serve",
+    "model_version_diff",
+    "classifier_pr_curve",
+    "serving_index_stats",
+    "quality_select_at_precision",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -166,6 +166,12 @@ AUDIT = [
     "pq_reconstruction_error",
     "curation_funnel_v2",
     "label_noise_audit",
+    # round 7
+    "model_registry_serve",
+    "model_version_diff",
+    "classifier_pr_curve",
+    "quality_select_at_precision",
+    "serving_index_stats",
 ]
 
 

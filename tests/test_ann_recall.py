@@ -20,7 +20,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # registry parameters (k=10; LSH 16 planes; IVF 16 lists x 4 probes;
 # PQ 4x16 codes; IVFADC = IVF coarse + PQ codes). Deterministic: seeded
 # hyperplanes, md5-seeded k-means, exact integer distances.
-PINNED_RECALL = {"lsh": 0.46, "ivf": 0.57, "pq": 0.45, "ivfpq": 0.39}
+PINNED_RECALL = {
+    "lsh": 0.46,
+    "ivf": 0.57,
+    "pq": 0.45,
+    "ivfpq": 0.39,
+    # trained coarse (3 Lloyd rounds): ties seeded at this 500-vector
+    # fixture; the decisive gap appears at sf0.01 (0.49 vs 0.34 — the
+    # measurement that switched the serving default, round 7)
+    "ivfpq_km": 0.37,
+}
 
 
 def test_ann_recall_methods_pinned(spark):

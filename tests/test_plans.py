@@ -87,6 +87,7 @@ BNLJ_OK = {
     "rolling_dau",           # day-spine range join (spine is day-domain-sized)
     "target_encoding",       # 1-row global-mean prior scalar
     "dsir_select_threshold",  # 1-row quantile-cut scalar onto the score stream
+    "quality_select_at_precision",  # 1-row precision-cut scalar onto the margins
     "domain_minhash_overlap",  # n_sources-row signature-table self-join
     "lm_perplexity_score",   # 1-row vocab-size scalar onto bigram types
     "hard_negative_mining",  # exact brute-force baseline (audit cost)
@@ -94,6 +95,7 @@ BNLJ_OK = {
     "k_anonymity_audit",     # 1-row total-rows scalar onto the size histogram
     "curation_funnel_v2",    # 1-row vocab scalar inside the lm stage
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
+    "serving_index_stats",   # 1-row totals scalar onto the 16-cell table
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
@@ -179,6 +181,7 @@ EXCHANGE_CEILING = {
     "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
     "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
+    "serving_index_stats": 4,  # same shape over the trained quantizer
     "ann_probe_sweep": 22,  # 4 lookups vs ONE checkpointed index + exact leg
     "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
     "quality_classifier_train": 1,  # the final-round gradient aggregate
@@ -186,6 +189,7 @@ EXCHANGE_CEILING = {
     "model_registry_serve": 0,  # scoring vs table-read literal weights
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
+    "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side
     "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
     "classifier_calibration": 1,  # the 10-bucket score aggregate
     "domain_minhash_overlap": 4,  # per-source signature agg x 2 join inputs
@@ -311,11 +315,13 @@ GROUPED_AGG_WINDOW_OK = {
                              # range (~5.6e4 distinct, documented in the query)
     "sequence_packing",      # keys = 256 prefix-sum offset buckets (fixed count)
     "ann_index_stats",       # keys = n_lists coarse cells (fixed by config)
+    "serving_index_stats",   # keys = n_lists trained coarse cells (fixed)
     "classifier_auc",        # keys = fixed-width margin buckets; the margin
                              # range is bounded by the weight norm (model
                              # size), not the corpus row count
     "classifier_pr_curve",   # same fixed-width margin-bucket domain as
                              # classifier_auc (suffix-sum PR windows)
+    "quality_select_at_precision",  # same margin-bucket domain (cut search)
 }
 
 
