@@ -159,6 +159,8 @@ def build_ann_index(
     attr_cols: tuple[str, ...] = (),
     coarse: str = "seeded",
     coarse_iters: int = 3,
+    coarse_cents: list[list[float]] | None = None,
+    books: list | None = None,
 ) -> tuple[DataFrame, AnnIndexModel]:
     """Fit the coarse quantizer + PQ codebooks and encode the corpus
     into index rows ``(n_id, version, list_id, c0..c{S-1})``. One
@@ -167,6 +169,12 @@ def build_ann_index(
     ``coarse``: "seeded" (fit-free) or "kmeans" (``coarse_iters``
     distributed Lloyd rounds — the MEASURED-recall serving choice, see
     :class:`AnnIndexModel`).
+
+    ``coarse_cents`` / ``books``: share-one-fit hooks (the
+    cosine_topk_pq ``books`` contract): pass a kmeans_fit output and/or
+    PQ codebooks to skip the corresponding fit passes — the registry's
+    serving queries build every index of a session from ONE coarse fit
+    and ONE books fit.
 
     ``attr_cols``: filterable metadata columns copied onto the index
     rows (label, language, license, source domain, ...) — the
@@ -187,20 +195,26 @@ def build_ann_index(
         from aqi_featurestore_spark.operators.clustering import kmeans_fit
 
         cent_q = []
-        cent_d = kmeans_fit(
-            corpus, k=n_lists, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+        cent_d = (
+            coarse_cents
+            if coarse_cents is not None
+            else kmeans_fit(
+                corpus, k=n_lists, iters=coarse_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
         )
     else:
         raise ValueError(f"unknown coarse mode {coarse!r}")
-    books = _pq_fit_books(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_subspaces=n_subspaces,
-        n_codes=n_codes,
-        iters=pq_iters,
-        dim=dim,
-    )
+    if books is None:
+        books = _pq_fit_books(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            iters=pq_iters,
+            dim=dim,
+        )
     model = AnnIndexModel(
         cent_q=cent_q,
         books=books,

@@ -712,18 +712,24 @@ def _kmeans_coarse_cols(
     n_lists: int,
     n_probe: int,
     iters: int,
+    cents: list[list[float]] | None = None,
 ):
     """k-means coarse quantizer: distributed exact-integer Lloyd's over
     the FULL corpus — one fit shared with the clustering family (round-4
     verdict ask #2: one k-means, one scale story). Assignment and
     probing are literal-centroid JVM projections: no pandas boundary,
     zero exchanges, the same pinned arithmetic the clustering oracles
-    hash-verify. Returns (assign_list, probe_lists) Column builders."""
+    hash-verify. Returns (assign_list, probe_lists) Column builders.
+
+    ``cents``: share-one-fit hook (the ``books`` contract): pass the
+    kmeans_fit output to skip the Lloyd passes — how the registry's
+    serving queries reuse ONE session coarse fit."""
     from aqi_featurestore_spark.operators import clustering as _cl
 
-    cents = _cl.kmeans_fit(
-        corpus, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if cents is None:
+        cents = _cl.kmeans_fit(
+            corpus, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
 
     def _micro(col: str) -> Column:
         return F.transform(
@@ -880,6 +886,7 @@ def cosine_topk_ivfpq(
     round_scores: int = 6,
     coarse: str = "seeded",
     books: list | None = None,
+    coarse_cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVFADC: IVF cell pruning composed with PQ code scoring (Jégou et
     al. 2011, §IV — the inverted-file + asymmetric-distance index that
@@ -944,6 +951,7 @@ def cosine_topk_ivfpq(
             n_lists=n_lists,
             n_probe=n_probe,
             iters=coarse_iters,
+            cents=coarse_cents,
         )
     else:
         raise ValueError(f"unknown coarse mode {coarse!r}")

@@ -69,6 +69,37 @@ from aqi_featurestore_spark.plans._base import (  # noqa: F401
 # ---------------------------------------------------------------------------
 
 
+#: Serving-fit session cache (the model-curation trajectory-cache
+#: discipline applied to the ANN serving family): every serving-snapshot
+#: query of a session — serve, filtered, probe sweep, balance audit, and
+#: the recall table's ivfpq_km leg — shares ONE k-means coarse fit
+#: (k=16, 3 Lloyd rounds) and ONE set of PQ codebooks (4x16, 1 round)
+#: over the same corpus. The fits are deterministic, so results are
+#: bit-identical to per-query refits (the oracles re-derive them from
+#: scratch either way); what changes is that a session stops paying the
+#: identical fit aggregates once per query.
+_SERVING_FITS: dict[tuple[str, str], tuple[list, list]] = {}
+
+
+def _serving_fits(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    import os
+
+    from aqi_featurestore_spark.operators.clustering import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _SERVING_FITS:
+        e = _read(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(
+            e, k=16, iters=3, id_col="vec_id", vec_col="embedding"
+        )
+        books = pq_fit_books(
+            e, id_col="vec_id", vec_col="embedding",
+            n_subspaces=4, n_codes=16, iters=1, dim=64,
+        )
+        _SERVING_FITS[key] = (cents, books)
+    return _SERVING_FITS[key]
+
+
 @_q(
     "dedup_exact_docs",
     """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
@@ -616,10 +647,9 @@ def q_ann_recall_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     e_nv.unpersist()
-    books = pq_fit_books(
-        e, id_col="vec_id", vec_col="embedding",
-        n_subspaces=4, n_codes=16, iters=1, dim=64,
-    )
+    # ONE PQ books fit shared across the pq/ivfpq/ivfpq_km legs AND the
+    # session (the serving-fit cache: identical params, identical fit).
+    books = _serving_fits(spark, sf_dir)[1]
     legs = {
         "lsh": cosine_topk_lsh(q, e, k=10),
         "ivf": cosine_topk_ivf(q, e, k=10, n_lists=16, n_probe=4, centroids="seeded"),
@@ -635,6 +665,7 @@ def q_ann_recall_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_km": cosine_topk_ivfpq(
             q, e, k=10, n_lists=16, n_probe=4, coarse="kmeans",
             coarse_iters=3, books=books,
+            coarse_cents=_serving_fits(spark, sf_dir)[0],
         ),
     }
     counted = []
@@ -678,7 +709,7 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_ivfpq(
         q, e, k=10, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
-        coarse="seeded",
+        coarse="seeded", books=_serving_fits(spark, sf_dir)[1],
     )
 
 
@@ -714,9 +745,10 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
+    cents, books = _serving_fits(spark, sf_dir)
     index, model = build_ann_index(
         e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
-        coarse="kmeans", coarse_iters=3,
+        coarse="kmeans", coarse_iters=3, coarse_cents=cents, books=books,
     )
     index = index.localCheckpoint()
     return ann_index_topk(index, q, model, k=10, rescore=50, rerank_vectors=e)
@@ -789,9 +821,10 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoded once instead of once per leg (ann_index_topk is hash-proven
     # bit-identical at equal params by the ann_index_serve oracle, so the
     # sweep's oracle is the per-probe unroll of the same chain).
+    cents, books = _serving_fits(spark, sf_dir)
     index, model = build_ann_index(
         e, n_lists=16, n_probe=_SWEEP_PROBES[0], n_subspaces=4, n_codes=16,
-        coarse="kmeans", coarse_iters=3,
+        coarse="kmeans", coarse_iters=3, coarse_cents=cents, books=books,
     )
     index = index.localCheckpoint()
     counted = []
@@ -897,14 +930,11 @@ def q_serving_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, k x dim driver state); the returned plan is one pure-JVM
     literal-centroid assignment map into a 16-cell aggregate — the rank
     window and totals ride the bounded cell domain."""
-    from aqi_featurestore_spark.operators.clustering import (
-        kmeans_assign_col,
-        kmeans_fit,
-    )
+    from aqi_featurestore_spark.operators.clustering import kmeans_assign_col
     from aqi_featurestore_spark.operators.ann_index import _micro_col
 
     e = _read(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(e, k=16, iters=3, id_col="vec_id", vec_col="embedding")
+    cents, _books = _serving_fits(spark, sf_dir)
     cellc = (
         e.select(kmeans_assign_col(_micro_col("embedding"), cents).alias("list_id"))
         .groupBy("list_id")
@@ -967,9 +997,11 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
+    cents, books = _serving_fits(spark, sf_dir)
     index, model = build_ann_index(
         e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
         attr_cols=("label",), coarse="kmeans", coarse_iters=3,
+        coarse_cents=cents, books=books,
     )
     index = index.localCheckpoint()
     return ann_index_topk(
@@ -989,7 +1021,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_recall_methods``."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk_pq(q, e, k=10)
+    return cosine_topk_pq(q, e, k=10, books=_serving_fits(spark, sf_dir)[1])
 
 
 _REVENUE_BY_NATION_SQL = """
@@ -1767,9 +1799,11 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf fix) with `similarity_topk_pq`; the oracle unrolls the same
     Lloyd rounds, so every codeword and every min distance agrees
     bit-for-bit. Error accumulation is two-limb exact-int (operator
-    docstring, operators/similarity.py pq_reconstruction_stats).
+    docstring, operators/similarity.py pq_reconstruction_stats); the
+    codebooks come from the session serving-fit cache (same fit the
+    oracle re-derives).
 
     100 TB shape: zero-join error pass against broadcast literal
     codewords into one n_subspaces-row aggregate."""
     e = _read(spark, sf_dir, "embeddings")
-    return pq_reconstruction_stats(e)
+    return pq_reconstruction_stats(e, books=_serving_fits(spark, sf_dir)[1])
