@@ -1797,3 +1797,168 @@ def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog distinct-count audit (round 7) — completes the
+# portable-sketch family (CMS heavy hitters, Bloom dedup gate).
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+#: rank field width: 63-bit md5 hash minus the 8 index bits
+_HLL_RBITS = 63 - _HLL_P  # 55 -> rank in [1, 56]
+_HLL_RMAX = _HLL_RBITS + 1
+#: low-limb width for the exact harmonic sum (2^(56-M) terms)
+_HLL_LIMB = 1 << 28
+#: alpha_m * m^2 * 2^RMAX, computed once in Python and inlined as the
+#: SAME double literal on both engines (repr round-trips exactly)
+_HLL_ALPHA_NUM = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * (1 << _HLL_RMAX))
+_HLL_SMALL = 2.5 * _HLL_M  # linear-counting switchover
+
+
+_HLL_SQL = rf"""
+WITH tok AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+tokv AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS token
+  FROM tok),
+hv AS (
+  SELECT source, {_ph.duck_md5_int63("md5('hll|' || token)")} AS h63
+  FROM tokv),
+rr AS (
+  SELECT source, h63 % {_HLL_M} AS idx, h63 // {_HLL_M} AS rest
+  FROM hv),
+regs AS (
+  SELECT source, idx,
+         MAX(CASE WHEN rest = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(rest)) END) AS m
+  FROM rr GROUP BY source, idx),
+limbs AS (
+  SELECT source,
+         CAST(SUM((CAST(1 AS BIGINT) << ({_HLL_RMAX} - m)) // {_HLL_LIMB})
+              AS BIGINT) AS hi,
+         CAST(SUM((CAST(1 AS BIGINT) << ({_HLL_RMAX} - m)) % {_HLL_LIMB})
+              AS BIGINT) AS lo,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v
+  FROM regs GROUP BY source),
+ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tokv GROUP BY source),
+est AS (
+  SELECT l.source, e.n_exact, l.v AS n_empty_regs,
+         CASE WHEN ({_HLL_ALPHA_NUM} /
+                    (CAST(l.hi + l.v * {_HLL_LIMB} AS DOUBLE) * {_HLL_LIMB}.0
+                     + CAST(l.lo AS DOUBLE))) <= {_HLL_SMALL} AND l.v > 0
+              THEN {_HLL_M} * ln({_HLL_M} / CAST(l.v AS DOUBLE))
+              ELSE ({_HLL_ALPHA_NUM} /
+                    (CAST(l.hi + l.v * {_HLL_LIMB} AS DOUBLE) * {_HLL_LIMB}.0
+                     + CAST(l.lo AS DOUBLE)))
+         END AS e
+  FROM limbs l JOIN ex e USING (source))
+SELECT source, n_exact, n_empty_regs,
+       round(e, 4) AS hll_estimate,
+       round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         AS rel_err
+FROM est"""
+
+
+@_q("hll_distinct_audit", _HLL_SQL)
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality audit: per-source
+    distinct-3-gram-shingle estimates from a 256-register HLL (p=8,
+    Flajolet et al. 2007 — public paper, method only) laid side by side
+    with the EXACT distinct count and the relative error — the
+    sketch-accuracy audit an operator reads before trusting approx
+    counts at scale, and the third member of the portable-sketch family
+    (CMS `cms_heavy_hitters`, Bloom `bloom_dedup_gate`). Shingles, not
+    tokens, are the counted unit: their per-source cardinality (~1.3k
+    here) exercises the RAW harmonic-mean branch, the regime HLL exists
+    for, while sources with few distinct values would fall into the
+    linear-counting branch — both paths live in the one CASE.
+
+    Portability (the md5 discipline): the 63-bit register hash is
+    md5-derived, the register index is h mod 256, and the rank is
+    computed from the remaining 55 bits via binary-STRING length
+    (``length(bin(rest))`` — identical minimal-width semantics in Spark
+    and DuckDB), so both engines build byte-identical register files.
+    The harmonic sum is EXACT integers: each register contributes
+    2^(56-M) assembled in two int64 limbs (the q1 discipline; empty
+    registers fold in as v * 2^28 on the high limb), and the estimate
+    is ONE pinned double expression over the limbs. alpha*m^2*2^56 is
+    computed once in Python and inlined as the same literal on both
+    sides. The small-range branch (raw <= 2.5m with empty registers)
+    uses linear counting m*ln(m/V) — the one libm call, rounded at 4
+    (the feature_mi precedent).
+
+    100 TB shape: the WHOLE state per group is 256 registers — the
+    point of HLL: the register aggregate map-combines (MAX is
+    mergeable), so distinct counting at any corpus size shuffles at
+    most n_sources x 256 tiny rows, never tokens. The exact COUNT
+    DISTINCT leg exists to MEASURE the sketch (audit cost, same
+    contract as ann_recall's brute leg); production drops it and keeps
+    the sketch."""
+    from aqi_featurestore_spark.functions.text import word_shingles
+
+    dt = (
+        _read(spark, sf_dir, "documents")
+        .select("source", F.explode(word_shingles("text", 3)).alias("token"))
+        .distinct()
+    )
+    h63 = _ph.md5_int63(F.concat(F.lit("hll|"), F.col("token")))
+    # rest = h63 >> p: exact integer shift (a double division would lose
+    # bits above 2^53 on a 63-bit hash)
+    rr = dt.select(
+        "source",
+        (h63 % _HLL_M).alias("idx"),
+        F.shiftright(h63, _HLL_P).cast("long").alias("rest"),
+    )
+    regs = (
+        rr.select(
+            "source",
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(_HLL_RMAX))
+            .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin("rest")))
+            .cast("long")
+            .alias("rank"),
+        )
+        .groupBy("source", "idx")
+        .agg(F.max("rank").alias("m"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - m AS INT))")
+    limbs = regs.select(
+        "source",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - m AS INT)) div {_HLL_LIMB}"
+        ).alias("thi"),
+        (term % F.lit(_HLL_LIMB)).alias("tlo"),
+    ).groupBy("source").agg(
+        F.sum("thi").cast("long").alias("hi"),
+        F.sum("tlo").cast("long").alias("lo"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v"),
+    )
+    ex = dt.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    j = limbs.join(ex, ["source"])
+    raw = F.lit(float(_HLL_ALPHA_NUM)) / (
+        (F.col("hi") + F.col("v") * _HLL_LIMB).cast("double")
+        * F.lit(float(_HLL_LIMB))
+        + F.col("lo").cast("double")
+    )
+    e = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return j.select(
+        "source",
+        "n_exact",
+        F.col("v").alias("n_empty_regs"),
+        F.round(e, 4).alias("hll_estimate"),
+        F.round(
+            (e - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

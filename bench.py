@@ -276,6 +276,7 @@ EXTENDED_QUERIES = [
     "classifier_pr_curve",
     "serving_index_stats",
     "quality_select_at_precision",
+    "hll_distinct_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

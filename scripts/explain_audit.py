@@ -172,6 +172,7 @@ AUDIT = [
     "classifier_pr_curve",
     "quality_select_at_precision",
     "serving_index_stats",
+    "hll_distinct_audit",
 ]
 
 

@@ -190,6 +190,7 @@ EXCHANGE_CEILING = {
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side
+    "hll_distinct_audit": 5,  # distinct + register agg + limb agg + exact leg + join
     "feature_mi": 2,  # cell-count agg + marginal windows over 1024 cells
     "classifier_calibration": 1,  # the 10-bucket score aggregate
     "domain_minhash_overlap": 4,  # per-source signature agg x 2 join inputs

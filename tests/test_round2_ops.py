@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
+
 from aqi_featurestore_spark.plans import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -139,6 +141,27 @@ def test_sketch_one_sidedness(spark):
     bloom = QUERIES["bloom_dedup_gate"](spark, sf).collect()
     assert len(bloom) > 0
     assert all(r["maybe_dup"] == 1 for r in bloom if r["exact_dup"] == 1)
+
+
+def test_hll_audit_accuracy_and_state(spark):
+    """Portable HLL audit: every per-source estimate lands within 4
+    standard errors (4 * 1.04/sqrt(256) = 26%) of the exact distinct
+    count at the ~1.3k-cardinality fixture; register accounting is
+    consistent (0 <= empty registers < 256, and high cardinality means
+    few empties); rerun is bit-stable (pure md5 state, no RNG)."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["hll_distinct_audit"](spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_empty_regs"] < 256
+        assert abs(r["rel_err"]) <= 0.26, r
+        assert r["hll_estimate"] == pytest.approx(
+            r["n_exact"] * (1 + r["rel_err"]), rel=1e-3
+        )
+    rerun = {tuple(r) for r in QUERIES["hll_distinct_audit"](spark, sf).collect()}
+    assert rerun == {tuple(r) for r in rows}
 
 
 def test_lttb_picks_max_area_point(spark):
