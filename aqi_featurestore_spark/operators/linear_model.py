@@ -138,8 +138,17 @@ def hardlogit_fit_trajectory(
     lr_num: int = 8,
     max_exact_rows: int = MAX_EXACT_ROWS,
     on_overflow: str = "sample",
+    init: tuple[list[int], int] | None = None,
 ) -> HardlogitFit:
     """Full-batch hard-sigmoid GD keeping every round's weights.
+
+    ``init``: warm-start state (w_micro, b_micro) — e.g. weights read
+    back from the model registry. Because each round is a pure function
+    of (weights, data), warm-starting from round T's state and running
+    k more rounds is BIT-IDENTICAL to a cold fit at T+k rounds on the
+    same data (property-pinned in tests/test_model_store.py) — which is
+    what makes registry-based model refresh exact rather than
+    approximate.
 
     ``label_col``: a 0/1 integer Column (the binary quality target).
     ``lr_num`` must divide 2e6 (lr = lr_num / 2); the weight update is
@@ -174,8 +183,12 @@ def hardlogit_fit_trajectory(
         label_col.cast("long").alias("_y"),
     ).persist()
     try:
-        w = [0] * dim
-        b = 0
+        if init is not None:
+            w, b = [int(x) for x in init[0]], int(init[1])
+            if len(w) != dim:
+                raise ValueError(f"init has dim {len(w)}, expected {dim}")
+        else:
+            w, b = [0] * dim, 0
         n = 0
         rounds: list[tuple[list[int], int]] = []
         for _ in range(iters):
@@ -220,6 +233,7 @@ def hardlogit_fit_trajectory(
                     lr_num=lr_num,
                     max_exact_rows=max_exact_rows,
                     on_overflow="error",
+                    init=init,
                 )
                 return HardlogitFit(
                     rounds=refit.rounds,

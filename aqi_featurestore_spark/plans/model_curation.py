@@ -312,6 +312,86 @@ def q_model_registry_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_plan(_read(spark, sf_dir, "embeddings"), w, b)
 
 
+#: warm-start continuation depth: registry model (6 rounds) + 2 more
+_WARM_EXTRA = 2
+
+_WARM_START_SQL = f"""
+WITH {_fit_ctes(_ITERS + _WARM_EXTRA)}
+SELECT CAST(t.d AS INT) AS term_id,
+       CAST(w.wl[t.d + 1] AS BIGINT) AS w_micro
+FROM w{_ITERS + _WARM_EXTRA} w, range(0, {_DIM}) t(d)
+UNION ALL
+SELECT {_DIM} AS term_id, CAST(b AS BIGINT) AS w_micro
+FROM w{_ITERS + _WARM_EXTRA}"""
+
+
+@_q("model_warm_start_train", _WARM_START_SQL)
+def q_model_warm_start_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model REFRESH from the registry: read the current (6-round)
+    weights back from the persisted model table and continue gradient
+    descent for two more rounds — the registry-based retraining
+    path a production pipeline runs when new labels land, closing the
+    model lifecycle (train -> publish -> serve/audit -> warm-start
+    refresh). Because each GD round is a pure function of (weights,
+    data), warm-starting from the registry state is BIT-IDENTICAL to a
+    cold 8-round fit on the same data — which is exactly what the
+    oracle computes (8 unrolled rounds) and what makes the refresh
+    exact: no drift can hide in the round-trip (the weights table is
+    integer micro-units end to end).
+
+    Shape: round 7 collapses at build (one bounded aggregate over the
+    session fit's train_df); round 8 IS the plan — the same staged
+    margin map + dim+2-column gradient aggregate as
+    `quality_classifier_train`, updating from literal round-7 weights.
+
+    100 TB shape: identical to the train query — a refresh costs
+    ``extra`` bounded gradient aggregates, never a from-scratch fit
+    history."""
+    fit = _get_fit(spark, sf_dir)
+    path = _model_store_path(spark, sf_dir)
+    w6, b6 = read_model(spark, path)[:2]
+    # warm-continue rounds 7..(6+extra-1) at build over the SAME frame
+    # the registry model was trained on; stage the final round in-plan
+    cont = hardlogit_fit_trajectory(
+        fit.train_df,
+        label_col=_label_col(),
+        dim=_DIM,
+        iters=_WARM_EXTRA - 1,
+        lr_num=_LR_NUM,
+        init=(w6, b6),
+    )
+    w7, b7 = cont.rounds[-1]
+    n = cont.n
+    vc = fit.train_df.select(
+        micro_vec("embedding").alias("_v"), _label_col().alias("_y")
+    )
+    staged = vc.select(
+        "_v", margin_col(F.col("_v"), w7, b7).alias("_m"), "_y"
+    ).select(
+        "_v", (hard_sigmoid_micro(F.col("_m")) - F.col("_y") * MICRO).alias("_e")
+    )
+    grads = staged.agg(
+        *[
+            F.sum(F.element_at("_v", d + 1) * F.col("_e")).alias(f"g{d}")
+            for d in range(_DIM)
+        ],
+        F.sum("_e").alias("gb"),
+    )
+    upd = F.array(
+        *[
+            F.lit(int(w7[d])).cast("long")
+            - floordiv_col(F.col(f"g{d}"), n * _W_DEN)
+            for d in range(_DIM)
+        ],
+        F.lit(int(b7)).cast("long")
+        - floordiv_col(F.lit(_LR_NUM).cast("long") * F.col("gb"), 2 * n),
+    )
+    return grads.select(F.posexplode(upd).alias("term_id", "w_micro")).select(
+        F.col("term_id").cast("int").alias("term_id"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+    )
+
+
 def _margin_sql(w_cte: str) -> str:
     fold = (
         "list_reduce(list_transform(range(1, 65), "

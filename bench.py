@@ -277,6 +277,7 @@ EXTENDED_QUERIES = [
     "serving_index_stats",
     "quality_select_at_precision",
     "hll_distinct_audit",
+    "model_warm_start_train",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -173,6 +173,7 @@ AUDIT = [
     "quality_select_at_precision",
     "serving_index_stats",
     "hll_distinct_audit",
+    "model_warm_start_train",
 ]
 
 

@@ -185,6 +185,7 @@ EXCHANGE_CEILING = {
     "ann_probe_sweep": 22,  # 4 lookups vs ONE checkpointed index + exact leg
     "classifier_auc": 2,  # bucket-count agg + 1-row rank-sum agg
     "quality_classifier_train": 1,  # the final-round gradient aggregate
+    "model_warm_start_train": 1,  # the staged round-8 gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
     "model_registry_serve": 0,  # scoring vs table-read literal weights
     "model_version_diff": 1,  # two-version margin map + 10-class agg
