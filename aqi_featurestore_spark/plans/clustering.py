@@ -53,8 +53,11 @@ _SEM_TAU = 0.8
 #: discipline): the five md5-seeded k=8 queries of this family share
 #: ONE Lloyd fit per (session, sf_dir, seeding) — the fit is
 #: deterministic, so results are bit-identical to per-query refits
-#: (every oracle re-derives the fit from scratch regardless).
-_CLUSTER_FITS: dict[tuple[str, str, str], list[list[float]]] = {}
+#: (every oracle re-derives the fit from scratch regardless). Keyed by
+#: corpus fingerprint (listing + sizes + mtimes) so a mid-session data
+#: rewrite misses the cache instead of serving a stale fit (round-7
+#: ADVICE).
+_CLUSTER_FITS: dict[tuple[str, str, str, str], list[list[float]]] = {}
 
 
 def _cluster_fit(
@@ -62,7 +65,14 @@ def _cluster_fit(
 ) -> list[list[float]]:
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), seeding)
+    from aqi_featurestore_spark.plans._base import corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(spark, sf_dir),
+        seeding,
+    )
     if key not in _CLUSTER_FITS:
         e = _read(spark, sf_dir, "embeddings")
         _CLUSTER_FITS[key] = kmeans_fit(

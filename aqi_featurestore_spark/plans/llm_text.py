@@ -77,16 +77,23 @@ from aqi_featurestore_spark.plans._base import (  # noqa: F401
 #: over the same corpus. The fits are deterministic, so results are
 #: bit-identical to per-query refits (the oracles re-derive them from
 #: scratch either way); what changes is that a session stops paying the
-#: identical fit aggregates once per query.
-_SERVING_FITS: dict[tuple[str, str], tuple[list, list]] = {}
+#: identical fit aggregates once per query. Keyed by corpus fingerprint
+#: (listing + sizes + mtimes) so a mid-session data rewrite misses the
+#: cache instead of serving a stale fit (round-7 ADVICE).
+_SERVING_FITS: dict[tuple[str, str, str], tuple[list, list]] = {}
 
 
 def _serving_fits(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     import os
 
     from aqi_featurestore_spark.operators.clustering import kmeans_fit
+    from aqi_featurestore_spark.plans._base import corpus_fingerprint
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(spark, sf_dir),
+    )
     if key not in _SERVING_FITS:
         e = _read(spark, sf_dir, "embeddings")
         cents = kmeans_fit(

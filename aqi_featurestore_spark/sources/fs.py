@@ -67,3 +67,25 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
             continue
         out.append((st.getPath().toString(), int(st.getLen())))
     return out
+
+
+def list_file_stats(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """Recursive (path, size, mtime_ms) listing of data files — the
+    fingerprint input for session fit caches (plans/_base.py
+    corpus_fingerprint). Same traversal as :func:`list_data_files`,
+    plus modification time so a same-size rewrite still changes the
+    fingerprint."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(
+            (st.getPath().toString(), int(st.getLen()), int(st.getModificationTime()))
+        )
+    return out

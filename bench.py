@@ -278,6 +278,9 @@ EXTENDED_QUERIES = [
     "quality_select_at_precision",
     "hll_distinct_audit",
     "model_warm_start_train",
+    # round 8
+    "model_registry_list",
+    "model_weight_drift",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -356,9 +359,12 @@ def main() -> None:
     # Variance harness: --repeat N (or $SPARK_GRAFT_BENCH_REPEAT) runs the
     # headline pass N times; per-query time = min across all passes, and the
     # per-pass totals + median are reported so run-to-run spread is visible
-    # in the artifact. Default 1 = the round-1..4 protocol, so `value` stays
-    # comparable across rounds.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    # in the artifact. Default 3 as of round 8 (round-7 verdict ask #6: the
+    # committed round artifact should BE the repeat-median evidence, not a
+    # repeat=1 run beside it). `value` stays comparable with rounds 1..7:
+    # it is still the min-per-query sum, and min over more passes can only
+    # tighten toward the same floor.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     spark = get_spark("bench")

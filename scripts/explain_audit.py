@@ -174,6 +174,9 @@ AUDIT = [
     "serving_index_stats",
     "hll_distinct_audit",
     "model_warm_start_train",
+    # round 8
+    "model_registry_list",
+    "model_weight_drift",
 ]
 
 

@@ -277,3 +277,129 @@ def test_filtered_lookup_filter_then_search(spark, emb):
     post = [r for r in unfiltered if r["n_id"] in even_ids]
     # filter-then-search keeps full depth; post-filter loses rows
     assert len(filtered) > len(post)
+
+
+def test_refresh_refuses_mismatched_model(spark, emb, built, tmp_path):
+    """Round-7 ADVICE: mode='refresh' must verify the passed model
+    against the persisted coarse/books tables — rows encoded with a
+    refit model would mis-decode against the stored codebooks. Also:
+    refresh against a path with no model tables refuses."""
+    import dataclasses
+
+    from aqi_featurestore_spark.operators.ann_index import encode_with_model
+
+    index, model = built
+    path = str(tmp_path / "annidx")
+    with pytest.raises(ValueError, match="no persisted model"):
+        write_ann_index(index, model, path, mode="refresh")
+    write_ann_index(index, model, path)
+    # perturb one codebook centroid -> a "refit" model
+    bad_books = [[list(c) for c in s] for s in model.books]
+    bad_books[0][0][0] += 1.0
+    bad = dataclasses.replace(model, books=bad_books)
+    rows = encode_with_model(emb.where(F.col("vec_id") < 3), bad, version=2)
+    with pytest.raises(ValueError, match="does not match the persisted"):
+        write_ann_index(rows, bad, path, mode="refresh")
+    # the true persisted model still refreshes fine
+    _, rmodel = read_ann_index(spark, path)
+    ok = encode_with_model(emb.where(F.col("vec_id") < 3), rmodel, version=2)
+    write_ann_index(ok, rmodel, path, mode="refresh")
+
+
+def test_legacy_coarse_schema_reads_as_seeded(spark, emb, built, tmp_path):
+    """Pre-round-7 indexes persisted the coarse table WITHOUT a 'mode'
+    column; they must read back under seeded-int64 semantics (the
+    format they were written with) instead of a KeyError."""
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    # strip the mode column in place, simulating the legacy layout
+    legacy = spark.read.parquet(f"{path}/coarse").drop("mode").collect()
+    spark.createDataFrame(
+        legacy, "list_id int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    rindex, rmodel = read_ann_index(spark, path)
+    assert rmodel.coarse == "seeded"
+    assert rmodel.cent_q == model.cent_q
+    served = ann_index_topk(
+        current_index(rindex),
+        emb.where(F.col("vec_id") % 100 == 3),
+        rmodel,
+        k=5,
+        rescore=20,
+        rerank_vectors=emb,
+    )
+    assert served.count() > 0
+
+
+def test_as_of_time_travel_replay(spark, emb, built, tmp_path):
+    """Versioned-PIT discipline on the index (round-7 verdict ask #7):
+    a lookup replayed as_of the pre-refresh version must match the
+    archived pre-refresh result exactly, while the current lookup sees
+    the refreshed rows."""
+    from aqi_featurestore_spark.operators.ann_index import encode_with_model
+
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    q = emb.where(F.col("vec_id") % 100 == 7)
+
+    def serve(idx):
+        return ann_index_topk(
+            current_index(idx), q, model, k=5, rescore=20, rerank_vectors=emb
+        )
+
+    archived = _rows(serve(spark.read.parquet(f"{path}/index")))
+    # refresh: re-embed vec_id < 50 with SHIFTED vectors (codes change)
+    shifted = emb.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    rows2 = encode_with_model(shifted, model, version=2)
+    write_ann_index(rows2, model, path, mode="refresh")
+
+    idx_asof, _ = read_ann_index(spark, path, as_of=1)
+    assert _rows(serve(idx_asof)) == archived
+    idx_cur, _ = read_ann_index(spark, path)
+    assert _rows(serve(idx_cur)) != archived
+
+
+def test_vacuum_ann_index_contract(spark, emb, built, tmp_path):
+    """Vacuum keep-contract: current_index and every in-window as_of
+    read bit-identical before/after; data files shrink; below-floor
+    as_of raises; protected versions refuse."""
+    from aqi_featurestore_spark.operators.ann_index import (
+        encode_with_model,
+        index_retention_floor,
+        vacuum_ann_index,
+    )
+    from aqi_featurestore_spark.sources import fs
+
+    index, model = built
+    path = str(tmp_path / "annidx")
+    write_ann_index(index, model, path)
+    for v in (2, 3, 4):
+        sub = emb.where(F.col("vec_id") < 20 * v)
+        write_ann_index(
+            encode_with_model(sub, model, version=v), model, path, mode="refresh"
+        )
+    cur_before = _rows(current_index(spark.read.parquet(f"{path}/index")))
+    asof3_before = _rows(current_index(spark.read.parquet(f"{path}/index"), as_of=3))
+    files_before = len(fs.list_data_files(spark, f"{path}/index"))
+
+    with pytest.raises(ValueError, match="protected versions"):
+        vacuum_ann_index(spark, path, keep_versions=2, protect=(1,))
+    stats = vacuum_ann_index(spark, path, keep_versions=2)
+    assert stats["min_as_of"] == 3
+    assert index_retention_floor(spark, path) == 3
+    assert stats["files_after"] < files_before
+    assert stats["rows_after"] < stats["rows_before"]
+
+    idx_cur, _ = read_ann_index(spark, path)
+    assert _rows(current_index(idx_cur)) == cur_before
+    idx3, _ = read_ann_index(spark, path, as_of=3)
+    assert _rows(current_index(idx3)) == asof3_before
+    with pytest.raises(ValueError, match="retention floor"):
+        read_ann_index(spark, path, as_of=2)

@@ -16,8 +16,12 @@ from aqi_featurestore_spark.operators.linear_model import (
     hardlogit_fit_trajectory,
 )
 from aqi_featurestore_spark.operators.model_store import (
+    ModelMeta,
     current_model,
+    list_models,
     read_model,
+    retention_floor,
+    vacuum_model_registry,
     write_model,
 )
 
@@ -37,8 +41,8 @@ def test_roundtrip_bit_lossless_and_version_pinning(spark, tmp_path):
     path = str(tmp_path / "models")
     w1, b1 = [5, -7, 123_456], -42
     w2, b2 = [6, -9, 123_000], -40
-    write_model(_wdf(spark, w1, b1), path, version=1)
-    write_model(_wdf(spark, w2, b2), path, version=2)
+    write_model(_wdf(spark, w1, b1), path, version=1, dim=3)
+    write_model(_wdf(spark, w2, b2), path, version=2, dim=3)
     w, b, v = read_model(spark, path)
     assert (w, b, v) == (w2, b2, 2)
     w, b, v = read_model(spark, path, version=1)
@@ -49,15 +53,43 @@ def test_partial_refresh_latest_per_term(spark, tmp_path):
     """A version that republishes ONE term supersedes just that term —
     the Redis-overwrite semantics per term_id."""
     path = str(tmp_path / "models")
-    write_model(_wdf(spark, [10, 20], 30), path, version=1)
-    # partial refresh: only the bias term at version 2
+    write_model(_wdf(spark, [10, 20], 30), path, version=1, dim=2)
+    # partial refresh: only the bias term at version 2, same dim
     write_model(
         spark.createDataFrame([(2, 99)], "term_id int, w_micro long"),
         path,
         version=2,
+        dim=2,
     )
     w, b, v = read_model(spark, path)
     assert (w, b, v) == ([10, 20], 99, 2)
+
+
+def test_mixed_dim_resolution_refused(spark, tmp_path):
+    """Round-7 ADVICE (medium): a smaller-dim v2 published over a
+    bigger-dim v1 must REFUSE to resolve — the silent failure mode was
+    v2's bias consumed as a mid weight plus stale v1 tail weights."""
+    path = str(tmp_path / "models")
+    write_model(_wdf(spark, [1, 2, 3, 4], 5), path, version=1, dim=4)
+    write_model(_wdf(spark, [9, 8], 7), path, version=2, dim=2)
+    with pytest.raises(ValueError, match="different\\s+dims"):
+        read_model(spark, path)
+    # the uncontaminated historical pin still resolves
+    w, b, v = read_model(spark, path, version=1)
+    assert (w, b, v) == ([1, 2, 3, 4], 5, 1)
+
+
+def test_legacy_layout_reads_back(spark, tmp_path):
+    """Pre-round-8 stores wrote (term_id, w_micro, version) parquet
+    directly at the path — they must read back under the old semantics
+    instead of failing opaquely (the ADVICE migration-path rule)."""
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(0, 11, 1), (1, 22, 1), (2, 33, 1)],
+        "term_id int, w_micro long, version long",
+    ).write.parquet(path)
+    w, b, v = read_model(spark, path)
+    assert (w, b, v) == ([11, 22], 33, 1)
 
 
 def test_read_model_missing_term_errors(spark, tmp_path):
@@ -66,6 +98,7 @@ def test_read_model_missing_term_errors(spark, tmp_path):
         spark.createDataFrame([(0, 1), (2, 3)], "term_id int, w_micro long"),
         path,
         version=1,
+        dim=2,
     )
     with pytest.raises(ValueError, match="missing term_ids"):
         read_model(spark, path)
@@ -73,11 +106,58 @@ def test_read_model_missing_term_errors(spark, tmp_path):
 
 def test_current_model_shape(spark, tmp_path):
     path = str(tmp_path / "models")
-    write_model(_wdf(spark, [1, 2], 3), path, version=1)
-    write_model(_wdf(spark, [4, 5], 6), path, version=7)
-    cur = current_model(spark.read.parquet(path))
+    write_model(_wdf(spark, [1, 2], 3), path, version=1, dim=2)
+    write_model(_wdf(spark, [4, 5], 6), path, version=7, dim=2)
+    cur = current_model(spark.read.parquet(f"{path}/weights"))
     got = {r["term_id"]: (r["w_micro"], r["version"]) for r in cur.collect()}
     assert got == {0: (4, 7), 1: (5, 7), 2: (6, 7)}
+
+
+def test_list_models_metadata_roundtrip(spark, tmp_path):
+    """Provenance metadata round-trips and is_current flags the max
+    version; a meta-less publish still appears (NULL provenance)."""
+    path = str(tmp_path / "models")
+    write_model(
+        _wdf(spark, [1, 2], 3),
+        path,
+        version=1,
+        dim=2,
+        meta=ModelMeta(n_train=100, gd_rounds=5, lr_num=8,
+                       auc_num=3, auc_den=4, trained_at="t1"),
+    )
+    write_model(_wdf(spark, [4, 5], 6), path, version=2, dim=2)
+    got = {r["version"]: r.asDict() for r in list_models(spark, path).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_train"] == 100 and got[1]["gd_rounds"] == 5
+    assert (got[1]["auc_num"], got[1]["auc_den"]) == (3, 4)
+    assert got[1]["is_current"] == 0 and got[2]["is_current"] == 1
+    assert got[2]["n_train"] is None  # meta-less version still listed
+
+
+def test_vacuum_keeps_window_and_compacts(spark, tmp_path):
+    """Vacuum contract: current + every in-window pin bit-identical
+    before/after; file count shrinks; below-floor reads and appends
+    refuse; protected versions refuse an unsafe vacuum."""
+    path = str(tmp_path / "models")
+    for v in range(1, 6):
+        write_model(_wdf(spark, [10 * v, -v], v), path, version=v, dim=2)
+    before_cur = read_model(spark, path)
+    before_v4 = read_model(spark, path, version=4)
+    with pytest.raises(ValueError, match="protected versions"):
+        vacuum_model_registry(spark, path, keep_versions=2, protect=(1,))
+    stats = vacuum_model_registry(spark, path, keep_versions=2)
+    assert stats["min_as_of"] == 4 and retention_floor(spark, path) == 4
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows_after"] < stats["rows_before"]
+    assert read_model(spark, path) == before_cur
+    assert read_model(spark, path, version=4) == before_v4
+    with pytest.raises(ValueError, match="retention floor"):
+        read_model(spark, path, version=2)
+    with pytest.raises(ValueError, match="retention floor"):
+        write_model(_wdf(spark, [0, 0], 0), path, version=3, dim=2)
+    # a later vacuum never lowers the floor
+    stats2 = vacuum_model_registry(spark, path, keep_versions=5)
+    assert stats2["min_as_of"] == 4
 
 
 def test_registry_serve_equals_in_plan_trained(spark):
@@ -185,3 +265,38 @@ def test_fit_dim256_matches_reference(spark):
     w, b = fit.rounds[-1]
     assert w == rw and b == rb
     assert any(x != 0 for x in w)
+
+
+def test_fit_cache_misses_on_data_change(spark, tmp_path):
+    """Round-7 ADVICE/verdict ask #3: session fit caches key on a
+    corpus content fingerprint (file listing + sizes + mtimes), so
+    rewriting data at the same path WITHIN one session is a cache MISS
+    — the cached fit can never silently serve stale state — while an
+    unchanged corpus still hits."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aqi_featurestore_spark.plans._base import corpus_fingerprint
+    from aqi_featurestore_spark.plans.model_curation import _get_fit
+
+    d = str(tmp_path / "corpus")
+    shutil.copytree(SF_DIR, d)
+    fp1 = corpus_fingerprint(spark, d)
+    fit1 = _get_fit(spark, d)
+    assert _get_fit(spark, d) is fit1  # unchanged corpus -> hit
+
+    # rewrite the embeddings table with a shifted label column (same
+    # schema, different content/size) — the streaming-refresh scenario
+    import os
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    shifted = emb.withColumn("label", (F.col("label") + 1) % 10)
+    shifted.write.parquet(f"{d}/embeddings2.parquet")
+    os.remove(f"{d}/embeddings.parquet")  # testdata tables are single files
+    shutil.move(f"{d}/embeddings2.parquet", f"{d}/embeddings.parquet")
+    fp2 = corpus_fingerprint(spark, d)
+    assert fp2 != fp1
+    fit2 = _get_fit(spark, d)
+    assert fit2 is not fit1
+    assert fit2.rounds[-1] != fit1.rounds[-1]  # the data really changed

@@ -96,6 +96,7 @@ BNLJ_OK = {
     "curation_funnel_v2",    # 1-row vocab scalar inside the lm stage
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "serving_index_stats",   # 1-row totals scalar onto the 16-cell table
+    "model_registry_list",   # 1-row max-version scalar onto versions rows
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
@@ -188,6 +189,8 @@ EXCHANGE_CEILING = {
     "model_warm_start_train": 1,  # the staged round-8 gradient aggregate
     "quality_classifier_select": 0,  # zero-exchange scoring filter
     "model_registry_serve": 0,  # scoring vs table-read literal weights
+    "model_registry_list": 2,  # version distinct + 1-row max agg (meta broadcast)
+    "model_weight_drift": 1,  # one term_id aggregate over versions x dim+1 rows
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side
