@@ -1962,3 +1962,141 @@ def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+_HLL_SHARDS = 4
+
+_HLL_MERGE_SQL = rf"""
+WITH tok AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+tokv AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS token
+  FROM tok),
+hv AS (
+  SELECT source, {_ph.duck_md5_int63("md5('hll|' || token)")} AS h63
+  FROM tokv),
+rr AS (
+  SELECT source, h63 % {_HLL_M} AS idx, h63 // {_HLL_M} AS rest
+  FROM hv),
+regs AS (
+  SELECT source, idx,
+         MAX(CASE WHEN rest = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(rest)) END) AS m
+  FROM rr GROUP BY source, idx),
+limbs AS (
+  SELECT source,
+         CAST(SUM((CAST(1 AS BIGINT) << ({_HLL_RMAX} - m)) // {_HLL_LIMB})
+              AS BIGINT) AS hi,
+         CAST(SUM((CAST(1 AS BIGINT) << ({_HLL_RMAX} - m)) % {_HLL_LIMB})
+              AS BIGINT) AS lo,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CAST(idx AS BIGINT) * m) AS BIGINT) AS ck
+  FROM regs GROUP BY source)
+SELECT source, CAST({_HLL_SHARDS} AS INT) AS n_shards,
+       v AS n_empty_regs, ck AS reg_checksum,
+       round(CASE WHEN ({_HLL_ALPHA_NUM} /
+                    (CAST(hi + v * {_HLL_LIMB} AS DOUBLE) * {_HLL_LIMB}.0
+                     + CAST(lo AS DOUBLE))) <= {_HLL_SMALL} AND v > 0
+              THEN {_HLL_M} * ln({_HLL_M} / CAST(v AS DOUBLE))
+              ELSE ({_HLL_ALPHA_NUM} /
+                    (CAST(hi + v * {_HLL_LIMB} AS DOUBLE) * {_HLL_LIMB}.0
+                     + CAST(lo AS DOUBLE)))
+         END, 4) AS hll_estimate
+FROM limbs"""
+
+
+@_q("hll_merge_rollup", _HLL_MERGE_SQL)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (round 8): build an independent HLL
+    register file per (source, SHARD) — shard = doc_id mod 4, standing
+    in for the day/partition files an incremental pipeline persists —
+    then merge shards with register-wise MAX and estimate from the
+    merged file. HLL's merge algebra says the merged registers equal
+    the registers built directly over the union, BIT-FOR-BIT (MAX is
+    associative/commutative/idempotent, so per-shard dedup overlap is
+    harmless) — and that is exactly what the oracle verifies: it builds
+    the registers in ONE pass with no shards, and the hash compare
+    covers a per-source register checksum (sum idx*rank), not just the
+    rounded estimate. This is the property that makes sketch
+    maintenance incremental at 100 TB: yesterday's register files never
+    get rebuilt — today's partition sketches fold in with 256 MAXes per
+    group, and a rollup (day -> month -> all-time) re-scans registers,
+    never tokens.
+
+    Same portability discipline as `hll_distinct_audit` (md5-derived
+    63-bit hash, bin()-length rank, exact two-limb harmonic sum, one
+    pinned double expression).
+
+    100 TB shape: shard-level dedup + register aggregate map-combine;
+    the merge stage shuffles at most n_sources x n_shards x 256 tiny
+    rows; the estimate runs over n_sources rows. In production the
+    shard register files persist as a table keyed (source, shard, idx)
+    and the merge is the only thing that runs per rollup."""
+    from aqi_featurestore_spark.functions.text import word_shingles
+
+    d = _read(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "source",
+            F.pmod(F.col("doc_id"), F.lit(_HLL_SHARDS)).alias("shard"),
+            F.explode(word_shingles("text", 3)).alias("token"),
+        )
+        .distinct()
+    )
+    h63 = _ph.md5_int63(F.concat(F.lit("hll|"), F.col("token")))
+    rr = dt.select(
+        "source",
+        "shard",
+        (h63 % _HLL_M).alias("idx"),
+        F.shiftright(h63, _HLL_P).cast("long").alias("rest"),
+    )
+    shard_regs = (
+        rr.select(
+            "source",
+            "shard",
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(_HLL_RMAX))
+            .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin("rest")))
+            .cast("long")
+            .alias("rank"),
+        )
+        .groupBy("source", "shard", "idx")
+        .agg(F.max("rank").alias("m"))
+    )
+    merged = shard_regs.groupBy("source", "idx").agg(F.max("m").alias("m"))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - m AS INT))")
+    limbs = merged.select(
+        "source",
+        "idx",
+        "m",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - m AS INT)) div {_HLL_LIMB}"
+        ).alias("thi"),
+        (term % F.lit(_HLL_LIMB)).alias("tlo"),
+    ).groupBy("source").agg(
+        F.sum("thi").cast("long").alias("hi"),
+        F.sum("tlo").cast("long").alias("lo"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v"),
+        F.sum(F.col("idx").cast("long") * F.col("m")).cast("long").alias("ck"),
+    )
+    raw = F.lit(float(_HLL_ALPHA_NUM)) / (
+        (F.col("hi") + F.col("v") * _HLL_LIMB).cast("double")
+        * F.lit(float(_HLL_LIMB))
+        + F.col("lo").cast("double")
+    )
+    e = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return limbs.select(
+        "source",
+        F.lit(_HLL_SHARDS).cast("int").alias("n_shards"),
+        F.col("v").alias("n_empty_regs"),
+        F.col("ck").alias("reg_checksum"),
+        F.round(e, 4).alias("hll_estimate"),
+    )

@@ -281,6 +281,7 @@ EXTENDED_QUERIES = [
     # round 8
     "model_registry_list",
     "model_weight_drift",
+    "hll_merge_rollup",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -305,6 +306,14 @@ EXTENDED_CORE = [
 # Queries whose CONSTRUCTION runs real Spark jobs (label-propagation
 # loops materialize per iteration): for these, plan-build time IS data
 # processing and must be timed — excluding it would underreport ~100x.
+#
+# Fit-cost attribution note (round-7 ADVICE): the model-curation and
+# ANN-serving families share session fit caches, so whichever family
+# query CONSTRUCTS first in a pass absorbs the one-time fit cost; the
+# per-query numbers for the rest of the family are serve-side only.
+# Query order within a pass is fixed (list order), so the attribution
+# is stable across rounds, and timings are min-of-3 AFTER a warm
+# construction, so the cached-fit path is what gets measured either way.
 ITERATIVE_CONSTRUCTION = {
     "kmeans_assign",  # Lloyd rounds (agg + k x dim collect) run at build time
     "semantic_dedup",  # same Lloyd fit at build time

@@ -177,6 +177,7 @@ AUDIT = [
     # round 8
     "model_registry_list",
     "model_weight_drift",
+    "hll_merge_rollup",
 ]
 
 

@@ -191,6 +191,7 @@ EXCHANGE_CEILING = {
     "model_registry_serve": 0,  # scoring vs table-read literal weights
     "model_registry_list": 2,  # version distinct + 1-row max agg (meta broadcast)
     "model_weight_drift": 1,  # one term_id aggregate over versions x dim+1 rows
+    "hll_merge_rollup": 4,  # shard dedup + shard regs + merge + limb agg
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side
