@@ -2100,3 +2100,112 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ck").alias("reg_checksum"),
         F.round(e, 4).alias("hll_estimate"),
     )
+
+
+_PADDING_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS nt
+  FROM documents),
+bp AS (
+  SELECT quantile_cont(nt, 0.25) AS p25,
+         quantile_cont(nt, 0.50) AS p50,
+         quantile_cont(nt, 0.75) AS p75
+  FROM tk),
+asg AS (
+  SELECT nt, CASE WHEN nt <= bp.p25 THEN 1
+                  WHEN nt <= bp.p50 THEN 2
+                  WHEN nt <= bp.p75 THEN 3
+                  ELSE 4 END AS bucket
+  FROM tk CROSS JOIN bp),
+g AS (SELECT CAST(MAX(nt) AS BIGINT) AS gmax FROM tk),
+per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MAX(nt) AS BIGINT) AS max_len,
+         CAST(SUM(nt) AS BIGINT) AS s
+  FROM asg GROUP BY bucket)
+SELECT CAST(bucket AS INT) AS bucket_id, n_docs, max_len,
+       CAST(n_docs * max_len - s AS BIGINT) AS pad_bucketed,
+       CAST(n_docs * g.gmax - s AS BIGINT) AS pad_single_max,
+       CASE WHEN n_docs * g.gmax - s = 0 THEN NULL
+            ELSE round(CAST(n_docs * (g.gmax - max_len) AS DOUBLE)
+                       / CAST(n_docs * g.gmax - s AS DOUBLE), 6)
+       END AS saved_share
+FROM per, g"""
+
+
+@_q("padding_efficiency_audit", _PADDING_SQL)
+def q_padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed training batches: docs
+    bucket into length quartiles (the two-phase exact-percentile
+    bucketizer — one breakpoint aggregate + a broadcast CASE, the
+    quartile_bucketize scale shape: no global sort, no ntile window),
+    and each bucket reports the pad tokens a pad-to-bucket-max batcher
+    spends vs pad-to-global-max (the naive fixed-max_len collator), with
+    the per-bucket saving share. This is the audit behind
+    length-grouped batching (common in LLM finetuning dataloaders):
+    padding is wasted compute, and the win concentrates in the short
+    buckets — exactly what the saved_share column shows.
+
+    Exactness: token counts are the text_stats whitespace tokenizer
+    (identical regex semantics both engines); quartile fractions are
+    dyadic so exact-percentile interpolation over integer counts is
+    bit-identical; all pad arithmetic is BIGINT; saved_share is one
+    int/int division (NULL when the bucket already pads nothing under
+    global max — degenerate uniform-length corpora).
+
+    100 TB shape: one map-side-combined percentile aggregate to 3
+    doubles, broadcast onto the scan for assignment, one 4-row group
+    aggregate, one 1-row max scalar — the corpus is scanned twice
+    (breakpoints, then assignment) and never shuffled by row."""
+    d = _read(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    tok = d.select(
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("nt"),
+    )
+    bp = tok.agg(
+        F.percentile("nt", 0.25).alias("p25"),
+        F.percentile("nt", 0.50).alias("p50"),
+        F.percentile("nt", 0.75).alias("p75"),
+    )
+    asg = tok.crossJoin(F.broadcast(bp)).select(
+        "nt",
+        F.when(F.col("nt") <= F.col("p25"), 1)
+        .when(F.col("nt") <= F.col("p50"), 2)
+        .when(F.col("nt") <= F.col("p75"), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
+    g = tok.agg(F.max("nt").cast("long").alias("gmax"))
+    per = asg.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("nt").cast("long").alias("max_len"),
+        F.sum("nt").cast("long").alias("s"),
+    )
+    out = per.crossJoin(F.broadcast(g))
+    pad_single = F.col("n_docs") * F.col("gmax") - F.col("s")
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket_id"),
+        "n_docs",
+        "max_len",
+        (F.col("n_docs") * F.col("max_len") - F.col("s"))
+        .cast("long")
+        .alias("pad_bucketed"),
+        pad_single.cast("long").alias("pad_single_max"),
+        F.when(pad_single == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_docs") * (F.col("gmax") - F.col("max_len"))).cast(
+                    "double"
+                )
+                / pad_single.cast("double"),
+                6,
+            )
+        )
+        .alias("saved_share"),
+    )

@@ -634,6 +634,11 @@ def q_model_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions mostly on boundary classes is a refinement; one that
     flips extremes is a regression). Both versions come from the ONE
     session fit trajectory, so the audit costs zero extra training.
+    The "what changed in training" side of this evidence lives in the
+    registry's provenance metadata (`model_registry_list` /
+    operators/model_store.py ModelMeta — train rows, GD rounds, lr,
+    publish-time AUC per version), so the promote-or-rollback decision
+    joins prediction flips to the training delta that caused them.
 
     Exactness: both margins are the exact-integer fold; flips and
     counts are exact BIGINTs; flip_rate is one int/int division.

@@ -221,6 +221,59 @@ class OfflineStore:
         }
 
 
+    def retire(self, *, before: date, dry_run: bool = False) -> dict:
+        """Partition-level retention: DROP whole ``year=/month=/day=``
+        partitions strictly older than ``before`` — the storage-side
+        complement of the reference's read-time 7-day feature TTL
+        (online_lookup's ``ttl`` masks expired rows at serve time;
+        this retires them from the store, the GDPR/TTL lifecycle a
+        production feature store runs).
+
+        100 TB shape: retirement is pure METADATA — a driver-side
+        partition listing + recursive directory deletes; no row is
+        read, shuffled, or rewritten (contrast compact()/vacuum, which
+        rewrite). That is the point of date-partitioned layout: age-out
+        is O(partitions), not O(rows).
+
+        Safety: refuses a ``before`` that would empty the store
+        entirely (an age-out that deletes everything is almost always a
+        mis-typed date); ``dry_run=True`` returns the plan without
+        deleting. Returns ``{"dropped": [dates], "kept": n_partitions,
+        "files_dropped": n}``."""
+        listing = fs.list_data_files(self.spark, self.path)
+        part_files: dict[date, list[str]] = {}
+        for p, _sz in listing:
+            parts = dict(
+                kv.split("=", 1)
+                for kv in p.split("/")
+                if "=" in kv and not kv.startswith("_")
+            )
+            if {"year", "month", "day"} <= parts.keys():
+                d = date(int(parts["year"]), int(parts["month"]), int(parts["day"]))
+                part_files.setdefault(d, []).append(p)
+        drop = sorted(d for d in part_files if d < before)
+        keep = [d for d in part_files if d >= before]
+        if part_files and not keep:
+            raise ValueError(
+                f"retire(before={before}): would drop ALL {len(drop)} "
+                f"partitions of {self.path!r} — refusing; an age-out that "
+                "empties the store is almost always a mis-typed date "
+                "(delete the store directory explicitly if that is meant)"
+            )
+        n_files = sum(len(part_files[d]) for d in drop)
+        if not dry_run:
+            for d in drop:
+                fs.delete(
+                    self.spark,
+                    f"{self.path}/year={d.year}/month={d.month}/day={d.day}",
+                )
+        return {
+            "dropped": [d.isoformat() for d in drop],
+            "kept": len(keep),
+            "files_dropped": n_files,
+        }
+
+
 class Watermark:
     """Scalar checkpoint protocol (S16): read-with-default, advance after a
     successful batch. JSON file beside the store; uses local `os` APIs on

@@ -282,6 +282,7 @@ EXTENDED_QUERIES = [
     "model_registry_list",
     "model_weight_drift",
     "hll_merge_rollup",
+    "padding_efficiency_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -178,6 +178,7 @@ AUDIT = [
     "model_registry_list",
     "model_weight_drift",
     "hll_merge_rollup",
+    "padding_efficiency_audit",
 ]
 
 

@@ -97,6 +97,7 @@ BNLJ_OK = {
     "ann_index_stats",       # 1-row totals scalar onto the 16-cell table
     "serving_index_stats",   # 1-row totals scalar onto the 16-cell table
     "model_registry_list",   # 1-row max-version scalar onto versions rows
+    "padding_efficiency_audit",  # 1-row breakpoint + max-len scalars onto the scan
     "vocab_coverage",        # 1-row corpus-totals scalar onto top-max(V) types
     "similarity_pagerank",   # 1-row node-count broadcast per iteration
     "similarity_topk_cosine",  # exact brute-force baseline
@@ -192,6 +193,7 @@ EXCHANGE_CEILING = {
     "model_registry_list": 2,  # version distinct + 1-row max agg (meta broadcast)
     "model_weight_drift": 1,  # one term_id aggregate over versions x dim+1 rows
     "hll_merge_rollup": 4,  # shard dedup + shard regs + merge + limb agg
+    "padding_efficiency_audit": 3,  # breakpoint agg + bucket agg + max scalar
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side

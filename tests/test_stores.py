@@ -273,3 +273,37 @@ def test_missing_partitions_backfill_planner(spark, tmp_path):
     ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
     store.append(fill)
     assert store.missing_partitions() == []
+
+
+def test_retire_drops_old_partitions_metadata_only(spark, tmp_path):
+    """Partition-level retention: partitions strictly before the cutoff
+    disappear (directory deletes, no rewrite), newer data is untouched
+    byte-for-byte, dry_run only plans, and an age-out that would empty
+    the store refuses."""
+    import pytest
+
+    store = OfflineStore(spark, str(tmp_path / "retire_store"))
+    store.append(
+        _batch(
+            spark,
+            [
+                ("a", ts("2024-01-01 10:00:00"), 1.0),
+                ("b", ts("2024-01-05 10:00:00"), 2.0),
+                ("c", ts("2024-01-09 10:00:00"), 3.0),
+            ],
+        )
+    )
+    keep_rows = sorted(
+        tuple(r)
+        for r in store.read()
+        .where(F.col("feature_timestamp") >= ts("2024-01-05 00:00:00"))
+        .collect()
+    )
+    plan = store.retire(before=date(2024, 1, 5), dry_run=True)
+    assert plan["dropped"] == ["2024-01-01"] and plan["files_dropped"] >= 1
+    assert store.read().count() == 3  # dry run deleted nothing
+    got = store.retire(before=date(2024, 1, 5))
+    assert got["dropped"] == ["2024-01-01"] and got["kept"] == 2
+    assert sorted(tuple(r) for r in store.read().collect()) == keep_rows
+    with pytest.raises(ValueError, match="would drop ALL"):
+        store.retire(before=date(2030, 1, 1))
