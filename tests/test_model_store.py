@@ -300,3 +300,59 @@ def test_fit_cache_misses_on_data_change(spark, tmp_path):
     fit2 = _get_fit(spark, d)
     assert fit2 is not fit1
     assert fit2.rounds[-1] != fit1.rounds[-1]  # the data really changed
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    n_versions=st.integers(min_value=2, max_value=6),
+    keep=st.integers(min_value=1, max_value=6),
+)
+def test_vacuum_keep_contract_property(spark, tmp_path_factory, data, n_versions, keep):
+    """Property: for ANY publish history (random weights per version,
+    possibly partial refreshes) and ANY keep window, vacuum preserves
+    current_model and every pin at/above the floor bit-for-bit, and
+    every pin below the floor raises."""
+    path = str(tmp_path_factory.mktemp("prop") / "models")
+    dim = 3
+    published = []
+    for v in range(1, n_versions + 1):
+        if v > 1 and data.draw(st.booleans(), label=f"partial_v{v}"):
+            # partial refresh: one random term at the same dim
+            t = data.draw(st.integers(0, dim), label=f"term_v{v}")
+            rows = [(t, data.draw(st.integers(-9999, 9999), label=f"w_v{v}"))]
+        else:
+            rows = [
+                (d, data.draw(st.integers(-9999, 9999), label=f"w{d}_v{v}"))
+                for d in range(dim + 1)
+            ]
+        write_model(
+            spark.createDataFrame(rows, "term_id int, w_micro long"),
+            path,
+            version=v,
+            dim=dim,
+        )
+        published.append(v)
+    before = {
+        v: read_model(spark, path, version=v) for v in published
+    }
+    before_cur = read_model(spark, path)
+    stats = vacuum_model_registry(spark, path, keep_versions=keep)
+    floor = stats["min_as_of"]
+    assert read_model(spark, path) == before_cur
+    for v in published:
+        if v >= floor:
+            assert read_model(spark, path, version=v) == before[v]
+        else:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="retention floor"):
+                read_model(spark, path, version=v)
