@@ -77,6 +77,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeding: str = "md5",
+    init: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Run ``iters`` rounds of Lloyd's and return the final centroids as
     ``k`` lists of doubles in MICRO units (``sum_micro / n`` per
@@ -98,6 +99,14 @@ def kmeans_fit(
       id). k-1 extra TakeOrdered(1) passes, but provably one seed per
       blob when clusters are separated — the quality choice when fit
       cost is dominated by the Lloyd rounds anyway.
+
+    ``init``: WARM-START centroids — skip seeding and continue Lloyd's
+    from these (e.g. a persisted serving quantizer). A Lloyd round is a
+    pure function of (centroids, data), so ``fit(init=fit(iters=a),
+    iters=b)`` is bit-identical to ``fit(iters=a+b)`` (property-pinned
+    in tests/test_clustering.py) — the hardlogit warm-start contract
+    (operators/linear_model.py) applied to clustering, which is what
+    makes a registry/index-based quantizer refresh exact.
     """
     # The fit makes iters (+ k-1 for farthest seeding) full passes over the
     # micro-int projection; persist it ONCE (MEMORY_AND_DISK — spills, never
@@ -108,7 +117,15 @@ def kmeans_fit(
         F.col(id_col).alias("_id"), _micro_arr(vec_col).alias("_v")
     ).persist()
     try:
-        if seeding == "farthest":
+        if init is not None:
+            if len(init) != k:
+                raise ValueError(
+                    f"init has {len(init)} centroids, expected k={k}"
+                )
+            centroids = {
+                cid: [float(x) for x in row] for cid, row in enumerate(init)
+            }
+        elif seeding == "farthest":
             first = (
                 vc.select("_id", "_v", _seed_hash("_id").alias("_h"))
                 .orderBy("_h", "_id")

@@ -507,3 +507,80 @@ def q_kmeans_assign_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["cid"].cast("int").alias("cluster_id"),
         F.round(m["d"] / F.lit(1_000_000_000_000.0), 6).alias("dist_sq"),
     )
+
+
+#: serving coarse quantizer params (the llm_text serving-fit cache)
+_SERVE_K = 16
+_SERVE_ITERS = 3
+
+_WARM_UPDATE_SQL = f"""
+WITH {_kmeans_ctes(k=_SERVE_K, iters=_SERVE_ITERS, prefix="wa")},
+{_kmeans_ctes(k=_SERVE_K, iters=_SERVE_ITERS + 1, prefix="wb")},
+j AS (
+  SELECT a.cid AS c_old, b.cid AS c_new
+  FROM waaf a JOIN wbaf b USING (vec_id))
+SELECT CAST(c_new AS INT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c_old <> c_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       round(1.0 - CAST(SUM(CASE WHEN c_old <> c_new THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS stability
+FROM j GROUP BY c_new"""
+
+
+@_q("kmeans_warm_update", _WARM_UPDATE_SQL)
+def q_kmeans_warm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARM-START refresh of the serving coarse quantizer (the model
+    warm-start contract applied to clustering): continue Lloyd's for
+    ONE more round from the session serving fit (k=16, 3 rounds — the
+    same cached centroids every ANN serving query builds with) and
+    audit the rebalance — per post-update cell, how many members it
+    holds and how many ARRIVED from a different cell (the drift
+    response one extra round buys). Because a Lloyd round is a pure
+    function of (centroids, data), the warm-continued fit is
+    BIT-IDENTICAL to a cold 4-round fit — which is exactly what the
+    oracle computes (two unrolled chains, 3 and 4 rounds), so the
+    refresh path is hash-proven exact, the `model_warm_start_train`
+    guarantee on the quantizer side. A production index refresh runs
+    this when `serving_index_stats` shows occupancy skew drifting:
+    one bounded aggregate per extra round, never a from-scratch fit +
+    re-encode (a re-encode is only needed if the audit says cells
+    moved enough to re-assign, which n_moved/stability measures).
+
+    100 TB shape: the warm round costs ONE k x dim aggregate over the
+    corpus (the kmeans_fit discipline); the returned plan is two
+    zero-shuffle literal-centroid assignment maps into one 16-cell
+    aggregate."""
+    from aqi_featurestore_spark.operators.clustering import kmeans_fit
+    from aqi_featurestore_spark.plans.llm_text import _serving_fits
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents3 = _serving_fits(spark, sf_dir)[0]
+    cents4 = kmeans_fit(
+        e, k=_SERVE_K, iters=1, init=cents3
+    )
+    vc = e.select(
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        ).alias("v"),
+    )
+    assigned = vc.select(
+        kmeans_min_struct(F.col("v"), cents3)["cid"].alias("c_old"),
+        kmeans_min_struct(F.col("v"), cents4)["cid"].alias("c_new"),
+    )
+    ag = assigned.groupBy("c_new").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("c_old") != F.col("c_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return ag.select(
+        F.col("c_new").cast("int").alias("cid"),
+        "n_docs",
+        "n_moved",
+        F.round(
+            1.0 - F.col("n_moved").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("stability"),
+    )

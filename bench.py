@@ -283,6 +283,7 @@ EXTENDED_QUERIES = [
     "model_weight_drift",
     "hll_merge_rollup",
     "padding_efficiency_audit",
+    "kmeans_warm_update",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -346,6 +347,7 @@ ITERATIVE_CONSTRUCTION = {
     "pq_reconstruction_error",  # 4 per-subspace codebook fits at build time
     "curation_funnel_v2",  # 6-round GD fit at build time (classifier stage)
     "label_noise_audit",  # same 6-round GD fit at build time
+    "kmeans_warm_update",  # one warm Lloyd round (k x dim aggregate) at build time
 }
 
 

@@ -179,6 +179,7 @@ AUDIT = [
     "model_weight_drift",
     "hll_merge_rollup",
     "padding_efficiency_audit",
+    "kmeans_warm_update",
 ]
 
 

@@ -164,3 +164,28 @@ def test_kmeans_assignment_works_in_streaming(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) == 30
+
+
+def test_kmeans_warm_start_equals_cold_continuation(spark):
+    """A Lloyd round is a pure function of (centroids, data), so
+    warm-starting from round a's centroids for b more rounds is
+    bit-identical to a cold a+b-round fit — the property that makes a
+    persisted-quantizer refresh exact (the hardlogit warm-start
+    contract on the clustering side)."""
+    import pytest
+
+    from aqi_featurestore_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 37 + d * 13) % 53 - 26) / 26.0 for d in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cold = kmeans_fit(df, k=4, iters=3)
+    head = kmeans_fit(df, k=4, iters=2)
+    warm = kmeans_fit(df, k=4, iters=1, init=head)
+    assert warm == cold
+    with pytest.raises(ValueError, match="init has"):
+        kmeans_fit(df, k=4, iters=1, init=head[:2])

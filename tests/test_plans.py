@@ -194,6 +194,7 @@ EXCHANGE_CEILING = {
     "model_weight_drift": 1,  # one term_id aggregate over versions x dim+1 rows
     "hll_merge_rollup": 4,  # shard dedup + shard regs + merge + limb agg
     "padding_efficiency_audit": 3,  # breakpoint agg + bucket agg + max scalar
+    "kmeans_warm_update": 1,  # two literal-centroid maps + one 16-cell agg
     "model_version_diff": 1,  # two-version margin map + 10-class agg
     "classifier_pr_curve": 2,  # bucket agg + suffix-sum windows
     "quality_select_at_precision": 2,  # bucket agg + cut windows; filter is scan-side
