@@ -279,6 +279,16 @@ def test_quality_filter_stream_registry_picks_up_new_model(spark, emb, tmp_path)
         version=2,
         dim=dim,
     )
+    # mid-stream registry maintenance: vacuum to the single current
+    # version between triggers — the serving read must be unaffected
+    from aqi_featurestore_spark.operators.model_store import (
+        read_model,
+        vacuum_model_registry,
+    )
+
+    cur_before = read_model(spark, mpath)
+    vacuum_model_registry(spark, mpath, keep_versions=1)
+    assert read_model(spark, mpath) == cur_before
     batch1.coalesce(1).write.mode("append").parquet(src)
     run_quality_filter_stream_registry(
         spark, src, "vec_id long, embedding array<float>", mpath, out, ck
