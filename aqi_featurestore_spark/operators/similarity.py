@@ -1106,3 +1106,72 @@ def pq_reconstruction_stats(
             6,
         ).alias("avg_sq_err"),
     )
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    doc_col: str = "mdoc_id",
+    tok_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Late-interaction (MaxSim / ColBERT-style) multi-vector retrieval:
+    documents and queries are BAGS of vectors keyed by ``doc_col``;
+    score(q, d) = sum over q's tokens of max over d's tokens of cosine.
+    Khattab & Zaharia 2020 (public paper, scoring rule only).
+
+    Determinism across engines: each per-token max is a double, frozen
+    to integer micro-units (round(max * 1e9) as int64) BEFORE the
+    per-document sum, so the cross-token reduction is an exact int64
+    sum — order-free — instead of an order-dependent double sum. Ranks
+    break ties on document id. Output: (q_id, n_id, score_micro,
+    score, rk).
+
+    Scale shape: the query token set broadcasts (bounded: n_queries x
+    tokens-per-query rows); the corpus token stream never shuffles
+    until it has already collapsed to one (query, q_token, doc) max per
+    group — partial maxes merge map-side, so the exchange carries
+    |Q_tok| x |docs| smalls, not token pairs. The final per-query
+    top-k windows over |docs| rows per query."""
+    q = F.broadcast(
+        queries.select(
+            F.col(doc_col).alias("q_id"),
+            F.col(tok_col).alias("q_tok"),
+            _normalized_arrow(vec_col).alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(doc_col).alias("n_id"), _normalized_arrow(vec_col).alias("n_vec")
+    )
+    # broadcast nested-loop: streamed corpus tokens x bounded query tokens
+    pairs = c.crossJoin(q)
+    dot = _dot_fold(F.col("q_vec"), F.col("n_vec"))
+    tokmax = pairs.groupBy("q_id", "q_tok", "n_id").agg(
+        F.max(dot).alias("mx")
+    )
+    sc = (
+        tokmax.select(
+            "q_id",
+            "n_id",
+            F.round(F.col("mx") * F.lit(1e9), 0).cast("long").alias("m"),
+        )
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("m").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_micro").desc(), F.col("n_id").asc()
+    )
+    return (
+        sc.select(
+            "q_id",
+            "n_id",
+            "score_micro",
+            F.round(
+                F.col("score_micro").cast("double") / F.lit(1e9), 6
+            ).alias("score"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= k)
+    )

@@ -2209,3 +2209,246 @@ def q_padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("saved_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8, wave 2: KMV bottom-k distinct sketch (4th portable sketch — set algebra)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_MOD = 1_000_000_007
+# (K-1) * 2^63 precomputed once and inlined as the SAME double literal on
+# both sides (the _HLL_ALPHA_NUM discipline); exactly representable.
+_KMV_NUM = float((_KMV_K - 1) << 63)
+
+_KMV_SQL = rf"""
+WITH tok AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM tok),
+hv AS (
+  SELECT DISTINCT source, {_ph.duck_md5_int63("md5('kmv|' || s)")} AS h
+  FROM sh),
+cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM hv GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+  FROM cnt a JOIN cnt b ON a.source < b.source),
+uv AS (
+  SELECT p.source_a, p.source_b, v.h
+  FROM pr p JOIN hv v ON v.source = p.source_a OR v.source = p.source_b
+  GROUP BY 1, 2, 3),
+ur AS (
+  SELECT source_a, source_b, h,
+         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY source_a, source_b) AS nu
+  FROM uv),
+sl AS (
+  SELECT source_a, source_b, h, rn,
+         CAST(LEAST(nu, {_KMV_K}) AS INT) AS l_union
+  FROM ur WHERE rn <= {_KMV_K}),
+cm AS (
+  SELECT s.source_a, s.source_b, MAX(s.l_union) AS l_union,
+         CAST(SUM(s.h % {_KMV_MOD}) AS BIGINT) AS sketch_checksum,
+         MAX(CASE WHEN s.rn = s.l_union THEN s.h END) AS kth,
+         CAST(SUM(CASE WHEN ea.h IS NOT NULL AND eb.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM sl s
+  LEFT JOIN hv ea ON ea.source = s.source_a AND ea.h = s.h
+  LEFT JOIN hv eb ON eb.source = s.source_b AND eb.h = s.h
+  GROUP BY 1, 2),
+xin AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2),
+est AS (
+  SELECT c.source_a, c.source_b, c.l_union, c.sketch_checksum, c.n_common,
+         CASE WHEN c.l_union < {_KMV_K} THEN CAST(c.l_union AS DOUBLE)
+              ELSE {_KMV_NUM!r} / CAST(c.kth AS DOUBLE) END AS eu,
+         p.na + p.nb - COALESCE(x.exact_inter, CAST(0 AS BIGINT))
+           AS exact_union,
+         COALESCE(x.exact_inter, CAST(0 AS BIGINT)) AS exact_intersection
+  FROM cm c
+  JOIN pr p ON c.source_a = p.source_a AND c.source_b = p.source_b
+  LEFT JOIN xin x ON c.source_a = x.source_a AND c.source_b = x.source_b)
+SELECT source_a, source_b, CAST({_KMV_K} AS INT) AS k, l_union,
+       sketch_checksum, n_common,
+       round(eu, 4) AS est_union, exact_union,
+       round(CAST(n_common AS DOUBLE) / CAST(l_union AS DOUBLE) * eu, 4)
+         AS est_intersection,
+       exact_intersection,
+       round((eu - CAST(exact_union AS DOUBLE)) / CAST(exact_union AS DOUBLE),
+             6) AS rel_err_union
+FROM est"""
+
+
+@_q("kmv_set_cardinality", _KMV_SQL)
+def q_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch with SET ALGEBRA — the
+    4th portable sketch (HLL counts, CMS weighs, Bloom gates; KMV is
+    the one that supports UNION and INTERSECTION cardinalities, Beyer
+    et al. 2007 — public paper, method only). Per source, the sketch is
+    the K=256 smallest md5-derived 63-bit hashes of its distinct
+    3-word shingles; for every source pair the query MERGES the two
+    sketches (bottom-K of the value union — the mergeable-sketch
+    operation) and reports estimated union cardinality
+    ((K-1) * 2^63 / kth-min), estimated intersection (the
+    common-membership share of the merged sketch scaled by the union
+    estimate), and both EXACT counterparts with the relative error —
+    the pairwise overlap audit `domain_minhash_overlap` gives as a
+    Jaccard RATIO, here as absolute cardinalities.
+
+    Merge-algebra pin: the Spark side builds per-source sketches and
+    merges them pairwise; the ORACLE builds each pair's union sketch
+    DIRECTLY from the unioned value set in one pass. Bottom-k's merge
+    theorem (bottom-K of A union B == bottom-K of bottom-K(A) union
+    bottom-K(B), valid because each input sketch is the true
+    bottom-min(K,|set|) of its set) says they agree bit-for-bit, and
+    the hash compare covers the merged sketch's checksum
+    (sum h mod 1e9+7 — 256 * (1e9+7) fits int64), its kth value (via
+    est_union), and the common-membership count. Sub-K sets degenerate
+    to exact counts (the CASE both engines share).
+
+    100 TB shape: the per-source sketch build is a two-phase bottom-K
+    (per-(source, salt-64) window keeps <= K rows, then a final
+    <= 64K-row per-source window) — partial bottom-Ks merge exactly,
+    the same algebra the pair step exercises, so no single task ever
+    sorts a full source's hash stream. Downstream of the sketch build
+    everything is bounded: n_sources arrays of K longs, a broadcast
+    non-equi self-join over the n_sources-row sketch table
+    (domain_minhash_overlap precedent), array ops per pair. The exact
+    union/intersection legs exist to MEASURE the sketch (audit cost,
+    the ann_recall contract); production drops them and keeps sketches,
+    maintained incrementally: yesterday's sketch never rebuilds —
+    today's partition sketches fold in with one bottom-K merge."""
+    from aqi_featurestore_spark.functions.text import word_shingles
+
+    d = _read(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles("text", 3)).alias("s")
+    ).distinct()
+    hv = sh.select(
+        "source",
+        _ph.md5_int63(F.concat(F.lit("kmv|"), F.col("s"))).alias("h"),
+    ).distinct()
+    # two-phase bottom-K: per-(source, salt) partials, then the final
+    # per-source merge — the partial-merge exactness IS the KMV algebra
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    part = (
+        hv.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _KMV_K)
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    topk = part.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= _KMV_K
+    )
+    sk = topk.groupBy("source").agg(
+        F.array_sort(F.collect_list("h")).alias("sk")
+    )
+    cnt = hv.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    # n_sources rows of (sketch[<=K], n): localCheckpoint so the pair
+    # self-join reads the materialized sketch table instead of planning
+    # the whole build twice (the ann_recall_methods shared-leg pattern)
+    src = sk.join(cnt, "source").localCheckpoint()
+    a = src.select(
+        F.col("source").alias("source_a"),
+        F.col("sk").alias("ska"),
+        F.col("n").alias("na"),
+    )
+    b = src.select(
+        F.col("source").alias("source_b"),
+        F.col("sk").alias("skb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    us = F.array_sort(F.array_union("ska", "skb"))
+    merged = pairs.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        F.least(F.size(us), F.lit(_KMV_K)).cast("int").alias("l_union"),
+        F.slice(us, F.lit(1), F.least(F.size(us), F.lit(_KMV_K))).alias("sl"),
+        "ska",
+        "skb",
+    )
+    kth = F.element_at("sl", F.col("l_union"))
+    ck = F.aggregate(
+        "sl",
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v % F.lit(_KMV_MOD),
+    )
+    common = (
+        F.size(F.array_intersect(F.array_intersect("sl", "ska"), "skb"))
+        .cast("long")
+    )
+    eu = F.when(
+        F.col("l_union") < _KMV_K, F.col("l_union").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / kth.cast("double"))
+    scored = merged.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        "l_union",
+        ck.cast("long").alias("sketch_checksum"),
+        common.alias("n_common"),
+        eu.alias("eu"),
+    )
+    xin = (
+        sh.alias("xa")
+        .join(
+            sh.alias("xb"),
+            (F.col("xa.s") == F.col("xb.s"))
+            & (F.col("xa.source") < F.col("xb.source")),
+        )
+        .groupBy(
+            F.col("xa.source").alias("source_a"),
+            F.col("xb.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    est = scored.join(xin, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "l_union",
+        "sketch_checksum",
+        "n_common",
+        "eu",
+        (
+            F.col("na") + F.col("nb")
+            - F.coalesce("exact_inter", F.lit(0).cast("long"))
+        ).alias("exact_union"),
+        F.coalesce("exact_inter", F.lit(0).cast("long")).alias(
+            "exact_intersection"
+        ),
+    )
+    return est.select(
+        "source_a",
+        "source_b",
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "l_union",
+        "sketch_checksum",
+        "n_common",
+        F.round("eu", 4).alias("est_union"),
+        "exact_union",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.col("l_union").cast("double")
+            * F.col("eu"),
+            4,
+        ).alias("est_intersection"),
+        "exact_intersection",
+        F.round(
+            (F.col("eu") - F.col("exact_union").cast("double"))
+            / F.col("exact_union").cast("double"),
+            6,
+        ).alias("rel_err_union"),
+    )

@@ -46,6 +46,7 @@ from aqi_featurestore_spark.operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_pq,
     embedding_cosine_pairs,
+    maxsim_topk,
     normalized_arrow,
     pq_fit_books,
 )
@@ -1814,3 +1815,80 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords into one n_subspaces-row aggregate."""
     e = _read(spark, sf_dir, "embeddings")
     return pq_reconstruction_stats(e, books=_serving_fits(spark, sf_dir)[1])
+
+
+# ---------------------------------------------------------------------------
+# Round 8, wave 2: late-interaction (MaxSim) multi-vector retrieval
+# ---------------------------------------------------------------------------
+
+_MAXSIM_C = 8      # vectors per multi-vector document
+_MAXSIM_NQ = 4     # first NQ multi-vector docs are the query set
+_MAXSIM_K = 5
+
+_MAXSIM_SQL = f"""
+WITH {_SIM_NORM_CTE},
+mv AS (
+  SELECT vec_id // {_MAXSIM_C} AS mdoc_id, vec_id, v FROM norm),
+q AS (SELECT mdoc_id, vec_id, v FROM mv WHERE mdoc_id < {_MAXSIM_NQ}),
+c AS (SELECT mdoc_id, v FROM mv WHERE mdoc_id >= {_MAXSIM_NQ}),
+p AS (
+  SELECT q.mdoc_id AS q_id, q.vec_id AS q_tok, c.mdoc_id AS n_id,
+         {_SIM_NORM_DOT.format(a="q.v", b="c.v")} AS dot
+  FROM c, q),
+tm AS (
+  SELECT q_id, q_tok, n_id,
+         CAST(round(MAX(dot) * 1000000000.0, 0) AS BIGINT) AS m
+  FROM p GROUP BY 1, 2, 3),
+sc AS (
+  SELECT q_id, n_id, CAST(SUM(m) AS BIGINT) AS score_micro
+  FROM tm GROUP BY 1, 2),
+rk AS (
+  SELECT q_id, n_id, score_micro,
+         round(CAST(score_micro AS DOUBLE) / 1000000000.0, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY score_micro DESC, n_id) AS INT) AS rk
+  FROM sc)
+SELECT q_id, n_id, score_micro, score, rk FROM rk WHERE rk <= {_MAXSIM_K}"""
+
+
+@_q("maxsim_topk", _MAXSIM_SQL)
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval over multi-vector documents:
+    every {C}-vector group of the embeddings table is one multi-vector
+    doc (the ColBERT layout — one vector per token/passage chunk,
+    Khattab & Zaharia 2020, public paper, scoring rule only); the first
+    {NQ} docs are the query set; score(q, d) = sum over q's vectors of
+    the max cosine against d's vectors; top-{K} docs per query. The
+    retrieval family's third scoring model next to single-vector cosine
+    (`similarity_topk_cosine`) and sparse lexical (`sparse_lexical_topk`)
+    — the one that keeps per-token granularity at ranking time.
+
+    Cross-engine determinism: each per-token MAX is frozen to integer
+    micro-units (round(max*1e9) -> int64) BEFORE the per-doc sum, so
+    the only cross-row double reduction becomes an exact int64 sum;
+    ranks tie-break on doc id. The dot/normalize folds are the shared
+    IEEE-pinned forms (operators/similarity.py:37-61).
+
+    100 TB shape: query tokens broadcast (n_queries x C rows); the
+    corpus token stream collapses map-side to one partial max per
+    (q, q_tok, doc) before its only shuffle; the doc-level sum and the
+    per-query top-k window run over |docs|-bounded rows. Production
+    would put the IVF shortlist (`similarity_topk_ivfpq`) in front and
+    MaxSim-rescore only the shortlist — same composition as the ADC ->
+    exact re-rank pattern already pinned in the serving family."""
+    e = _read(spark, sf_dir, "embeddings")
+    mv = e.select(
+        F.expr(f"vec_id div {_MAXSIM_C}").alias("mdoc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = mv.where(F.col("mdoc_id") < _MAXSIM_NQ)
+    c = mv.where(F.col("mdoc_id") >= _MAXSIM_NQ)
+    return maxsim_topk(
+        q,
+        c,
+        doc_col="mdoc_id",
+        tok_col="vec_id",
+        vec_col="embedding",
+        k=_MAXSIM_K,
+    )

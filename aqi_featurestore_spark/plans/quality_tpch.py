@@ -1221,3 +1221,208 @@ def q_nearest_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round 8, wave 2: Bloom semi-join scan reduction (join pruning, the shuffle saver)
+# ---------------------------------------------------------------------------
+
+_BSJ_M, _BSJ_KH = 4096, 2
+_BSJ_FAM = _ph.hash_family(_BSJ_KH, seed=0xB5E1)
+
+_BSJ_SQL = rf"""
+WITH dim AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-03-01'
+    AND o_orderdate <  TIMESTAMP '1995-06-01'),
+dh AS (
+  SELECT o_orderkey,
+         ({_ph.duck_hex_int("md5('bsj|' || CAST(o_orderkey AS VARCHAR))", 1, 8)})
+           % {_ph.MERSENNE31} AS hb
+  FROM dim),
+fam AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_BSJ_FAM))})
+  AS t(j, a, b)),
+bits AS (
+  SELECT DISTINCT ((f.a * d.hb + f.b) % {_ph.MERSENNE31}) % {_BSJ_M} AS bit
+  FROM dh d CROSS JOIN fam f),
+fact AS (
+  SELECT l_orderkey, l_returnflag,
+         ({_ph.duck_hex_int("md5('bsj|' || CAST(l_orderkey AS VARCHAR))", 1, 8)})
+           % {_ph.MERSENNE31} AS hb
+  FROM lineitem),
+probe AS (
+  SELECT l_returnflag, l_orderkey,
+         ((f0.a * hb + f0.b) % {_ph.MERSENNE31}) % {_BSJ_M} AS bit0,
+         ((f1.a * hb + f1.b) % {_ph.MERSENNE31}) % {_BSJ_M} AS bit1
+  FROM fact, (SELECT a, b FROM fam WHERE j = 0) f0,
+       (SELECT a, b FROM fam WHERE j = 1) f1),
+flags AS (
+  SELECT p.l_returnflag,
+         CASE WHEN b0.bit IS NOT NULL AND b1.bit IS NOT NULL
+              THEN 1 ELSE 0 END AS maybe,
+         CASE WHEN p.l_orderkey IN (SELECT o_orderkey FROM dim)
+              THEN 1 ELSE 0 END AS matched
+  FROM probe p
+  LEFT JOIN bits b0 ON p.bit0 = b0.bit
+  LEFT JOIN bits b1 ON p.bit1 = b1.bit),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_fact,
+         CAST(SUM(maybe) AS BIGINT) AS n_pass_bloom,
+         CAST(SUM(matched) AS BIGINT) AS n_true_match,
+         CAST(SUM(CASE WHEN maybe = 1 AND matched = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos
+  FROM flags GROUP BY l_returnflag)
+SELECT l_returnflag, n_fact, n_pass_bloom, n_true_match, n_false_pos,
+       CASE WHEN n_fact = n_true_match THEN NULL
+            ELSE round(CAST(n_false_pos AS DOUBLE)
+                       / CAST(n_fact - n_true_match AS DOUBLE), 6) END
+         AS fp_rate,
+       round(1.0 - CAST(n_pass_bloom AS DOUBLE) / CAST(n_fact AS DOUBLE), 6)
+         AS scan_reduction
+FROM agg"""
+
+
+@_q("bloom_semijoin_reduce", _BSJ_SQL)
+def q_bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom SEMI-JOIN scan reduction — the join-pruning use of the
+    filter `bloom_dedup_gate` uses for ingest dedup: the keys of a
+    selective dimension predicate (urgent orders in one quarter)
+    collapse into a 4096-bit / 2-hash Bloom BITMAP that is embedded in
+    the FACT SCAN as 64 int64 plan literals, so every lineitem row
+    answers "can this key possibly join?" with two shifts and two ANDs
+    — no join, no shuffle, before the real join runs only over
+    survivors. Per return flag the query reports fact rows, Bloom
+    passers, exact semi-join matches, false positives, the
+    false-positive rate among true non-matches, and the scan-reduction
+    share — the evidence a planner reads before enabling runtime filter
+    pushdown (Spark's own AQE runtime bloom does exactly this; here the
+    mechanics are explicit and measured).
+
+    Determinism: the md5-affine family is the portable one
+    (`bloom_dedup_gate` precedent), so both engines set and probe
+    byte-identical bit positions; false positives are deterministic and
+    the oracle reproduces them bit-for-bit. Counts are integers; the
+    two rates are one division each.
+
+    100 TB shape: the bitmap costs 512 BYTES — it ships inside the task
+    binary to every scan task (the Spark side materializes it as a
+    driver-collected <= m-row bit list folded into plan literals; the
+    collect is BOUNDED BY m, never by the dim row count). The exact
+    leg (broadcast key join) exists to MEASURE the filter; production
+    keeps the bloom prefilter in front of the shuffle join and sizes m
+    by |dim|: at this fixed m=4096 the filter saturates as |dim| grows
+    past ~2k keys (fp_rate rises toward 1 at sf1 — visible in the
+    measured column, which is the point of measuring)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dim = (
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.expr("o_orderdate >= TIMESTAMP '1995-03-01'")
+            & F.expr("o_orderdate < TIMESTAMP '1995-06-01'")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    dh = dim.select(
+        "o_orderkey",
+        (
+            _ph.md5_int32(
+                F.concat(F.lit("bsj|"), F.col("o_orderkey").cast("string"))
+            )
+            % F.lit(_ph.MERSENNE31)
+        ).alias("hb"),
+    )
+    bit_cols = [
+        (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
+        for j, (a, b) in enumerate(_BSJ_FAM)
+    ]
+    # bounded driver collect: <= m distinct set bits (NEVER |dim| rows) —
+    # folded into 64 int64 plan literals so the probe is scan-local
+    set_bits = sorted(
+        r["bit"]
+        for r in dh.select(
+            F.explode(F.array(*bit_cols)).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    limbs = [0] * (_BSJ_M // 64)
+    for bit in set_bits:
+        limbs[bit >> 6] |= 1 << (bit & 63)
+    limbs = [x - (1 << 64) if x >= (1 << 63) else x for x in limbs]
+    bm = F.array(*[F.lit(x).cast("long") for x in limbs])
+    fact = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        (
+            _ph.md5_int32(
+                F.concat(F.lit("bsj|"), F.col("l_orderkey").cast("string"))
+            )
+            % F.lit(_ph.MERSENNE31)
+        ).alias("hb"),
+    )
+    probe = fact.select(
+        "l_orderkey",
+        "l_returnflag",
+        *[
+            (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
+            for j, (a, b) in enumerate(_BSJ_FAM)
+        ],
+        bm.alias("bm"),
+    )
+    hit = " AND ".join(
+        f"(shiftright(element_at(bm, CAST(bit{j} div 64 AS INT) + 1), "
+        f"CAST(bit{j} % 64 AS INT)) & 1) = 1"
+        for j in range(_BSJ_KH)
+    )
+    flagged = probe.withColumn(
+        "maybe", F.expr(f"CAST(({hit}) AS INT)")
+    )
+    keys = dim.select(F.col("o_orderkey").alias("_k"))
+    flags = flagged.join(
+        F.broadcast(keys), flagged["l_orderkey"] == keys["_k"], "left"
+    ).select(
+        "l_returnflag",
+        "maybe",
+        F.when(F.col("_k").isNotNull(), 1).otherwise(0).alias("matched"),
+    )
+    agg = flags.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_fact"),
+        F.sum("maybe").cast("long").alias("n_pass_bloom"),
+        F.sum("matched").cast("long").alias("n_true_match"),
+        F.sum(
+            F.when((F.col("maybe") == 1) & (F.col("matched") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_fact",
+        "n_pass_bloom",
+        "n_true_match",
+        "n_false_pos",
+        F.when(
+            F.col("n_fact") == F.col("n_true_match"),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_fact") - F.col("n_true_match")).cast("double"),
+                6,
+            )
+        )
+        .alias("fp_rate"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_pass_bloom").cast("double")
+            / F.col("n_fact").cast("double"),
+            6,
+        ).alias("scan_reduction"),
+    )

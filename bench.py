@@ -284,6 +284,10 @@ EXTENDED_QUERIES = [
     "hll_merge_rollup",
     "padding_efficiency_audit",
     "kmeans_warm_update",
+    # round 8, wave 2
+    "kmv_set_cardinality",
+    "bloom_semijoin_reduce",
+    "maxsim_topk",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -348,6 +352,8 @@ ITERATIVE_CONSTRUCTION = {
     "curation_funnel_v2",  # 6-round GD fit at build time (classifier stage)
     "label_noise_audit",  # same 6-round GD fit at build time
     "kmeans_warm_update",  # one warm Lloyd round (k x dim aggregate) at build time
+    "kmv_set_cardinality",  # sketch-table build + localCheckpoint at build time
+    "bloom_semijoin_reduce",  # <=m-row set-bit collect folded into plan literals
 }
 
 

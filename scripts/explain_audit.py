@@ -180,6 +180,10 @@ AUDIT = [
     "hll_merge_rollup",
     "padding_efficiency_audit",
     "kmeans_warm_update",
+    # round 8, wave 2
+    "kmv_set_cardinality",
+    "bloom_semijoin_reduce",
+    "maxsim_topk",
 ]
 
 

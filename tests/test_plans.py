@@ -56,6 +56,7 @@ ARROW_EVAL_OK = {
     "ann_probe_sweep",  # brute ground-truth leg + probe udfs + re-rank dots
     "similarity_topk_lsh",
     "hard_negative_mining",  # same normalized-dot Arrow batch as the cosine baseline
+    "maxsim_topk",  # the shared Arrow normalize; dots are JVM folds
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -110,6 +111,8 @@ BNLJ_OK = {
     "freshness_audit",       # 1-row watermark scalar
     "store_consistency_audit",  # 1-row watermark scalar
     "ks_drift",              # 1-row sample-size scalar over the value domain
+    "kmv_set_cardinality",   # n_sources-row sketch-table self-join (checkpointed)
+    "maxsim_topk",           # bounded query-token broadcast vs streamed corpus tokens
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -233,6 +236,9 @@ EXCHANGE_CEILING = {
     "vocab_top_terms": 2, "volume_shipping": 1, "weighted_median": 1,
     "weighted_sample": 1,
     "winsorized_stats": 2, "zorder_keys": 0, "zscore_normalize": 1,
+    "kmv_set_cardinality": 8,  # sketch build (checkpointed) + exact-inter leg
+    "bloom_semijoin_reduce": 4,  # dim distinct x2 legs + final flag agg
+    "maxsim_topk": 6,  # token-max agg + doc sum + top-k window (x2 norm legs)
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
