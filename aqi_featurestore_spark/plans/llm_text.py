@@ -1892,3 +1892,318 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=_MAXSIM_K,
     )
+
+
+_MAXSIM_M = 10  # per-token candidate fan-in for the shortlist
+
+_MAXSIM_SL_SQL = f"""
+WITH {_SIM_NORM_CTE},
+mv AS (
+  SELECT vec_id // {_MAXSIM_C} AS mdoc_id, vec_id, v FROM norm),
+q AS (SELECT mdoc_id, vec_id, v FROM mv WHERE mdoc_id < {_MAXSIM_NQ}),
+c AS (SELECT mdoc_id, v FROM mv WHERE mdoc_id >= {_MAXSIM_NQ}),
+p AS (
+  SELECT q.mdoc_id AS q_id, q.vec_id AS q_tok, c.mdoc_id AS n_id,
+         {_SIM_NORM_DOT.format(a="q.v", b="c.v")} AS dot
+  FROM c, q),
+tm AS (
+  SELECT q_id, q_tok, n_id,
+         CAST(round(MAX(dot) * 1000000000.0, 0) AS BIGINT) AS m
+  FROM p GROUP BY 1, 2, 3),
+ex AS (
+  SELECT q_id, n_id, CAST(SUM(m) AS BIGINT) AS score
+  FROM tm GROUP BY 1, 2),
+ext AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+    FROM ex) WHERE rn <= {_MAXSIM_K}),
+cand AS (
+  SELECT DISTINCT q_id, n_id FROM (
+    SELECT q_id, q_tok, n_id,
+           row_number() OVER (
+             PARTITION BY q_id, q_tok ORDER BY m DESC, n_id) AS rr
+    FROM tm) WHERE rr <= {_MAXSIM_M}),
+slt AS (
+  SELECT q_id, n_id FROM (
+    SELECT e.q_id, e.n_id,
+           row_number() OVER (
+             PARTITION BY e.q_id ORDER BY e.score DESC, e.n_id) AS rn
+    FROM ex e JOIN cand USING (q_id, n_id)) WHERE rn <= {_MAXSIM_K}),
+nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM cand GROUP BY q_id),
+ne AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM ext GROUP BY q_id),
+hit AS (
+  SELECT s.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM slt s JOIN ext e ON s.q_id = e.q_id AND s.n_id = e.n_id
+  GROUP BY s.q_id)
+SELECT ne.q_id, nc.n_candidates, ne.n_exact,
+       COALESCE(hit.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       round(CAST(COALESCE(hit.n_hit, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE), 4) AS recall_at_5
+FROM ne
+JOIN nc ON ne.q_id = nc.q_id
+LEFT JOIN hit ON ne.q_id = hit.q_id"""
+
+
+@_q("maxsim_shortlist_recall", _MAXSIM_SL_SQL)
+def q_maxsim_shortlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED candidate-generation recall for MaxSim — the production
+    composition `maxsim_topk`'s docstring promises, audited the
+    `ann_recall` way: candidates per query are the union over its
+    tokens of each token's top-{M} docs by single best token cosine
+    (ColBERT's retrieve-then-rescore candidate rule), full MaxSim
+    rescoring runs ONLY over candidates, and the query reports how much
+    of the exact MaxSim top-{K} the shortlist recovered (n_candidates,
+    n_hit, recall@5 per query). Both legs derive from ONE per-token max
+    table, so the comparison is self-consistent by construction.
+
+    Determinism: the per-token max table is the `maxsim_topk` int64
+    micro-unit discipline; every window tie-breaks on doc id; recall is
+    one int/int division.
+
+    100 TB shape: the shared (q, q_token, doc) max table is
+    localCheckpoint-ed once (bounded |Q_tok| x |docs|) and feeds the
+    exact leg, the candidate windows (per-token top-{M} over
+    doc-bounded groups), and the shortlist rescore. The exact leg is
+    the audit cost (ann_recall contract); production keeps per-token
+    ANN lookups (`similarity_topk_ivfpq` per token) for candidate
+    generation and rescores the bounded union — this query prices what
+    that shortlist loses."""
+    e = _read(spark, sf_dir, "embeddings")
+    mv = e.select(
+        F.expr(f"vec_id div {_MAXSIM_C}").alias("mdoc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = F.broadcast(
+        mv.where(F.col("mdoc_id") < _MAXSIM_NQ).select(
+            F.col("mdoc_id").alias("q_id"),
+            F.col("vec_id").alias("q_tok"),
+            normalized_arrow("embedding").alias("q_vec"),
+        )
+    )
+    c = mv.where(F.col("mdoc_id") >= _MAXSIM_NQ).select(
+        F.col("mdoc_id").alias("n_id"),
+        normalized_arrow("embedding").alias("n_vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "n_vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    tm = (
+        c.crossJoin(q)
+        .groupBy("q_id", "q_tok", "n_id")
+        .agg(
+            F.round(F.max(dot) * F.lit(1e9), 0).cast("long").alias("m")
+        )
+        .localCheckpoint()
+    )
+    # the doc-score table feeds BOTH the exact leg and the shortlist
+    # rescore: checkpoint it too (|docs| x n_queries rows) so the two
+    # window branches read one materialization
+    ex = (
+        tm.groupBy("q_id", "n_id")
+        .agg(F.sum("m").cast("long").alias("score"))
+        .localCheckpoint()
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    ext = (
+        ex.withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= _MAXSIM_K)
+        .select("q_id", "n_id")
+        .localCheckpoint()  # <= K x n_queries rows, read by ne and hit
+    )
+    w_tok = Window.partitionBy("q_id", "q_tok").orderBy(
+        F.col("m").desc(), F.col("n_id").asc()
+    )
+    cand = (
+        tm.withColumn("rr", F.row_number().over(w_tok))
+        .where(F.col("rr") <= _MAXSIM_M)
+        .select("q_id", "n_id")
+        .distinct()
+        .localCheckpoint()  # <= M x |Q_tok| rows, read by slt and nc
+    )
+    slt = (
+        ex.join(F.broadcast(cand), ["q_id", "n_id"])
+        .withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= _MAXSIM_K)
+        .select("q_id", "n_id")
+    )
+    nc = cand.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    ne = ext.groupBy("q_id").agg(F.count("*").cast("long").alias("n_exact"))
+    hit = (
+        slt.join(F.broadcast(ext), ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        ne.join(F.broadcast(nc), "q_id")
+        .join(F.broadcast(hit), "q_id", "left")
+        .select(
+            "q_id",
+            "n_candidates",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8, wave 2: hybrid retrieval — reciprocal-rank fusion of two scorers
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60          # the standard RRF damping constant
+_RRF_SCALE = 1_000_000_000_000  # integer rank mass: 1e12 div (k0 + rank)
+_RRF_LEG_K = 10
+_RRF_TOP = 5
+
+_RRF_SQL = f"""
+WITH {_SIM_NORM_CTE},
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM norm WHERE vec_id % 50 = 0),
+cosp AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_SIM_NORM_DOT.format(a='q.q_vec', b='c.v')}, 6) AS cos_sim
+  FROM q CROSS JOIN norm c
+  WHERE q.q_id <> c.vec_id),
+lega AS (
+  SELECT q_id, n_id, CAST(rk AS INT) AS rk_cos FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rk
+    FROM cosp) t WHERE rk <= {_RRF_LEG_K}),
+iq AS (
+  SELECT vec_id, {_ph.duck_quantized_vec("embedding")} AS qv
+  FROM embeddings),
+qq AS (SELECT vec_id AS q_id, qv AS q_qv FROM iq WHERE vec_id % 50 = 0),
+dotp AS (
+  SELECT qq.q_id, c.vec_id AS n_id,
+         list_reduce(list_transform(range(1, len(qq.q_qv) + 1),
+                                    i -> qq.q_qv[i] * c.qv[i]),
+                     (x, y) -> x + y) AS idot
+  FROM qq CROSS JOIN iq c
+  WHERE qq.q_id <> c.vec_id),
+legb AS (
+  SELECT q_id, n_id, CAST(rk AS INT) AS rk_dot FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY idot DESC, n_id ASC) AS rk
+    FROM dotp) t WHERE rk <= {_RRF_LEG_K}),
+fused AS (
+  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         COALESCE(a.n_id, b.n_id) AS n_id,
+         a.rk_cos, b.rk_dot,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_K0} + a.rk_cos), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_K0} + b.rk_dot), 0)
+              AS BIGINT) AS rrf_mass
+  FROM lega a FULL OUTER JOIN legb b
+    ON a.q_id = b.q_id AND a.n_id = b.n_id)
+SELECT q_id, n_id, rk_cos, rk_dot, rrf_mass, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY rrf_mass DESC, n_id ASC) AS rk
+  FROM fused) t WHERE rk <= {_RRF_TOP}"""
+
+
+@_q("hybrid_rrf_fusion", _RRF_SQL)
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009
+    — public paper, formula only): two independent scorers rank the
+    corpus for the same query set — exact unit-cosine (the
+    `similarity_topk_cosine` leg, round-then-rank) and a raw
+    integer-quantized dot product (floor(x*1e6) int64 per dim, exact
+    int64 dot — magnitude-sensitive where cosine is not, so the two
+    legs genuinely disagree) — and each query's top-{LEG_K} lists fuse
+    by RRF into a final top-{TOP}. The fusion every hybrid
+    (dense + lexical / multi-scorer) retrieval stack runs; here both
+    legs and the fusion are hash-verified.
+
+    Determinism: RRF mass is computed ENTIRELY in integers —
+    1e12 div (60 + rank) summed as int64 (no double reciprocals to
+    reassociate), absent-leg contributions are exact 0, ranks
+    tie-break on doc id at every stage.
+
+    100 TB shape: each leg is the broadcast-queries x corpus-scan
+    pattern with per-query top-k windows (production swaps leg bodies
+    for their ANN/impact-index versions — `similarity_topk_ivfpq` /
+    `sparse_lexical_topk` — without touching the fusion); the fusion
+    itself joins two k-bounded rank lists per query (2x{LEG_K} rows),
+    negligible at any scale."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    lega = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
+        "q_id", "n_id", F.col("rk").cast("int").alias("rk_cos")
+    )
+    iq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long"),
+        ).alias("qv"),
+    )
+    qq = F.broadcast(
+        iq.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    dotp = (
+        iq.crossJoin(qq)
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("n_id"), idot.alias("idot")
+        )
+    )
+    w_b = Window.partitionBy("q_id").orderBy(
+        F.col("idot").desc(), F.col("n_id").asc()
+    )
+    legb = (
+        dotp.withColumn("rk", F.row_number().over(w_b))
+        .where(F.col("rk") <= _RRF_LEG_K)
+        .select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dot"))
+    )
+    fused = (
+        lega.join(
+            legb,
+            (lega["q_id"] == legb["q_id"]) & (lega["n_id"] == legb["n_id"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(lega["q_id"], legb["q_id"]).alias("q_id"),
+            F.coalesce(lega["n_id"], legb["n_id"]).alias("n_id"),
+            "rk_cos",
+            "rk_dot",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + rk_cos)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + rk_dot)"),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("rrf_mass"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_mass").desc(), F.col("n_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f).cast("int"))
+        .where(F.col("rk") <= _RRF_TOP)
+    )

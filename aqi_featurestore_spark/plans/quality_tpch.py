@@ -1426,3 +1426,134 @@ def q_bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scan_reduction"),
     )
+
+
+_BSJ_REV_SQL = """
+WITH dim AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-03-01'
+    AND o_orderdate <  TIMESTAMP '1995-06-01'),
+t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity, 0) AS BIGINT)                AS qty_i,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)     AS price_i,
+         CAST(round((1 - l_discount) * 10000, 0) AS BIGINT)  AS disc_i
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM dim)),
+u AS (
+  SELECT l_returnflag, qty_i,
+         (price_i * disc_i) // 1000000 AS dp_hi,
+         (price_i * disc_i) % 1000000  AS dp_lo
+  FROM t)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(qty_i) AS BIGINT) AS DOUBLE) AS sum_qty,
+       (CAST(CAST(SUM(dp_hi) AS BIGINT) AS DOUBLE) * 1000000.0
+          + CAST(CAST(SUM(dp_lo) AS BIGINT) AS DOUBLE)) / 1000000.0
+         AS revenue
+FROM u GROUP BY l_returnflag"""
+
+
+@_q("bloom_prefiltered_revenue", _BSJ_REV_SQL)
+def q_bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom prefilter of `bloom_semijoin_reduce` COMPOSED into a
+    real revenue aggregate — and proven semantically transparent: the
+    Spark plan runs fact scan -> 64-literal bitmap prefilter -> exact
+    broadcast key join (which discards the bloom's false positives) ->
+    revenue rollup, while the ORACLE computes the plain semi-join
+    aggregate with NO bloom anywhere. Hash equality is the proof that
+    the prefilter loses no rows (one-sidedness composing through a
+    join) and adds none (the exact join behind it) — the invariant a
+    planner must hold before switching runtime filter pushdown on.
+
+    Money math is the q1_pricing_summary two-limb exact-int64
+    discipline (price*disc products summed as hi/lo limbs, pinned-order
+    double reconstruction — bit-identical at any sf and parallelism).
+
+    100 TB shape: the bitmap prunes the fact stream BEFORE the join
+    (here broadcast; at a 100 TB fact vs large dim it would prune
+    before the SHUFFLE, which is the entire point — shuffle bytes drop
+    by the scan-reduction share measured in `bloom_semijoin_reduce`),
+    and the aggregate map-combines behind it."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dim = (
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.expr("o_orderdate >= TIMESTAMP '1995-03-01'")
+            & F.expr("o_orderdate < TIMESTAMP '1995-06-01'")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    dh = dim.select(
+        (
+            _ph.md5_int32(
+                F.concat(F.lit("bsj|"), F.col("o_orderkey").cast("string"))
+            )
+            % F.lit(_ph.MERSENNE31)
+        ).alias("hb")
+    )
+    bit_cols = [
+        (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
+        for j, (a, b) in enumerate(_BSJ_FAM)
+    ]
+    set_bits = sorted(
+        r["bit"]
+        for r in dh.select(F.explode(F.array(*bit_cols)).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    limbs = [0] * (_BSJ_M // 64)
+    for bit in set_bits:
+        limbs[bit >> 6] |= 1 << (bit & 63)
+    limbs = [x - (1 << 64) if x >= (1 << 63) else x for x in limbs]
+    bm = F.array(*[F.lit(x).cast("long") for x in limbs])
+    fact = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (
+            _ph.md5_int32(
+                F.concat(F.lit("bsj|"), F.col("l_orderkey").cast("string"))
+            )
+            % F.lit(_ph.MERSENNE31)
+        ).alias("hb"),
+        bm.alias("bm"),
+    ).select(
+        "*",
+        *[
+            (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
+            for j, (a, b) in enumerate(_BSJ_FAM)
+        ],
+    )
+    hit = " AND ".join(
+        f"(shiftright(element_at(bm, CAST(bit{j} div 64 AS INT) + 1), "
+        f"CAST(bit{j} % 64 AS INT)) & 1) = 1"
+        for j in range(_BSJ_KH)
+    )
+    pre = fact.where(F.expr(hit))  # bloom prefilter: scan-local, no join
+    keys = dim.select(F.col("o_orderkey").alias("_k"))
+    joined = pre.join(
+        F.broadcast(keys), pre["l_orderkey"] == keys["_k"], "inner"
+    )
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    price_i = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_i = F.round((F.lit(1) - F.col("l_discount")) * 10000, 0).cast("long")
+    dp = price_i * disc_i
+    dp_hi = ((dp - dp % 1_000_000) / 1_000_000).cast("long")
+    dp_lo = dp % 1_000_000
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(qty_i).cast("double").alias("sum_qty"),
+        (
+            (
+                F.sum(dp_hi).cast("double") * F.lit(1_000_000.0)
+                + F.sum(dp_lo).cast("double")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("revenue"),
+    )

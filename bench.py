@@ -288,6 +288,9 @@ EXTENDED_QUERIES = [
     "kmv_set_cardinality",
     "bloom_semijoin_reduce",
     "maxsim_topk",
+    "bloom_prefiltered_revenue",
+    "maxsim_shortlist_recall",
+    "hybrid_rrf_fusion",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -354,6 +357,8 @@ ITERATIVE_CONSTRUCTION = {
     "kmeans_warm_update",  # one warm Lloyd round (k x dim aggregate) at build time
     "kmv_set_cardinality",  # sketch-table build + localCheckpoint at build time
     "bloom_semijoin_reduce",  # <=m-row set-bit collect folded into plan literals
+    "bloom_prefiltered_revenue",  # same <=m-row set-bit collect at build time
+    "maxsim_shortlist_recall",  # token-max/doc-score localCheckpoints at build time
 }
 
 

@@ -184,6 +184,9 @@ AUDIT = [
     "kmv_set_cardinality",
     "bloom_semijoin_reduce",
     "maxsim_topk",
+    "bloom_prefiltered_revenue",
+    "maxsim_shortlist_recall",
+    "hybrid_rrf_fusion",
 ]
 
 

@@ -57,6 +57,8 @@ ARROW_EVAL_OK = {
     "similarity_topk_lsh",
     "hard_negative_mining",  # same normalized-dot Arrow batch as the cosine baseline
     "maxsim_topk",  # the shared Arrow normalize; dots are JVM folds
+    "maxsim_shortlist_recall",  # same shared Arrow normalize
+    "hybrid_rrf_fusion",  # cosine leg's Arrow normalize; dots are JVM folds
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -113,6 +115,8 @@ BNLJ_OK = {
     "ks_drift",              # 1-row sample-size scalar over the value domain
     "kmv_set_cardinality",   # n_sources-row sketch-table self-join (checkpointed)
     "maxsim_topk",           # bounded query-token broadcast vs streamed corpus tokens
+    "maxsim_shortlist_recall",  # same bounded query-token broadcast
+    "hybrid_rrf_fusion",     # brute cosine + quantized-dot query broadcasts (audit legs)
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -239,6 +243,9 @@ EXCHANGE_CEILING = {
     "kmv_set_cardinality": 8,  # sketch build (checkpointed) + exact-inter leg
     "bloom_semijoin_reduce": 4,  # dim distinct x2 legs + final flag agg
     "maxsim_topk": 6,  # token-max agg + doc sum + top-k window (x2 norm legs)
+    "bloom_prefiltered_revenue": 4,  # dim scan x2 legs + revenue agg (bloom is scan-local)
+    "maxsim_shortlist_recall": 6,  # checkpointed tm/ex/ext/cand + bounded windows
+    "hybrid_rrf_fusion": 10,  # two leg top-k windows + k-bounded full-outer fuse
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.

@@ -1,5 +1,7 @@
-"""Round-9 additions: KMV bottom-k set-cardinality sketch, Bloom
-semi-join scan reduction, MaxSim late-interaction retrieval.
+"""Round-8 wave-2 additions: KMV bottom-k set-cardinality sketch,
+Bloom semi-join scan reduction (+ its composition into a revenue
+aggregate), MaxSim late-interaction retrieval (+ its shortlist-recall
+audit), and hybrid reciprocal-rank fusion.
 
 Cross-engine value parity for all three is covered by
 test_oracle_parity.py (full registry); these tests pin the semantic
@@ -112,3 +114,52 @@ def test_maxsim_topk_shape(spark):
         assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
         micros = [r["score_micro"] for r in rs]
         assert micros == sorted(micros, reverse=True)
+
+
+def test_bloom_prefiltered_revenue_consistent_with_audit(spark):
+    """Cross-query pin: the prefiltered revenue aggregate must cover
+    exactly the rows the audit query counts as true matches — the
+    transparency guarantee stated operationally."""
+    audit = {
+        r["l_returnflag"]: r["n_true_match"]
+        for r in QUERIES["bloom_semijoin_reduce"](spark, SF_DIR).collect()
+    }
+    rev = QUERIES["bloom_prefiltered_revenue"](spark, SF_DIR).collect()
+    for r in rev:
+        assert r["n_items"] == audit[r["l_returnflag"]]
+        assert r["revenue"] > 0
+
+
+def test_maxsim_shortlist_exact_leg_matches_topk(spark):
+    """Cross-query pin: the shortlist audit's exact leg is the same
+    ranking maxsim_topk publishes — n_exact per query equals the topk
+    row count, and a perfect-recall query's hits equal it too."""
+    topk_counts: dict[int, int] = {}
+    for r in QUERIES["maxsim_topk"](spark, SF_DIR).collect():
+        topk_counts[r["q_id"]] = topk_counts.get(r["q_id"], 0) + 1
+    rows = QUERIES["maxsim_shortlist_recall"](spark, SF_DIR).collect()
+    assert {r["q_id"] for r in rows} == set(topk_counts)
+    for r in rows:
+        assert r["n_exact"] == topk_counts[r["q_id"]]
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["n_candidates"] <= 4 * 8 * 10 // 4  # <= tokens x M per query
+        if r["recall_at_5"] == 1.0:
+            assert r["n_hit"] == r["n_exact"]
+
+
+def test_hybrid_rrf_mass_recomputes(spark):
+    """The fused integer RRF mass equals 1e12 div (60 + rank) summed
+    over the legs that ranked the doc, recomputed row by row."""
+    rows = QUERIES["hybrid_rrf_fusion"](spark, SF_DIR).collect()
+    assert rows
+    seen_q = set()
+    for r in rows:
+        seen_q.add(r["q_id"])
+        expected = 0
+        if r["rk_cos"] is not None:
+            expected += 1_000_000_000_000 // (60 + r["rk_cos"])
+        if r["rk_dot"] is not None:
+            expected += 1_000_000_000_000 // (60 + r["rk_dot"])
+        assert expected == r["rrf_mass"]
+        assert 1 <= r["rk"] <= 5
+    assert len(seen_q) >= 5  # every 50th of 500 vectors -> 10 queries
