@@ -2,7 +2,8 @@
 centroids, quantization, inverted index, seasonal anomalies, digests,
 transitions, exact medians, graph triangles, weighted sampling, PMI,
 CMS heavy hitters, PageRank, Bloom gate, LM familiarity, reservoir,
-rolling DAU, BM25 top-k, bucketizer, policy dedup, skew report.
+rolling DAU, BM25 top-k, bucketizer, policy dedup, skew report, HLL
+audits/rollups, padding-efficiency audit, KMV bottom-k set algebra.
 
 Split out of plans/queries.py (round 4); registration still via the
 shared ``@_q`` registry in plans/_base.py. Reference citations live on

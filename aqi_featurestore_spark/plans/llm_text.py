@@ -1,6 +1,8 @@
 """LLM-data-pipeline extensions: text stats, fingerprints, near-dedup
 (MinHash/SimHash/Jaccard), embedding similarity, multimodal, session
-windows, and the time-series hyperfunctions (TWAP, rate, LOCF).
+windows, the time-series hyperfunctions (TWAP, rate, LOCF), MaxSim
+late-interaction retrieval + its shortlist-recall audit, and hybrid
+reciprocal-rank fusion.
 
 Split out of plans/queries.py (round 4); registration still via the
 shared ``@_q`` registry in plans/_base.py. Reference citations live on

@@ -1,7 +1,8 @@
 """Distribution monitoring and robust stats, blocked edit distance,
 prefix-filter Jaccard, TPC-H Q3/Q4/Q16/Q21/Q12/Q20 shapes, gap filling,
 kNN vote, FK audits, mergeable aggregation, trend features, as-of joins
-(forward/nearest), TPC-H Q13/Q17/Q22 shapes.
+(forward/nearest), TPC-H Q13/Q17/Q22 shapes, Bloom semi-join scan
+reduction and its prefiltered-revenue composition.
 
 Split out of plans/queries.py (round 4); registration still via the
 shared ``@_q`` registry in plans/_base.py. Reference citations live on
