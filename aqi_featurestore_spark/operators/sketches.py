@@ -1,0 +1,169 @@
+"""Persisted mergeable-sketch store: portable HLL register files as a
+table, maintained by APPEND and read by MERGE.
+
+The maintenance half of the portable-HLL family
+(plans/corpus_stats.py `hll_distinct_audit` / `hll_merge_rollup` prove
+the estimator and the merge algebra against the DuckDB oracle; this
+module makes the algebra OPERATIONAL): per-batch partial register
+files append to a parquet store keyed (group, idx); readers merge with
+register-wise MAX. Because MAX is associative, commutative and
+IDEMPOTENT, appends are duplicate-tolerant — a replayed streaming
+epoch, a re-run over the same files, or overlapping batches change
+nothing — and merge order never matters, so maintenance re-scans
+REGISTERS, never tokens (the property that makes distinct-count upkeep
+incremental at 100 TB; yesterday's registers are never rebuilt).
+
+Hashing and estimator are bit-identical to the audit queries (same
+md5-derived 63-bit hash with the ``'hll|'`` domain prefix, same
+bin()-length rank, same exact two-limb harmonic sum and pinned double
+expression), pinned by tests/test_streaming_sketches.py comparing the
+store's estimates to `hll_distinct_audit`'s oracle-verified column.
+
+Reference analogue: the reference's online store keeps ONE current
+value per key (Redis overwrite, airflow/dags/load.py:141 behavior
+note); a register store keeps one current MAX per (group, idx) — the
+same latest-state discipline, reached through an idempotent merge
+instead of an overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aqi_featurestore_spark.functions import portable_hash as _ph
+
+# Mirrors of the plans/corpus_stats.py HLL constants (literals; lock-step
+# is pinned by the estimate-equality test, not by imports — the plans
+# modules stay self-contained for the oracle SQL).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_RMAX = (63 - HLL_P) + 1
+HLL_LIMB = 1 << 28
+HLL_ALPHA_NUM = float(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << HLL_RMAX))
+HLL_SMALL = 2.5 * HLL_M
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], token_col: str
+) -> DataFrame:
+    """Per-group HLL register file over a token stream: (group...,
+    idx, m). No token dedup is needed — a duplicate token lands on the
+    same (idx, rank), and MAX absorbs it — so the build is one
+    map-side-combining aggregate whose shuffle carries at most
+    n_groups x 256 tiny rows."""
+    h63 = _ph.md5_int63(
+        F.concat(F.lit("hll|"), F.col(token_col).cast("string"))
+    )
+    rr = df.select(
+        *group_cols,
+        (h63 % HLL_M).alias("idx"),
+        F.shiftright(h63, HLL_P).cast("long").alias("rest"),
+    )
+    return (
+        rr.select(
+            *group_cols,
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(HLL_RMAX))
+            .otherwise(F.lit(HLL_RMAX) - F.length(F.bin("rest")))
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def write_sketch_partial(regs: DataFrame, path: str) -> None:
+    """APPEND a partial register file. Partials never overwrite —
+    the store is a log of register files; the merge is read-time
+    (or fold into a base via :func:`compact_sketch_store`)."""
+    regs.write.mode("append").parquet(path)
+
+
+def read_merged_registers(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> DataFrame:
+    """Merge every persisted partial with register-wise MAX — equal,
+    bit-for-bit, to registers built directly over the union of every
+    batch's tokens (the `hll_merge_rollup` theorem)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group cardinality estimate from a register frame — the same
+    exact two-limb harmonic sum + one pinned double expression as the
+    oracle-verified audit query. Output: (group..., n_empty_regs,
+    hll_estimate)."""
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - m AS INT))"
+    )
+    limbs = regs.select(
+        *group_cols,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - m AS INT))"
+            f" div {HLL_LIMB}"
+        ).alias("thi"),
+        (term % F.lit(HLL_LIMB)).alias("tlo"),
+    ).groupBy(*group_cols).agg(
+        F.sum("thi").cast("long").alias("hi"),
+        F.sum("tlo").cast("long").alias("lo"),
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA_NUM) / (
+        (F.col("hi") + F.col("v") * HLL_LIMB).cast("double")
+        * F.lit(float(HLL_LIMB))
+        + F.col("lo").cast("double")
+    )
+    e = F.when(
+        (raw <= F.lit(HLL_SMALL)) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(HLL_M) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return limbs.select(
+        *group_cols,
+        F.col("v").alias("n_empty_regs"),
+        F.round(e, 4).alias("hll_estimate"),
+    )
+
+
+def compact_sketch_store(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> dict:
+    """Fold the partial log into ONE merged base file set — the
+    sketch-store analogue of `vacuum_ann_index` / `vacuum_model_registry`
+    (the round-8 retention discipline applied to the store this module
+    introduces, so it does not regrow the unbounded-append problem those
+    vacuums closed). MAX-merge is lossless, so compaction is merge +
+    rename-swap overwrite; estimates are bit-identical before and
+    after. Returns {'files_before', 'files_after', 'groups'}."""
+    import os
+    import shutil
+    import uuid
+
+    from aqi_featurestore_spark.sources import fs
+
+    files_before = len(
+        [p for p, _s, _m in fs.list_file_stats(spark, path)]
+    )
+    merged = read_merged_registers(spark, path, group_cols)
+    n_groups = merged.select(*group_cols).distinct().count()
+    tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    files_after = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "groups": n_groups,
+    }

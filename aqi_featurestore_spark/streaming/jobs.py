@@ -678,3 +678,67 @@ def run_quality_filter_stream_registry(
         .start()
     )
     q.awaitTermination()
+
+
+def run_sketch_refresh_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+):
+    """Streaming distinct-count sketch maintenance — the E193 index-
+    refresh contract applied to the portable-HLL store: newly arrived
+    documents fold into the persisted register table per micro-batch,
+    so per-source distinct-shingle estimates track corpus growth
+    without ever rebuilding yesterday's registers (the incremental
+    claim `hll_merge_rollup` proves algebraically, run as a stream).
+
+    Per micro-batch (``foreachBatch``): shingle the batch, build its
+    partial register file (one map-combining aggregate, <= n_sources x
+    256 rows), APPEND to the store. No base-version bookkeeping is
+    needed — unlike the ANN index (whose versioned rows require
+    monotonic versions, jobs.py:486-500), register MAX-merge is
+    IDEMPOTENT, so a replayed epoch re-appending the same partial
+    changes nothing, and even a whole re-run over the same data with a
+    FRESH checkpoint is absorbed (pinned in
+    tests/test_streaming_sketches.py). Readers merge at read time
+    (operators/sketches.py:read_merged_registers); the partial log
+    compacts losslessly with compact_sketch_store.
+
+    100 TB shape: the stream's state per trigger is one bounded
+    register frame; the store grows one <=n_sources x 256-row partial
+    per batch and compaction folds the log whenever read amplification
+    matters — the same retention discipline as the index/model
+    vacuums."""
+    from aqi_featurestore_spark.functions.text import word_shingles
+    from aqi_featurestore_spark.operators.sketches import (
+        hll_registers,
+        write_sketch_partial,
+    )
+
+    def refresh(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        toks = batch.select(
+            group_col,
+            F.explode(word_shingles(text_col, shingle_n)).alias("token"),
+        )
+        write_sketch_partial(
+            hll_registers(toks, [group_col], "token"), store_path
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
