@@ -1558,3 +1558,91 @@ def q_bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("revenue"),
     )
+
+
+_ZONE_SQL = """
+WITH p AS (
+  SELECT date_trunc('month', l_shipdate) AS month, l_shipdate, l_extendedprice
+  FROM lineitem)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+       CAST(CASE WHEN max(l_shipdate) < TIMESTAMP '2000-01-01'
+            THEN 1 ELSE 0 END AS INT) AS skip_time,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits_time,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       CAST(CASE WHEN max(l_extendedprice) < 100000.0
+            THEN 1 ELSE 0 END AS INT) AS skip_price,
+       CAST(SUM(CASE WHEN l_extendedprice >= 100000.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits_price
+FROM p GROUP BY month"""
+
+
+@_q("zone_map_skip_audit", _ZONE_SQL)
+def q_zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-partition min/max) data-skipping audit — the
+    STORAGE-LAYOUT pruning complement to `bloom_semijoin_reduce`'s
+    key-membership pruning: for every shipdate-month partition (the
+    offline store's Hive layout, sources/offline_store.py) the query
+    computes the min/max zone stats a scan planner consults and
+    evaluates two >=-predicates against them side by side:
+
+    - a LAYOUT-CORRELATED predicate (l_shipdate >= 2000-01-01): most
+      partitions' max falls below the cut, so ``skip_time=1`` — whole
+      partitions drop with zero rows read;
+    - an UNCORRELATED predicate of similar selectivity
+      (l_extendedprice >= 100000, ~p95+): partitions span nearly the
+      full price range, so ``skip_price`` stays ~0 even though ~95% of
+      rows miss (at tiny sf a sparse month can max below the cut by
+      luck; the contrast with skip_time stays decisive) — zone maps
+      are worthless for columns the layout doesn't cluster.
+
+    The contrast IS the measured argument for layout work
+    (`zorder_keys` is the fix: interleave the pruning columns into the
+    sort key so both predicates skip). Skipping's one-sidedness is in
+    the hashed values themselves: every skip_*=1 row carries
+    hits_*=0 — a skipped partition provably contained nothing.
+
+    Determinism: counts are integers; min/max over doubles/timestamps
+    are order-free exact values from the same parquet bits.
+
+    100 TB shape: one map-combining aggregate over the scan —
+    n_partitions x a handful of stats rows shuffle, nothing else; in
+    production the stats table persists at write time (the parquet
+    footer already holds these) and the audit reads footers, not
+    rows."""
+    li = _read(spark, sf_dir, "lineitem")
+    tcut = F.expr("TIMESTAMP '2000-01-01'")
+    return (
+        li.select(
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            "l_shipdate",
+            "l_extendedprice",
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.when(F.max("l_shipdate") < tcut, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("skip_time"),
+            F.sum(F.when(F.col("l_shipdate") >= tcut, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_time"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.when(F.max("l_extendedprice") < F.lit(100000.0), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("skip_price"),
+            F.sum(
+                F.when(F.col("l_extendedprice") >= F.lit(100000.0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_price"),
+        )
+    )

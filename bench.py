@@ -291,6 +291,7 @@ EXTENDED_QUERIES = [
     "bloom_prefiltered_revenue",
     "maxsim_shortlist_recall",
     "hybrid_rrf_fusion",
+    "zone_map_skip_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

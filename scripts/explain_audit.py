@@ -187,6 +187,7 @@ AUDIT = [
     "bloom_prefiltered_revenue",
     "maxsim_shortlist_recall",
     "hybrid_rrf_fusion",
+    "zone_map_skip_audit",
 ]
 
 

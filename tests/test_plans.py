@@ -246,6 +246,7 @@ EXCHANGE_CEILING = {
     "bloom_prefiltered_revenue": 4,  # dim scan x2 legs + revenue agg (bloom is scan-local)
     "maxsim_shortlist_recall": 6,  # checkpointed tm/ex/ext/cand + bounded windows
     "hybrid_rrf_fusion": 10,  # two leg top-k windows + k-bounded full-outer fuse
+    "zone_map_skip_audit": 1,  # one map-combining month-stats aggregate
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.

@@ -163,3 +163,24 @@ def test_hybrid_rrf_mass_recomputes(spark):
         assert expected == r["rrf_mass"]
         assert 1 <= r["rk"] <= 5
     assert len(seen_q) >= 5  # every 50th of 500 vectors -> 10 queries
+
+
+def test_zone_map_skip_is_one_sided_and_layout_sensitive(spark):
+    """Every skipped partition provably contained nothing (skip=1 =>
+    hits=0), the layout-correlated predicate skips most partitions,
+    and the uncorrelated one skips none — the measured layout lesson."""
+    rows = QUERIES["zone_map_skip_audit"](spark, SF_DIR).collect()
+    assert len(rows) > 50  # ~83 month partitions
+    for r in rows:
+        if r["skip_time"] == 1:
+            assert r["hits_time"] == 0
+        if r["skip_price"] == 1:
+            assert r["hits_price"] == 0
+        assert r["min_ship"] <= r["max_ship"]
+    n_skip_time = sum(r["skip_time"] for r in rows)
+    n_skip_price = sum(r["skip_price"] for r in rows)
+    assert n_skip_time > len(rows) // 2  # pre-2000 months all skip
+    # the unclustered column skips at most a few SPARSE months (at
+    # sf0.001 a ~70-row month can max below the cut by luck); the
+    # layout-correlated predicate must dominate it decisively
+    assert n_skip_price < n_skip_time // 3
