@@ -1,5 +1,6 @@
-"""Persisted mergeable-sketch store: portable HLL register files as a
-table, maintained by APPEND and read by MERGE.
+"""Persisted mergeable-sketch store: portable HLL register files (and
+KMV bottom-k value sketches) as tables, maintained by APPEND and read
+by MERGE.
 
 The maintenance half of the portable-HLL family
 (plans/corpus_stats.py `hll_distinct_audit` / `hll_merge_rollup` prove
@@ -167,3 +168,100 @@ def compact_sketch_store(
         "files_after": files_after,
         "groups": n_groups,
     }
+
+
+# -- KMV bottom-k partials (the second mergeable sketch) --------------------
+
+KMV_K = 256
+
+
+def kmv_partial(
+    df: DataFrame, group_cols: list[str], token_col: str
+) -> DataFrame:
+    """Per-group bottom-K value sketch over a token stream: (group...,
+    h). Same hash domain as `kmv_set_cardinality`
+    (plans/corpus_stats.py), so store sketches compose with the
+    pairwise set-algebra query. Duplicate tokens collapse by value
+    (min-K is duplicate-insensitive after the distinct), so a partial
+    is the true bottom-min(K, |batch set|) of its batch — the
+    precondition of the bottom-k merge theorem."""
+    h63 = _ph.md5_int63(
+        F.concat(F.lit("kmv|"), F.col(token_col).cast("string"))
+    )
+    hv = df.select(*group_cols, h63.alias("h")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select(*group_cols, "h")
+    )
+
+
+def read_merged_kmv(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> DataFrame:
+    """Merge persisted partials: bottom-K of the deduped value union —
+    equal, by the bottom-k merge theorem, to the sketch built directly
+    over every batch's tokens in one pass (each partial is a true
+    bottom-min(K,·) of its batch)."""
+    from pyspark.sql import Window
+
+    vals = spark.read.parquet(path).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        vals.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select(*group_cols, "h")
+    )
+
+
+KMV_NUM = float((KMV_K - 1) << 63)
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group distinct estimate from a bottom-K sketch frame:
+    (K-1) * 2^63 / kth-min, degenerating to the exact sketch size for
+    sub-K sets — the same pinned expression as the oracle-verified
+    pairwise query. Output: (group..., n_sketch, kmv_estimate)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").alias("kth"),
+    )
+    e = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.round(e, 4).alias("kmv_estimate"),
+    )
+
+
+def _swap_in(spark: SparkSession, path: str, merged: DataFrame) -> dict:
+    """Rename-swap a merged frame over the partial log (the vacuum
+    pattern): lossless because both sketch merges are idempotent."""
+    import os
+    import shutil
+    import uuid
+
+    from aqi_featurestore_spark.sources import fs
+
+    files_before = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
+    tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    merged.repartition(1).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    files_after = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
+    return {"files_before": files_before, "files_after": files_after}
+
+
+def compact_kmv_store(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> dict:
+    """Fold the KMV partial log into one bottom-K base — sketches are
+    bit-identical before and after (merge-of-merged == merged)."""
+    return _swap_in(spark, path, read_merged_kmv(spark, path, group_cols))

@@ -690,6 +690,7 @@ def run_sketch_refresh_stream(
     group_col: str = "source",
     text_col: str = "text",
     shingle_n: int = 3,
+    sketch: str = "hll",
 ):
     """Streaming distinct-count sketch maintenance — the E193 index-
     refresh contract applied to the portable-HLL store: newly arrived
@@ -718,8 +719,13 @@ def run_sketch_refresh_stream(
     from aqi_featurestore_spark.functions.text import word_shingles
     from aqi_featurestore_spark.operators.sketches import (
         hll_registers,
+        kmv_partial,
         write_sketch_partial,
     )
+
+    if sketch not in ("hll", "kmv"):
+        raise ValueError(f"unknown sketch kind {sketch!r}")
+    build = hll_registers if sketch == "hll" else kmv_partial
 
     def refresh(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -728,9 +734,7 @@ def run_sketch_refresh_stream(
             group_col,
             F.explode(word_shingles(text_col, shingle_n)).alias("token"),
         )
-        write_sketch_partial(
-            hll_registers(toks, [group_col], "token"), store_path
-        )
+        write_sketch_partial(build(toks, [group_col], "token"), store_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -129,3 +129,117 @@ def test_compaction_is_lossless_and_merges_files(spark, docs, tmp_path):
         ).collect()
     )
     assert after_est == before_est
+
+
+# -- KMV bottom-k store ------------------------------------------------------
+
+from aqi_featurestore_spark.operators.sketches import (  # noqa: E402
+    KMV_K,
+    compact_kmv_store,
+    kmv_estimate,
+    kmv_partial,
+    read_merged_kmv,
+)
+
+
+def _kmv_set(df):
+    return {(r["source"], r["h"]) for r in df.collect()}
+
+
+def _direct_kmv(docs):
+    toks = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("token")
+    )
+    return kmv_partial(toks, ["source"], "token")
+
+
+def test_kmv_stream_equals_direct_and_independent_oracle(spark, docs, tmp_path):
+    """Merged store sketches == one-pass direct build == an INDEPENDENT
+    DuckDB bottom-K over the same md5 hash (the merge theorem checked
+    against an implementation that shares no Spark code)."""
+    import duckdb
+
+    from aqi_featurestore_spark.functions import portable_hash as _ph
+
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+    store = str(tmp_path / "kmv_store")
+    run_sketch_refresh_stream(
+        spark, src, DOC_SCHEMA, store, str(tmp_path / "ckpt"), sketch="kmv"
+    )
+    merged = read_merged_kmv(spark, store, ["source"])
+    assert _kmv_set(merged) == _kmv_set(_direct_kmv(docs))
+
+    con = duckdb.connect()
+    oracle = con.execute(rf"""
+        WITH tok AS (
+          SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM '{SF_DIR}/documents.parquet'),
+        sh AS (
+          SELECT DISTINCT source,
+                 unnest(CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+          FROM tok),
+        hv AS (
+          SELECT DISTINCT source,
+                 {_ph.duck_md5_int63("md5('kmv|' || s)")} AS h
+          FROM sh),
+        rk AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hv)
+        SELECT source, h FROM rk WHERE rn <= {KMV_K}
+    """).fetchall()
+    assert _kmv_set(merged) == set(oracle)
+
+
+def test_kmv_replay_absorbed_and_compaction_lossless(spark, docs, tmp_path):
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(2).write.parquet(src)
+    store = str(tmp_path / "kmv_store")
+    run_sketch_refresh_stream(
+        spark, src, DOC_SCHEMA, store, str(tmp_path / "c1"), sketch="kmv"
+    )
+    before = _kmv_set(read_merged_kmv(spark, store, ["source"]))
+    # fresh-checkpoint full replay: dedup + re-rank absorbs duplicates
+    run_sketch_refresh_stream(
+        spark, src, DOC_SCHEMA, store, str(tmp_path / "c2"), sketch="kmv"
+    )
+    assert _kmv_set(read_merged_kmv(spark, store, ["source"])) == before
+    stats = compact_kmv_store(spark, store, ["source"])
+    assert stats["files_after"] < stats["files_before"]
+    assert _kmv_set(read_merged_kmv(spark, store, ["source"])) == before
+
+
+def test_kmv_estimate_within_envelope(spark, docs, tmp_path):
+    """Store estimates land within the bottom-k envelope of the exact
+    per-source distinct-shingle counts (full sketches here: ~1.2-1.5k
+    distinct vs K=256)."""
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "kmv_store")
+    run_sketch_refresh_stream(
+        spark, src, DOC_SCHEMA, store, str(tmp_path / "ckpt"), sketch="kmv"
+    )
+    est = {
+        r["source"]: (r["n_sketch"], r["kmv_estimate"])
+        for r in kmv_estimate(
+            read_merged_kmv(spark, store, ["source"]), ["source"]
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.explode(word_shingles("text", 3)).alias("s")
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for src_name, (n_sk, e) in est.items():
+        assert n_sk == KMV_K  # full sketch at this cardinality
+        assert abs(e - exact[src_name]) / exact[src_name] < 0.3, src_name
