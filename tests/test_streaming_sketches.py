@@ -243,3 +243,86 @@ def test_kmv_estimate_within_envelope(spark, docs, tmp_path):
     for src_name, (n_sk, e) in est.items():
         assert n_sk == KMV_K  # full sketch at this cardinality
         assert abs(e - exact[src_name]) / exact[src_name] < 0.3, src_name
+
+
+# -- property tests: the merge algebra holds for ARBITRARY partitionings ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# token universes drawn small so collisions/overlaps actually occur;
+# group ids from a 3-symbol alphabet so multi-group merging is exercised
+_token_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g0", "g1", "g2"]),
+        st.integers(min_value=0, max_value=400),
+    ),
+    min_size=1,
+    max_size=120,
+)
+_n_parts = st.integers(min_value=1, max_value=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(rows=_token_rows, n_parts=_n_parts)
+def test_property_merge_equals_direct_for_any_partitioning(
+    spark, rows, n_parts
+):
+    """For ANY row set and ANY split into batches: merging per-batch
+    partials == one direct build, for BOTH sketches (HLL register MAX;
+    KMV dedup + bottom-k). This is the theorem the store relies on,
+    checked beyond the corpus fixtures."""
+    df = spark.createDataFrame(
+        [(g, str(t)) for g, t in rows], "g string, token string"
+    )
+    direct_hll = _set_of(hll_registers(df, ["g"], "token"))
+    direct_kmv = {
+        (r["g"], r["h"]) for r in kmv_partial(df, ["g"], "token").collect()
+    }
+
+    batches = [
+        [(g, str(t)) for i, (g, t) in enumerate(rows) if i % n_parts == p]
+        for p in range(n_parts)
+    ]
+    hll_parts = []
+    kmv_parts = []
+    for b in batches:
+        if not b:
+            continue
+        bdf = spark.createDataFrame(b, "g string, token string")
+        hll_parts.append(hll_registers(bdf, ["g"], "token"))
+        kmv_parts.append(kmv_partial(bdf, ["g"], "token"))
+
+    from functools import reduce
+
+    merged_hll = (
+        reduce(lambda a, b: a.unionByName(b), hll_parts)
+        .groupBy("g", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    assert _set_of(merged_hll) == direct_hll
+
+    from pyspark.sql import Window
+
+    vals = reduce(lambda a, b: a.unionByName(b), kmv_parts).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    merged_kmv = (
+        vals.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+    assert {
+        (r["g"], r["h"]) for r in merged_kmv.collect()
+    } == direct_kmv
+
+
+def _set_of(df):
+    return {(r["g"], r["idx"], r["m"]) for r in df.collect()}
