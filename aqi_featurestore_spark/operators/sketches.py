@@ -99,7 +99,14 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Per-group cardinality estimate from a register frame — the same
     exact two-limb harmonic sum + one pinned double expression as the
     oracle-verified audit query. Output: (group..., n_empty_regs,
-    hll_estimate)."""
+    hll_estimate).
+
+    Accepts EITHER a merged register frame or the raw partial log: the
+    MAX-merge is folded in up front, so duplicate (group, idx) rows
+    (which would otherwise drive ``v = 256 - count(*)`` negative and
+    double-count the harmonic sum) are absorbed. Idempotent on
+    already-merged input — merging merged registers is the identity."""
+    regs = regs.groupBy(*group_cols, "idx").agg(F.max("m").alias("m"))
     term = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - m AS INT))"
     )
@@ -138,36 +145,19 @@ def compact_sketch_store(
     sketch-store analogue of `vacuum_ann_index` / `vacuum_model_registry`
     (the round-8 retention discipline applied to the store this module
     introduces, so it does not regrow the unbounded-append problem those
-    vacuums closed). MAX-merge is lossless, so compaction is merge +
-    rename-swap overwrite; estimates are bit-identical before and
-    after. Returns {'files_before', 'files_after', 'groups'}."""
-    import os
-    import shutil
-    import uuid
+    vacuums closed). MAX-merge is lossless, so estimates are
+    bit-identical before and after; see :func:`_swap_in` for why the
+    swap is safe under a concurrent streaming appender. Returns
+    {'files_before', 'files_after', 'groups'}."""
 
-    from aqi_featurestore_spark.sources import fs
+    def _merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols, "idx").agg(F.max("m").alias("m"))
 
-    files_before = len(
-        [p for p, _s, _m in fs.list_file_stats(spark, path)]
+    stats = _swap_in(spark, path, _merge)
+    stats["groups"] = (
+        spark.read.parquet(path).select(*group_cols).distinct().count()
     )
-    merged = read_merged_registers(spark, path, group_cols)
-    n_groups = merged.select(*group_cols).distinct().count()
-    tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
-    (
-        merged.repartition(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
-    files_after = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "groups": n_groups,
-    }
+    return stats
 
 
 # -- KMV bottom-k partials (the second mergeable sketch) --------------------
@@ -225,6 +215,17 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
     (K-1) * 2^63 / kth-min, degenerating to the exact sketch size for
     sub-K sets — the same pinned expression as the oracle-verified
     pairwise query. Output: (group..., n_sketch, kmv_estimate)."""
+    from pyspark.sql import Window
+
+    # Fold the bottom-K merge in up front (same guard as hll_estimate):
+    # idempotent on merged input, correct on the raw partial log.
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    sketch = (
+        sketch.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select(*group_cols, "h")
+    )
     agg = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_sketch"),
         F.max("h").alias("kth"),
@@ -239,29 +240,64 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
-def _swap_in(spark: SparkSession, path: str, merged: DataFrame) -> dict:
-    """Rename-swap a merged frame over the partial log (the vacuum
-    pattern): lossless because both sketch merges are idempotent."""
-    import os
-    import shutil
+def _swap_in(spark: SparkSession, path: str, merge_fn) -> dict:
+    """Compact the partial log via snapshot → merge → append → delete,
+    all through the Hadoop-FS helpers (works on any scheme the store's
+    parquet I/O accepts — HDFS/object stores, not just local POSIX):
+
+    1. snapshot the store's data-file listing;
+    2. merge ONLY the snapshotted files (``merge_fn`` is the store's
+       read-time merge);
+    3. APPEND the merged base into the store dir (written to a tmp dir,
+       then each data file renamed in — never a whole-directory swap);
+    4. delete exactly the snapshotted files.
+
+    Safe under a concurrent streaming appender AND under a crash at any
+    step, because both sketch merges (register-wise MAX, bottom-K of
+    the value union) are IDEMPOTENT: between 3 and 4 the store holds
+    the merged base plus the original partials and reads identically;
+    a partial appended after the snapshot is never listed in step 4, so
+    it survives untouched and folds in at read time. The directory
+    rename-swap this replaces could silently delete a mid-compaction
+    append and left no store dir at all between its two renames."""
     import uuid
 
     from aqi_featurestore_spark.sources import fs
 
-    files_before = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
+    snapshot = [p for p, _s in fs.list_data_files(spark, path)]
+    if not snapshot:
+        return {"files_before": 0, "files_after": 0}
+    merged = merge_fn(spark.read.parquet(*snapshot))
     tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    fs.delete(spark, tmp)
     merged.repartition(1).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
-    files_after = len([p for p, _s, _m in fs.list_file_stats(spark, path)])
-    return {"files_before": files_before, "files_after": files_after}
+    tag = uuid.uuid4().hex[:8]
+    for i, (f_, _s) in enumerate(fs.list_data_files(spark, tmp)):
+        fs.rename(
+            spark, f_, f"{path.rstrip('/')}/compact-{tag}-{i}.parquet"
+        )
+    fs.delete(spark, tmp)
+    for f_ in snapshot:
+        fs.delete(spark, f_)
+    files_after = len(fs.list_data_files(spark, path))
+    return {"files_before": len(snapshot), "files_after": files_after}
 
 
 def compact_kmv_store(
     spark: SparkSession, path: str, group_cols: list[str]
 ) -> dict:
     """Fold the KMV partial log into one bottom-K base — sketches are
-    bit-identical before and after (merge-of-merged == merged)."""
-    return _swap_in(spark, path, read_merged_kmv(spark, path, group_cols))
+    bit-identical before and after (merge-of-merged == merged); the
+    :func:`_swap_in` protocol makes it safe under concurrent appends."""
+    from pyspark.sql import Window
+
+    def _merge(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (
+            df.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KMV_K)
+            .select(*group_cols, "h")
+        )
+
+    return _swap_in(spark, path, _merge)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from datetime import timedelta
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aqi_featurestore_spark import pipeline
@@ -1231,6 +1231,49 @@ def q_nearest_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BSJ_M, _BSJ_KH = 4096, 2
 _BSJ_FAM = _ph.hash_family(_BSJ_KH, seed=0xB5E1)
 
+
+def _bsj_hb(key: Column) -> Column:
+    """Portable 31-bit Bloom key hash — shared by the bitmap build and
+    the fact-scan probe (both engines set and probe identical bits)."""
+    return _ph.md5_int32(
+        F.concat(F.lit("bsj|"), key.cast("string"))
+    ) % F.lit(_ph.MERSENNE31)
+
+
+def _bsj_bit_cols() -> list[Column]:
+    """The k affine bit positions derived from an ``hb`` column."""
+    return [
+        (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
+        for j, (a, b) in enumerate(_BSJ_FAM)
+    ]
+
+
+def _bsj_bitmap(dim_keys: DataFrame, key: str) -> Column:
+    """Fold a distinct key frame into the 4096-bit Bloom bitmap as 64
+    int64 plan literals. Bounded driver collect: <= m distinct SET
+    BITS (never |dim| rows) — the filter ships inside the task binary,
+    so the probe is scan-local with no join and no shuffle."""
+    dh = dim_keys.select(_bsj_hb(F.col(key)).alias("hb"))
+    set_bits = sorted(
+        r["bit"]
+        for r in dh.select(F.explode(F.array(*_bsj_bit_cols())).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    limbs = [0] * (_BSJ_M // 64)
+    for bit in set_bits:
+        limbs[bit >> 6] |= 1 << (bit & 63)
+    limbs = [x - (1 << 64) if x >= (1 << 63) else x for x in limbs]
+    return F.array(*[F.lit(x).cast("long") for x in limbs])
+
+
+# scan-local membership predicate over bit0..bit{k-1} plus the `bm` limbs
+_BSJ_HIT = " AND ".join(
+    f"(shiftright(element_at(bm, CAST(bit{j} div 64 AS INT) + 1), "
+    f"CAST(bit{j} % 64 AS INT)) & 1) = 1"
+    for j in range(_BSJ_KH)
+)
+
 _BSJ_SQL = rf"""
 WITH dim AS (
   SELECT DISTINCT o_orderkey FROM orders
@@ -1328,60 +1371,15 @@ def q_bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    dh = dim.select(
-        "o_orderkey",
-        (
-            _ph.md5_int32(
-                F.concat(F.lit("bsj|"), F.col("o_orderkey").cast("string"))
-            )
-            % F.lit(_ph.MERSENNE31)
-        ).alias("hb"),
-    )
-    bit_cols = [
-        (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
-        for j, (a, b) in enumerate(_BSJ_FAM)
-    ]
-    # bounded driver collect: <= m distinct set bits (NEVER |dim| rows) —
-    # folded into 64 int64 plan literals so the probe is scan-local
-    set_bits = sorted(
-        r["bit"]
-        for r in dh.select(
-            F.explode(F.array(*bit_cols)).alias("bit")
-        )
-        .distinct()
-        .collect()
-    )
-    limbs = [0] * (_BSJ_M // 64)
-    for bit in set_bits:
-        limbs[bit >> 6] |= 1 << (bit & 63)
-    limbs = [x - (1 << 64) if x >= (1 << 63) else x for x in limbs]
-    bm = F.array(*[F.lit(x).cast("long") for x in limbs])
+    bm = _bsj_bitmap(dim, "o_orderkey")
     fact = li.select(
-        "l_orderkey",
-        "l_returnflag",
-        (
-            _ph.md5_int32(
-                F.concat(F.lit("bsj|"), F.col("l_orderkey").cast("string"))
-            )
-            % F.lit(_ph.MERSENNE31)
-        ).alias("hb"),
+        "l_orderkey", "l_returnflag", _bsj_hb(F.col("l_orderkey")).alias("hb")
     )
     probe = fact.select(
-        "l_orderkey",
-        "l_returnflag",
-        *[
-            (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
-            for j, (a, b) in enumerate(_BSJ_FAM)
-        ],
-        bm.alias("bm"),
-    )
-    hit = " AND ".join(
-        f"(shiftright(element_at(bm, CAST(bit{j} div 64 AS INT) + 1), "
-        f"CAST(bit{j} % 64 AS INT)) & 1) = 1"
-        for j in range(_BSJ_KH)
+        "l_orderkey", "l_returnflag", *_bsj_bit_cols(), bm.alias("bm")
     )
     flagged = probe.withColumn(
-        "maybe", F.expr(f"CAST(({hit}) AS INT)")
+        "maybe", F.expr(f"CAST(({_BSJ_HIT}) AS INT)")
     )
     keys = dim.select(F.col("o_orderkey").alias("_k"))
     flags = flagged.join(
@@ -1488,55 +1486,17 @@ def q_bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    dh = dim.select(
-        (
-            _ph.md5_int32(
-                F.concat(F.lit("bsj|"), F.col("o_orderkey").cast("string"))
-            )
-            % F.lit(_ph.MERSENNE31)
-        ).alias("hb")
-    )
-    bit_cols = [
-        (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
-        for j, (a, b) in enumerate(_BSJ_FAM)
-    ]
-    set_bits = sorted(
-        r["bit"]
-        for r in dh.select(F.explode(F.array(*bit_cols)).alias("bit"))
-        .distinct()
-        .collect()
-    )
-    limbs = [0] * (_BSJ_M // 64)
-    for bit in set_bits:
-        limbs[bit >> 6] |= 1 << (bit & 63)
-    limbs = [x - (1 << 64) if x >= (1 << 63) else x for x in limbs]
-    bm = F.array(*[F.lit(x).cast("long") for x in limbs])
+    bm = _bsj_bitmap(dim, "o_orderkey")
     fact = li.select(
         "l_orderkey",
         "l_returnflag",
         "l_quantity",
         "l_extendedprice",
         "l_discount",
-        (
-            _ph.md5_int32(
-                F.concat(F.lit("bsj|"), F.col("l_orderkey").cast("string"))
-            )
-            % F.lit(_ph.MERSENNE31)
-        ).alias("hb"),
+        _bsj_hb(F.col("l_orderkey")).alias("hb"),
         bm.alias("bm"),
-    ).select(
-        "*",
-        *[
-            (_ph.affine(F.col("hb"), a, b) % F.lit(_BSJ_M)).alias(f"bit{j}")
-            for j, (a, b) in enumerate(_BSJ_FAM)
-        ],
-    )
-    hit = " AND ".join(
-        f"(shiftright(element_at(bm, CAST(bit{j} div 64 AS INT) + 1), "
-        f"CAST(bit{j} % 64 AS INT)) & 1) = 1"
-        for j in range(_BSJ_KH)
-    )
-    pre = fact.where(F.expr(hit))  # bloom prefilter: scan-local, no join
+    ).select("*", *_bsj_bit_cols())
+    pre = fact.where(F.expr(_BSJ_HIT))  # bloom prefilter: scan-local, no join
     keys = dim.select(F.col("o_orderkey").alias("_k"))
     joined = pre.join(
         F.broadcast(keys), pre["l_orderkey"] == keys["_k"], "inner"

@@ -456,9 +456,16 @@ def main() -> None:
     # lost because the extended dict pushed the JSON line past the driver's
     # tail capture). The stdout contract line stays compact: the frozen
     # 24-query headline dict (~1 KB, parsed fine in round 1) plus totals.
+    # `value` is the MEDIAN of per-pass headline totals (the
+    # round-over-round comparable); `best_total` is the sum of per-query
+    # bests across all passes (a lower bound, not a run anyone observed).
+    # Round-8 verdict "What's wrong #3": the former top-level `value` was
+    # best_total, which under-states wall time vs a single-run round.
     details = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
+        "value": calibration["headline_median"],
+        "value_is": "median_of_per_pass_totals",
+        "best_total": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "extended_queries": extended,
@@ -480,7 +487,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": calibration["headline_median"],
+                "value_is": "median_of_per_pass_totals",
+                "best_total": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
                 "extended_total": round(sum(extended.values()), 4),

@@ -245,6 +245,57 @@ def test_kmv_estimate_within_envelope(spark, docs, tmp_path):
         assert abs(e - exact[src_name]) / exact[src_name] < 0.3, src_name
 
 
+# -- compaction safety: concurrent appends and raw-log estimation ----------
+
+
+def test_compaction_preserves_a_concurrent_append(spark, docs, tmp_path):
+    """The round-8 ADVICE hazard, exercised in-protocol: a partial
+    appended AFTER compaction snapshots the file listing (here: from
+    inside the merge callback, i.e. mid-compaction) must survive the
+    swap and fold in at read time. The old directory rename-swap
+    silently deleted it."""
+    from aqi_featurestore_spark.operators.sketches import _swap_in
+
+    early = docs.where(F.col("doc_id") % 2 == 0)
+    late = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "hll_store")
+    write_sketch_partial(_direct_registers(early), store)
+
+    def racing_merge(df):
+        # the streaming appender fires between snapshot and swap
+        write_sketch_partial(_direct_registers(late), store)
+        return df.groupBy("source", "idx").agg(F.max("m").alias("m"))
+
+    stats = _swap_in(spark, store, racing_merge)
+    assert stats["files_before"] >= 1
+    merged = read_merged_registers(spark, store, ["source"])
+    assert _reg_set(merged) == _reg_set(_direct_registers(docs))
+
+
+def test_estimators_accept_the_raw_partial_log(spark, docs, tmp_path):
+    """hll_estimate/kmv_estimate fold the merge in up front (round-8
+    ADVICE): handed the raw UNMERGED store frame — duplicate (group,
+    idx)/(group, h) rows from overlapping partials — they return exactly
+    the merged-input estimates instead of silently wrong ones."""
+    store = str(tmp_path / "hll_store")
+    for part in (docs.where(F.col("doc_id") % 2 == 0), docs):
+        write_sketch_partial(_direct_registers(part), store)
+    raw = spark.read.parquet(store)
+    merged = read_merged_registers(spark, store, ["source"])
+    assert sorted(tuple(r) for r in hll_estimate(raw, ["source"]).collect()) == sorted(
+        tuple(r) for r in hll_estimate(merged, ["source"]).collect()
+    )
+
+    kstore = str(tmp_path / "kmv_store")
+    for part in (docs.where(F.col("doc_id") % 2 == 0), docs):
+        write_sketch_partial(_direct_kmv(part), kstore)
+    kraw = spark.read.parquet(kstore)
+    kmerged = read_merged_kmv(spark, kstore, ["source"])
+    assert sorted(
+        tuple(r) for r in kmv_estimate(kraw, ["source"]).collect()
+    ) == sorted(tuple(r) for r in kmv_estimate(kmerged, ["source"]).collect())
+
+
 # -- property tests: the merge algebra holds for ARBITRARY partitionings ----
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
