@@ -283,6 +283,199 @@ def _swap_in(spark: SparkSession, path: str, merge_fn) -> dict:
     return {"files_before": len(snapshot), "files_after": files_after}
 
 
+# -- CMS partials (SUM-merge: the versioned/epoch-dedup contract) -----------
+#
+# The third sketch draws the line the first two blur: HLL registers and
+# KMV bottom-k merge IDEMPOTENTLY (MAX / set-union), so their stores
+# absorb any replay with zero bookkeeping. Count-Min cells merge by SUM
+# — associative and commutative (partials still fold in any order) but
+# NOT idempotent: a replayed partial DOUBLE-COUNTS. So the CMS store
+# runs the E193 versioned-append contract instead (the ANN index-refresh
+# discipline): every partial carries its source EPOCH, a re-appended
+# epoch is absorbed by epoch-aware dedup, and compaction folds epochs
+# <= a recorded watermark into a base snapshot so a stale epoch replayed
+# after compaction is dropped by the reader's `epoch > watermark` filter
+# rather than silently re-summed. The price of a non-idempotent merge is
+# exactly this bookkeeping — which is why the store layout differs:
+#
+#   {path}/partials/epoch=E/...   per-batch cell counts, appended
+#   {path}/base/fold_epoch=W/...  compacted cells, counts folded thru W
+#
+# Readers take the HIGHEST fold_epoch base (append-then-delete swaps,
+# so every crash-window state reads correctly) plus deduped partials
+# with epoch > W. Requires the SAME streaming checkpoint across runs —
+# a fresh checkpoint restarts epoch numbering and is NOT absorbed
+# (unlike the HLL/KMV stores, whose fresh-checkpoint replay tests pass).
+
+CMS_W, CMS_D = 512, 4
+CMS_FAM = _ph.hash_family(CMS_D, seed=0xC31)  # lock-step w/ cms_heavy_hitters
+
+
+def cms_cells(
+    df: DataFrame, group_cols: list[str], token_col: str
+) -> DataFrame:
+    """Per-group CMS cell counts over a token stream: (group..., j,
+    col, c) — at most n_groups x d x w rows regardless of batch size.
+    Hashing is bit-identical to plans/corpus_stats.py
+    `cms_heavy_hitters` (same md5 base, same affine family constants),
+    pinned by the estimate-parity test."""
+    hb = _ph.md5_int32(F.col(token_col).cast("string")) % F.lit(
+        _ph.MERSENNE31
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_ph.affine(hb, a, b) % F.lit(CMS_W)).alias("col"),
+            )
+            for j, (a, b) in enumerate(CMS_FAM)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("e"))
+        .select(*group_cols, "e.j", "e.col")
+        .groupBy(*group_cols, "j", "col")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def write_cms_partial(cells: DataFrame, path: str, epoch: int) -> None:
+    """APPEND an epoch-stamped partial. The epoch is the replay token:
+    rows of a re-delivered epoch are byte-identical to the first
+    delivery (cells is a groupBy result, unique per (group, j, col)
+    within an epoch), so the reader's per-epoch distinct absorbs them."""
+    (
+        cells.withColumn("epoch", F.lit(int(epoch)))
+        .write.mode("append")
+        .partitionBy("epoch")
+        .parquet(f"{path.rstrip('/')}/partials")
+    )
+
+
+def _cms_base(spark: SparkSession, path: str):
+    """(base cells at the highest fold_epoch, watermark) or (None, None)."""
+    from aqi_featurestore_spark.sources import fs
+
+    bpath = f"{path.rstrip('/')}/base"
+    if not fs.exists(spark, bpath):
+        return None, None
+    base = spark.read.parquet(bpath)
+    wm = base.agg(F.max("fold_epoch").alias("w")).collect()[0]["w"]
+    return base.where(F.col("fold_epoch") == wm).drop("fold_epoch"), int(wm)
+
+
+def read_merged_cms(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> DataFrame:
+    """Current cell counts: latest base + SUM of deduped partials ABOVE
+    the base watermark. Dedup keeps the epoch column in the key, so
+    identical cell counts from DIFFERENT epochs still sum while a
+    replayed epoch collapses — the non-idempotent-merge bookkeeping."""
+    from aqi_featurestore_spark.sources import fs
+
+    base, wm = _cms_base(spark, path)
+    frames = []
+    if base is not None:
+        frames.append(base)
+    ppath = f"{path.rstrip('/')}/partials"
+    # a fully folded store leaves the partials dir empty of data files
+    if fs.list_data_files(spark, ppath):
+        parts = spark.read.parquet(ppath)
+        if wm is not None:
+            parts = parts.where(F.col("epoch") > wm)
+        frames.append(parts.distinct().drop("epoch"))
+    if not frames:
+        raise ValueError(f"read_merged_cms: empty store at {path}")
+    merged = frames[0]
+    for f_ in frames[1:]:
+        merged = merged.unionByName(f_)
+    return merged.groupBy(*group_cols, "j", "col").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def cms_point_estimate(
+    cells: DataFrame,
+    probe: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+) -> DataFrame:
+    """CMS point query: for each probe row, min over the d rows of its
+    hashed cells — est >= true count always (the one-sided CMS error).
+    ``cells`` must be the MERGED frame (read_merged_cms); the sketch is
+    <= d x w rows per group so the join broadcasts. Output: (group...,
+    token, est)."""
+    hb = _ph.md5_int32(F.col(token_col).cast("string")) % F.lit(
+        _ph.MERSENNE31
+    )
+    pcells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (_ph.affine(hb, a, b) % F.lit(CMS_W)).alias("col"),
+            )
+            for j, (a, b) in enumerate(CMS_FAM)
+        ]
+    )
+    pr = probe.select(
+        *group_cols,
+        F.col(token_col).alias("token"),
+        F.explode(pcells).alias("e"),
+    ).select(*group_cols, "token", "e.j", "e.col")
+    return (
+        pr.join(F.broadcast(cells), [*group_cols, "j", "col"])
+        .groupBy(*group_cols, "token")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def compact_cms_store(
+    spark: SparkSession, path: str, group_cols: list[str]
+) -> dict:
+    """Fold partial epochs into a new base snapshot whose ``fold_epoch``
+    watermark records what was folded — append-then-delete like
+    :func:`_swap_in`, so readers are correct at every intermediate
+    state: two bases -> highest wins; undeleted folded partials -> the
+    `epoch > watermark` filter drops them. After compaction a REPLAY of
+    a folded epoch is likewise dropped instead of double-counted —
+    the versioned contract surviving its own retention operation.
+    No-op (returns unchanged watermark) when nothing new arrived, so
+    re-running compaction never doubles the base."""
+    from aqi_featurestore_spark.sources import fs
+
+    ppath = f"{path.rstrip('/')}/partials"
+    _base, wm = _cms_base(spark, path)
+    if not fs.list_data_files(spark, ppath):
+        return {"folded_through": wm, "files_after": len(fs.list_data_files(spark, path))}
+    parts = spark.read.parquet(ppath)
+    if wm is not None:
+        parts = parts.where(F.col("epoch") > wm)
+    epochs = sorted(
+        int(r["epoch"]) for r in parts.select("epoch").distinct().collect()
+    )
+    if not epochs:
+        return {"folded_through": wm, "files_after": len(fs.list_data_files(spark, path))}
+    new_wm = epochs[-1]
+    files_before = len(fs.list_data_files(spark, path))
+    merged = read_merged_cms(spark, path, group_cols)
+    (
+        merged.withColumn("fold_epoch", F.lit(new_wm))
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("fold_epoch")
+        .parquet(f"{path.rstrip('/')}/base")
+    )
+    if wm is not None:
+        fs.delete(spark, f"{path.rstrip('/')}/base/fold_epoch={wm}")
+    for e in epochs:
+        fs.delete(spark, f"{ppath}/epoch={e}")
+    return {
+        "folded_through": new_wm,
+        "files_before": files_before,
+        "files_after": len(fs.list_data_files(spark, path)),
+    }
+
+
 def compact_kmv_store(
     spark: SparkSession, path: str, group_cols: list[str]
 ) -> dict:

@@ -718,12 +718,14 @@ def run_sketch_refresh_stream(
     vacuums."""
     from aqi_featurestore_spark.functions.text import word_shingles
     from aqi_featurestore_spark.operators.sketches import (
+        cms_cells,
         hll_registers,
         kmv_partial,
+        write_cms_partial,
         write_sketch_partial,
     )
 
-    if sketch not in ("hll", "kmv"):
+    if sketch not in ("hll", "kmv", "cms"):
         raise ValueError(f"unknown sketch kind {sketch!r}")
     build = hll_registers if sketch == "hll" else kmv_partial
 
@@ -734,6 +736,18 @@ def run_sketch_refresh_stream(
             group_col,
             F.explode(word_shingles(text_col, shingle_n)).alias("token"),
         )
+        if sketch == "cms":
+            # SUM-merge is NOT idempotent: partials carry the epoch id so
+            # a foreachBatch retry / checkpoint-replayed epoch dedups
+            # instead of double-counting (operators/sketches.py CMS
+            # section — the versioned contract, vs the HLL/KMV stores'
+            # bookkeeping-free idempotent appends). Requires the SAME
+            # checkpoint across runs: a fresh checkpoint restarts epoch
+            # numbering, which the store cannot absorb.
+            write_cms_partial(
+                cms_cells(toks, [group_col], "token"), store_path, epoch_id
+            )
+            return
         write_sketch_partial(build(toks, [group_col], "token"), store_path)
 
     q = (

@@ -245,6 +245,135 @@ def test_kmv_estimate_within_envelope(spark, docs, tmp_path):
         assert abs(e - exact[src_name]) / exact[src_name] < 0.3, src_name
 
 
+# -- CMS store: the versioned/epoch-dedup contract (SUM is not idempotent) --
+
+from aqi_featurestore_spark.operators.sketches import (  # noqa: E402
+    cms_cells,
+    cms_point_estimate,
+    compact_cms_store,
+    read_merged_cms,
+    write_cms_partial,
+)
+
+
+def _cell_map(df):
+    return {(r["source"], r["j"], r["col"]): r["c"] for r in df.collect()}
+
+
+def _direct_cms(docs):
+    toks = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("token")
+    )
+    return cms_cells(toks, ["source"], "token")
+
+
+def test_cms_stream_cells_equal_direct_build(spark, docs, tmp_path):
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    store = str(tmp_path / "cms_store")
+    run_sketch_refresh_stream(
+        spark, src, DOC_SCHEMA, store, str(tmp_path / "ckpt"), sketch="cms"
+    )
+    merged = read_merged_cms(spark, store, ["source"])
+    assert _cell_map(merged) == _cell_map(_direct_cms(docs))
+
+
+def test_cms_replayed_epoch_is_deduped_not_double_counted(spark, docs, tmp_path):
+    """A foreachBatch retry re-delivers the SAME epoch with the same
+    batch: the epoch-stamped rows dedup and counts stay exact. (This is
+    what plain SUM-merge would get wrong — the reason the CMS store
+    needs the versioned contract while HLL/KMV need none.)"""
+    store = str(tmp_path / "cms_store")
+    p0 = cms_cells(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "source", F.explode(word_shingles("text", 3)).alias("token")
+        ),
+        ["source"],
+        "token",
+    )
+    write_cms_partial(p0, store, 0)
+    write_cms_partial(p0, store, 0)  # the retry
+    p1 = cms_cells(
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "source", F.explode(word_shingles("text", 3)).alias("token")
+        ),
+        ["source"],
+        "token",
+    )
+    write_cms_partial(p1, store, 1)
+    merged = read_merged_cms(spark, store, ["source"])
+    assert _cell_map(merged) == _cell_map(_direct_cms(docs))
+
+
+def test_cms_compaction_lossless_and_suppresses_stale_replay(
+    spark, docs, tmp_path
+):
+    """Compaction folds epochs <= watermark into the base without
+    changing any cell; a FOLDED epoch replayed afterwards is dropped by
+    the watermark filter (not re-summed); fresh epochs still fold in;
+    re-running compaction with nothing new is a no-op."""
+    store = str(tmp_path / "cms_store")
+    early = docs.where(F.col("doc_id") % 2 == 0)
+    late = docs.where(F.col("doc_id") % 2 == 1)
+    p0 = _direct_cms(early)
+    write_cms_partial(p0, store, 0)
+    before = _cell_map(read_merged_cms(spark, store, ["source"]))
+    stats = compact_cms_store(spark, store, ["source"])
+    assert stats["folded_through"] == 0
+    assert _cell_map(read_merged_cms(spark, store, ["source"])) == before
+    # stale replay of the folded epoch: dropped, not double-counted
+    write_cms_partial(p0, store, 0)
+    assert _cell_map(read_merged_cms(spark, store, ["source"])) == before
+    # a no-op recompaction must not double the base
+    stats2 = compact_cms_store(spark, store, ["source"])
+    assert stats2["folded_through"] == 0
+    assert _cell_map(read_merged_cms(spark, store, ["source"])) == before
+    # fresh epochs keep folding in, across another compaction
+    write_cms_partial(_direct_cms(late), store, 1)
+    assert _cell_map(read_merged_cms(spark, store, ["source"])) == _cell_map(
+        _direct_cms(docs)
+    )
+    stats3 = compact_cms_store(spark, store, ["source"])
+    assert stats3["folded_through"] == 1
+    assert _cell_map(read_merged_cms(spark, store, ["source"])) == _cell_map(
+        _direct_cms(docs)
+    )
+
+
+def test_cms_store_estimates_match_the_oracle_verified_query(
+    spark, docs, tmp_path
+):
+    """Store-served point estimates == the (token, est) column of the
+    oracle-verified cms_heavy_hitters query, built from partial appends
+    instead of one pass — the lock-step pin between the store constants
+    and the plans constants (the hll_distinct_audit pattern)."""
+    store = str(tmp_path / "cms_store")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    for i in range(3):
+        part = tok.where(F.crc32(F.col("token")) % 3 == i)
+        write_cms_partial(cms_cells(part, [], "token"), store, i)
+    merged = read_merged_cms(spark, store, [])
+    probe = tok.distinct()
+    got = {
+        r["token"]: r["est"]
+        for r in cms_point_estimate(merged, probe, [], "token").collect()
+    }
+    want = {
+        r["token"]: r["est"]
+        for r in QUERIES["cms_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    assert want  # heavy hitters exist at this sf
+    for token, est in want.items():
+        assert got[token] == est, token
+
+
 # -- compaction safety: concurrent appends and raw-log estimation ----------
 
 
