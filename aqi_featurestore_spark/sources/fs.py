@@ -50,6 +50,29 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, jdst))
 
 
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite a small text file (manifests, markers) through
+    the same FileSystem abstraction as the data I/O — works on every
+    scheme the store accepts, unlike driver-local ``open()``."""
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _fs_and_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """Recursive (path, size) listing of data files under ``path``,
     skipping hidden/commit markers (_SUCCESS, ._*). Driver-side metadata

@@ -57,15 +57,106 @@ class OfflineStore:
             n.startswith("year=") for n in fs.child_names(self.spark, self.path)
         )
 
-    def read(self, since: date | None = None) -> DataFrame:
+    def read(
+        self, since: date | None = None, *, as_of: int | None = None
+    ) -> DataFrame:
         """Full-history read; ``since`` applies a partition-pruned date
-        predicate (the reference's manual folder regex, done by Catalyst)."""
-        df = self.spark.read.parquet(self.path)
+        predicate (the reference's manual folder regex, done by Catalyst).
+
+        ``as_of`` replays the store AT a recorded version — the E200
+        time-travel discipline applied to the feature store itself
+        (round-8 verdict ask #4): every append/compact/retire records a
+        snapshot manifest (the data-file list composing that version)
+        under ``{path}.meta/manifests``, and an as-of read scans exactly
+        those files (``basePath`` keeps the partition columns), so a
+        training set built last week reproduces bit-identically after
+        later appends. Appends are file-additive, so every appended
+        version stays replayable for free; compact/retire REWRITE or
+        DROP files, so they advance a retention floor and as-of pins
+        below it RAISE instead of silently resolving wrong (the E199
+        vacuum contract).
+
+        100 TB shape: a manifest is a driver-side file listing (one
+        metadata RPC stream at write, O(files) JSON); the as-of scan
+        reads the same bytes a current read of that era would have —
+        no copy, no rewrite, versioning is free until compaction."""
+        if as_of is not None:
+            df = self._read_version(as_of)
+        else:
+            df = self.spark.read.parquet(self.path)
         if since is not None:
             df = df.where(
                 F.make_date("year", "month", "day") >= F.lit(since.isoformat()).cast("date")
             )
         return df
+
+    # -- versioning (snapshot manifests) -------------------------------------
+
+    def _meta_dir(self) -> str:
+        return f"{self.path}.meta"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._meta_dir()}/manifests/v={version}.json"
+
+    def version(self) -> int:
+        """Highest recorded store version (0 = no mutation recorded —
+        either an empty store or one predating the manifest discipline)."""
+        names = fs.child_names(self.spark, f"{self._meta_dir()}/manifests")
+        vs = [
+            int(n[2:-5])
+            for n in names
+            if n.startswith("v=") and n.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def retention_floor(self) -> int:
+        """Lowest replayable version; pins below it raise (E199)."""
+        marker = f"{self._meta_dir()}/floor.json"
+        if not fs.exists(self.spark, marker):
+            return 0
+        return int(json.loads(fs.read_text(self.spark, marker))["floor"])
+
+    def _record_version(self, op: str) -> int:
+        v = self.version() + 1
+        manifest = {
+            "version": v,
+            "op": op,
+            "files": fs.list_data_files(self.spark, self.path),
+        }
+        fs.write_text(
+            self.spark, self._manifest_path(v), json.dumps(manifest)
+        )
+        return v
+
+    def _set_floor(self, version: int) -> None:
+        fs.write_text(
+            self.spark,
+            f"{self._meta_dir()}/floor.json",
+            json.dumps({"floor": version}),
+        )
+
+    def _read_version(self, as_of: int) -> DataFrame:
+        floor = self.retention_floor()
+        if as_of < floor:
+            raise ValueError(
+                f"read(as_of={as_of}): below the retention floor {floor} — "
+                f"a compact()/retire() rewrote or dropped this version's "
+                f"files; keep a longer maintenance window or archive the "
+                f"training set (the vacuum_ann_index keep contract)"
+            )
+        mpath = self._manifest_path(as_of)
+        if not fs.exists(self.spark, mpath):
+            raise ValueError(
+                f"read(as_of={as_of}): no manifest at {mpath} — versions "
+                f"run 1..{self.version()} (0 predates the store's history)"
+            )
+        manifest = json.loads(fs.read_text(self.spark, mpath))
+        files = [p for p, _sz in manifest["files"]]
+        if not files:
+            raise ValueError(f"read(as_of={as_of}): version is empty")
+        return (
+            self.spark.read.option("basePath", self.path).parquet(*files)
+        )
 
     # -- write --------------------------------------------------------------
 
@@ -108,6 +199,7 @@ class OfflineStore:
             .mode("append")
             .parquet(self.path)
         )
+        self._record_version("append")
 
     # -- maintenance --------------------------------------------------------
 
@@ -213,6 +305,11 @@ class OfflineStore:
         fs.rename(self.spark, self.path, old)
         fs.rename(self.spark, tmp, self.path)
         fs.delete(self.spark, old)
+        # compaction rewrites every file: prior versions' manifests now
+        # reference deleted paths, so the retention floor advances to the
+        # new version (below-floor as-of reads raise; E199 contract)
+        v = self._record_version("compact")
+        self._set_floor(v)
         after = fs.list_data_files(self.spark, self.path)
         return {
             "files_before": len(listing),
@@ -267,6 +364,11 @@ class OfflineStore:
                     self.spark,
                     f"{self.path}/year={d.year}/month={d.month}/day={d.day}",
                 )
+            if drop:
+                # dropped partitions are gone from every prior version's
+                # manifest too — floor advances (same reasoning as compact)
+                v = self._record_version("retire")
+                self._set_floor(v)
         return {
             "dropped": [d.isoformat() for d in drop],
             "kept": len(keep),

@@ -72,8 +72,12 @@ class FeatureStore:
         the anti-join dedup gate)."""
         self._offline(self.registry.get_feature_view(view_name)).append(batch)
 
-    def read_offline(self, view_name: str) -> DataFrame:
-        return self._offline(self.registry.get_feature_view(view_name)).read()
+    def read_offline(
+        self, view_name: str, *, as_of: int | None = None
+    ) -> DataFrame:
+        return self._offline(self.registry.get_feature_view(view_name)).read(
+            as_of=as_of
+        )
 
     def get_historical_features(
         self,
@@ -82,13 +86,21 @@ class FeatureStore:
         *,
         event_ts: str = "event_timestamp",
         tie_break: list[str] | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Point-in-time correct training frame (S14/J1).
 
         ``features`` use feast's ``"view:feature"`` syntax; all named
         views join against the same spine with their own TTLs. Output
         columns keep the bare feature names (first view wins a collision,
-        matching feast's error-free subset use in the reference)."""
+        matching feast's error-free subset use in the reference).
+
+        ``as_of`` pins every view's offline history to a recorded STORE
+        version (OfflineStore.read time travel): the training set built
+        against last week's store reproduces bit-identically after later
+        appends — PIT-over-feature-time guards against event-time
+        leakage, as_of guards against store-state drift; reproducibility
+        needs both."""
         by_view: dict[str, list[str]] = {}
         for ref in features:
             view_name, feat = ref.split(":", 1)
@@ -96,7 +108,7 @@ class FeatureStore:
         out = entity_df
         for view_name, cols in by_view.items():
             view = self.registry.get_feature_view(view_name)
-            hist = self.read_offline(view_name)
+            hist = self.read_offline(view_name, as_of=as_of)
             joined = point_in_time_join(
                 out,
                 hist,

@@ -74,6 +74,36 @@ def test_historical_features_pit_semantics(store, spark):
     assert out.count() == 3  # left semantics: every spine row survives
 
 
+def test_historical_features_as_of_replay(store, spark):
+    """Training-set reproducibility across store appends (round-8
+    verdict ask #4): the PIT frame built at store version 1 is
+    bit-identical when replayed with as_of=1 AFTER a later append that
+    would otherwise change the as-of match."""
+    spine = spark.createDataFrame(
+        [("21.0_105.75", "2023-01-01 07:30:00")],
+        "entity_id string, event_timestamp string",
+    ).withColumn("event_timestamp", F.to_timestamp("event_timestamp"))
+    feats = ["aqi_info_v1:aqi", "aqi_info_v1:hour"]
+    archived = sorted(
+        tuple(r) for r in store.get_historical_features(spine, feats).collect()
+    )
+    # a later backfill lands a CLOSER observation for the same entity
+    late = spark.createDataFrame(
+        [("21.0_105.75", "2023-01-01 07:00:00", 99.0, 7)],
+        "entity_id string, feature_timestamp string, aqi double, hour int",
+    ).withColumn("feature_timestamp", F.to_timestamp("feature_timestamp"))
+    store.write_offline("aqi_info_v1", late)
+    # current read sees the backfilled value...
+    now = store.get_historical_features(spine, feats).collect()[0]
+    assert (now["aqi"], now["hour"]) == (99.0, 7)
+    # ...but the as_of=1 replay reproduces the archived frame exactly
+    replay = sorted(
+        tuple(r)
+        for r in store.get_historical_features(spine, feats, as_of=1).collect()
+    )
+    assert replay == archived
+
+
 def test_materialize_and_online_lookup(store, spark):
     store.materialize("aqi_info_v1")
     keys = spark.createDataFrame(
