@@ -292,6 +292,8 @@ EXTENDED_QUERIES = [
     "maxsim_shortlist_recall",
     "hybrid_rrf_fusion",
     "zone_map_skip_audit",
+    # round 9
+    "zone_map_zorder_audit",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

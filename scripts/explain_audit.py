@@ -188,6 +188,7 @@ AUDIT = [
     "maxsim_shortlist_recall",
     "hybrid_rrf_fusion",
     "zone_map_skip_audit",
+    "zone_map_zorder_audit",
 ]
 
 

@@ -247,6 +247,8 @@ EXCHANGE_CEILING = {
     "maxsim_shortlist_recall": 6,  # checkpointed tm/ex/ext/cand + bounded windows
     "hybrid_rrf_fusion": 10,  # two leg top-k windows + k-bounded full-outer fuse
     "zone_map_skip_audit": 1,  # one map-combining month-stats aggregate
+    # round 9
+    "zone_map_zorder_audit": 8,  # 4 single-row summary aggs over 2 checkpointed stats tables
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
