@@ -2072,6 +2072,72 @@ _RRF_SCALE = 1_000_000_000_000  # integer rank mass: 1e12 div (k0 + rank)
 _RRF_LEG_K = 10
 _RRF_TOP = 5
 
+
+def rrf_fuse(
+    lega: DataFrame, legb: DataFrame, rka: str, rkb: str
+) -> DataFrame:
+    """Integer reciprocal-rank fusion of two (q_id, n_id, <rank>) leg
+    lists — THE fusion, factored out so leg bodies genuinely swap
+    without touching it (`hybrid_rrf_fusion` fuses two exact audit
+    legs, `hybrid_rrf_fusion_ann` the production IVFADC + sparse-
+    lexical legs, through this same function). Mass is exact int64:
+    1e12 div (60 + rank) summed, absent-leg contribution exact 0, ties
+    broken on doc id. Output: (q_id, n_id, <rka>, <rkb>, rrf_mass, rk)
+    with rk <= {TOP}; each input leg is k-bounded so the full-outer
+    join moves 2k rows per query, negligible at any corpus size."""
+    fused = (
+        lega.join(
+            legb,
+            (lega["q_id"] == legb["q_id"]) & (lega["n_id"] == legb["n_id"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(lega["q_id"], legb["q_id"]).alias("q_id"),
+            F.coalesce(lega["n_id"], legb["n_id"]).alias("n_id"),
+            rka,
+            rkb,
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + {rka})"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + {rkb})"),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("rrf_mass"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_mass").desc(), F.col("n_id").asc()
+    )
+    return fused.withColumn("rk", F.row_number().over(w_f).cast("int")).where(
+        F.col("rk") <= _RRF_TOP
+    )
+
+
+def _rrf_fused_top_cte(
+    prefix: str, lega: str, legb: str, rka: str, rkb: str
+) -> str:
+    """Oracle twin of :func:`rrf_fuse`: CTE pair ``{prefix}fused`` /
+    ``{prefix}top`` fusing two leg CTEs, reusable across fusions."""
+    return f"""{prefix}fused AS (
+  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         COALESCE(a.n_id, b.n_id) AS n_id,
+         a.{rka}, b.{rkb},
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_K0} + a.{rka}), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_K0} + b.{rkb}), 0)
+              AS BIGINT) AS rrf_mass
+  FROM {lega} a FULL OUTER JOIN {legb} b
+    ON a.q_id = b.q_id AND a.n_id = b.n_id),
+{prefix}top AS (
+  SELECT q_id, n_id, {rka}, {rkb}, rrf_mass, CAST(rk AS INT) AS rk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY rrf_mass DESC, n_id ASC) AS rk
+    FROM {prefix}fused) t WHERE rk <= {_RRF_TOP})"""
+
 _RRF_SQL = f"""
 WITH {_SIM_NORM_CTE},
 q AS (SELECT vec_id AS q_id, v AS q_vec FROM norm WHERE vec_id % 50 = 0),
@@ -2177,35 +2243,257 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RRF_LEG_K)
         .select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dot"))
     )
-    fused = (
-        lega.join(
-            legb,
-            (lega["q_id"] == legb["q_id"]) & (lega["n_id"] == legb["n_id"]),
-            "full_outer",
-        )
+    return rrf_fuse(lega, legb, "rk_cos", "rk_dot")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: hybrid RRF over PRODUCTION legs (IVFADC dense + sparse lexical)
+# ---------------------------------------------------------------------------
+
+_SL_DF_CAP = 100  # posting-list band: drop tokens with df > cap
+
+
+def _sparse_leg_ctes(k: int = _RRF_LEG_K) -> str:
+    """CTE chain (no WITH) ending in ``sl_tk``: per-QUERY sparse
+    lexical retrieval — the `sparse_lexical_topk` (E86) scorer turned
+    from pairwise-global into query-ranked form. TF-IDF weights in
+    integer micro-units, df-banded posting join, queries restricted to
+    doc ids that also exist in the embedding corpus so both hybrid legs
+    share one query set at every sf."""
+    return rf"""sl_arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+sl_tokv AS (SELECT doc_id, unnest(a) AS token FROM sl_arr),
+sl_tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM sl_tokv
+          GROUP BY doc_id, token),
+sl_df AS (SELECT token, COUNT(*) AS df FROM sl_tf GROUP BY token),
+sl_n AS (SELECT COUNT(*) AS n FROM documents),
+sl_w AS (
+  SELECT f.doc_id, f.token,
+         CAST(round(f.tf * ln((sl_n.n + 1.0) / (d.df + 1.0)) * 1000000, 0)
+              AS BIGINT) AS w
+  FROM sl_tf f JOIN sl_df d USING (token) CROSS JOIN sl_n
+  WHERE d.df <= {_SL_DF_CAP}),
+sl_q AS (
+  SELECT doc_id AS q_id, token, w AS wq FROM sl_w
+  WHERE doc_id % 50 = 0
+    AND doc_id IN (SELECT vec_id FROM embeddings)),
+sl_sc AS (
+  SELECT q.q_id, b.doc_id AS n_id,
+         CAST(SUM(q.wq * b.w) AS BIGINT) AS score
+  FROM sl_q q JOIN sl_w b USING (token)
+  WHERE b.doc_id <> q.q_id
+  GROUP BY 1, 2),
+sl_tk AS (
+  SELECT q_id, n_id, CAST(rk AS INT) AS rk_lex FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk
+    FROM sl_sc) t WHERE rk <= {k})"""
+
+
+def _sparse_query_topk(
+    spark: SparkSession, sf_dir: str, k: int = _RRF_LEG_K
+) -> DataFrame:
+    """Spark twin of :func:`_sparse_leg_ctes`: (q_id, n_id, rk_lex).
+    The posting-list join is keyed by token and df-banded (the E86
+    insight), query weights broadcast (bounded by |queries| x
+    tokens-per-doc), scores exact int64 — the sparse IMPACT-INDEX
+    serving shape, not a corpus x corpus scan. The weight table IS that
+    impact index: production persists it once and serves many queries
+    from it; localCheckpoint is the in-session stand-in (the
+    `ann_index_serve` precedent), which also keeps the index build —
+    including its 1-row corpus-total idf scalar — out of the serve
+    plan."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tokv = docs.select("doc_id", F.explode(toks).alias("token"))
+    tf = tokv.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    w = (
+        tf.join(dfq, "token")
+        .where(F.col("df") <= _SL_DF_CAP)
+        .crossJoin(F.broadcast(n))
         .select(
-            F.coalesce(lega["q_id"], legb["q_id"]).alias("q_id"),
-            F.coalesce(lega["n_id"], legb["n_id"]).alias("n_id"),
-            "rk_cos",
-            "rk_dot",
-            (
-                F.coalesce(
-                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + rk_cos)"),
-                    F.lit(0),
-                )
-                + F.coalesce(
-                    F.expr(f"{_RRF_SCALE} div ({_RRF_K0} + rk_dot)"),
-                    F.lit(0),
-                )
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * 1e6,
+                0,
             )
             .cast("long")
-            .alias("rrf_mass"),
+            .alias("w"),
         )
+    ).localCheckpoint()
+    eids = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
     )
-    w_f = Window.partitionBy("q_id").orderBy(
-        F.col("rrf_mass").desc(), F.col("n_id").asc()
+    wq = F.broadcast(
+        w.where(F.col("doc_id") % 50 == 0)
+        .join(F.broadcast(eids), "doc_id", "semi")
+        .select(F.col("doc_id").alias("q_id"), "token", F.col("w").alias("wq"))
+    )
+    pairs = (
+        wq.join(w, "token")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("n_id"))
+        .agg(F.sum(F.col("wq") * F.col("w")).cast("long").alias("score"))
+    )
+    w_rk = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
     )
     return (
-        fused.withColumn("rk", F.row_number().over(w_f).cast("int"))
-        .where(F.col("rk") <= _RRF_TOP)
+        pairs.withColumn("rk_lex", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk_lex") <= k)
+        .select("q_id", "n_id", "rk_lex")
+    )
+
+
+def _rrf_ann_sql() -> str:
+    return f"""
+WITH {approx_oracles.similarity_topk_ivfpq_ctes(coarse="kmeans", coarse_iters=3)},
+da_tk AS (SELECT q_id, n_id, CAST(rk AS INT) AS rk_dense FROM ivfpq_tk),
+{_sparse_leg_ctes()},
+{_rrf_fused_top_cte("f", "da_tk", "sl_tk", "rk_dense", "rk_lex")}
+SELECT q_id, n_id, rk_dense, rk_lex, rrf_mass, rk FROM ftop"""
+
+
+@_q("hybrid_rrf_fusion_ann", _rrf_ann_sql())
+def q_hybrid_rrf_fusion_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over the PRODUCTION legs (round-8 verdict ask
+    #1) — the composition `hybrid_rrf_fusion`'s docstring promised:
+    the IVFADC ANN index (`similarity_topk_ivfpq` machinery, k-means
+    coarse quantizer = the measured serving default) as the dense leg
+    and query-ranked sparse lexical retrieval (the
+    `sparse_lexical_topk` TF-IDF scorer with its df-banded posting
+    join) as the lexical leg, fused by the SAME :func:`rrf_fuse` the
+    exact audit fusion runs — leg bodies swapped, fusion untouched,
+    both legs and the fusion still hash-verified end-to-end. Fused
+    recall vs the exact-leg fusion is MEASURED by
+    `hybrid_fusion_recall`.
+
+    Determinism: the IVFADC chain is the oracle-unrolled Lloyd +
+    PQ-LUT pipeline every ADC query pins; sparse weights are integer
+    micro-units summed as int64; RRF mass is exact integer; every rank
+    tie-breaks on doc id.
+
+    100 TB shape: NO brute-force corpus x queries leg anywhere
+    (plan-pinned): the dense leg ADC-scores only probed cells
+    (~n_probe/n_lists of the corpus) and re-ranks a 50-candidate
+    shortlist; the sparse leg is a token-keyed posting join whose
+    fanout the df band caps; the fusion joins two k-bounded lists per
+    query. Queries are the doc ids present in both corpora, so the
+    fusion semantics are identical at every sf even where the corpora
+    diverge (absent-leg mass is exact 0 — RRF's partial-coverage
+    contract)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    cents, books = _serving_fits(spark, sf_dir)
+    lega = cosine_topk_ivfpq(
+        q, e, k=_RRF_LEG_K, n_lists=16, n_probe=4,
+        coarse="kmeans", coarse_iters=3, books=books, coarse_cents=cents,
+    ).select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dense"))
+    legb = _sparse_query_topk(spark, sf_dir)
+    return rrf_fuse(lega, legb, "rk_dense", "rk_lex")
+
+
+def _hybrid_recall_sql() -> str:
+    return f"""
+WITH {approx_oracles.similarity_topk_ivfpq_ctes(coarse="kmeans", coarse_iters=3)},
+da_tk AS (SELECT q_id, n_id, CAST(rk AS INT) AS rk_dense FROM ivfpq_tk),
+{_SIM_NORM_CTE},
+ex_q AS (SELECT vec_id AS q_id, v AS q_vec FROM norm WHERE vec_id % 50 = 0),
+ex_pairs AS (
+  SELECT ex_q.q_id, c.vec_id AS n_id,
+         round({_SIM_NORM_DOT.format(a='ex_q.q_vec', b='c.v')}, 6) AS cos_sim
+  FROM ex_q CROSS JOIN norm c
+  WHERE ex_q.q_id <> c.vec_id),
+ex_tk AS (
+  SELECT q_id, n_id, CAST(rk AS INT) AS rk_dense FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rk
+    FROM ex_pairs) t WHERE rk <= {_RRF_LEG_K}),
+{_sparse_leg_ctes()},
+{_rrf_fused_top_cte("fx", "ex_tk", "sl_tk", "rk_dense", "rk_lex")},
+{_rrf_fused_top_cte("fa", "da_tk", "sl_tk", "rk_dense", "rk_lex")},
+hit AS (
+  SELECT a.q_id, COUNT(*) AS n_hit
+  FROM fatop a JOIN fxtop b ON a.q_id = b.q_id AND a.n_id = b.n_id
+  GROUP BY a.q_id),
+nx AS (SELECT q_id, COUNT(*) AS n_exact FROM fxtop GROUP BY q_id),
+na AS (SELECT q_id, COUNT(*) AS n_ann FROM fatop GROUP BY q_id)
+SELECT nx.q_id, CAST(nx.n_exact AS BIGINT) AS n_exact,
+       CAST(na.n_ann AS BIGINT) AS n_ann,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / CAST(nx.n_exact AS DOUBLE), 4) AS recall_at_5
+FROM nx JOIN na ON nx.q_id = na.q_id
+LEFT JOIN hit h ON h.q_id = nx.q_id"""
+
+
+@_q("hybrid_fusion_recall", _hybrid_recall_sql())
+def q_hybrid_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `ann_recall` contract applied to FUSION (round-8 verdict ask
+    #1, second half): per query, how much of the exact-leg fused top-5
+    does the production-leg fused top-5 recover? The exact fusion pairs
+    the brute-force cosine leg with the sparse leg; the ANN fusion
+    swaps ONLY the dense leg for the IVFADC index (same sparse leg,
+    same :func:`rrf_fuse`) — so the recall column isolates exactly what
+    the index approximation costs the fused list, the number an
+    operator reads before shipping the hybrid stack.
+
+    The brute-force leg is the deliberate audit cost (the `ann_recall`
+    precedent — ground truth has no cheaper shape); the production path
+    being audited is `hybrid_rrf_fusion_ann`, which contains none.
+
+    Determinism: both fusions and the hit intersection are exact
+    integer machinery; the one double is the final rounded division.
+
+    100 TB shape: the exact leg runs on the shared query SAMPLE and its
+    (q_id, n_id) pairs are k-bounded; the sparse leg is localCheckpoint-ed
+    once and feeds BOTH fusions (never recomputed); the overlap joins
+    move <= {_RRF_TOP} rows per query per side."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    cents, books = _serving_fits(spark, sf_dir)
+    da = cosine_topk_ivfpq(
+        q, e, k=_RRF_LEG_K, n_lists=16, n_probe=4,
+        coarse="kmeans", coarse_iters=3, books=books, coarse_cents=cents,
+    ).select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dense"))
+    ex = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
+        "q_id", "n_id", F.col("rk").cast("int").alias("rk_dense")
+    )
+    sl = _sparse_query_topk(spark, sf_dir).localCheckpoint()
+    fx = rrf_fuse(ex, sl, "rk_dense", "rk_lex").select("q_id", "n_id")
+    fa = rrf_fuse(da, sl, "rk_dense", "rk_lex").select("q_id", "n_id")
+    fx = fx.localCheckpoint()  # feeds nx and the hit join
+    fa = fa.localCheckpoint()  # feeds na and the hit join
+    hit = (
+        fa.join(
+            fx.select(F.col("q_id").alias("_q"), F.col("n_id").alias("_n")),
+            (F.col("q_id") == F.col("_q")) & (F.col("n_id") == F.col("_n")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    nx = fx.groupBy("q_id").agg(F.count("*").cast("long").alias("n_exact"))
+    na = fa.groupBy("q_id").agg(F.count("*").cast("long").alias("n_ann"))
+    return (
+        nx.join(F.broadcast(na), "q_id")
+        .join(F.broadcast(hit), "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            "n_ann",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall_at_5"),
+        )
     )

@@ -294,6 +294,8 @@ EXTENDED_QUERIES = [
     "zone_map_skip_audit",
     # round 9
     "zone_map_zorder_audit",
+    "hybrid_rrf_fusion_ann",
+    "hybrid_fusion_recall",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

@@ -189,6 +189,8 @@ AUDIT = [
     "hybrid_rrf_fusion",
     "zone_map_skip_audit",
     "zone_map_zorder_audit",
+    "hybrid_rrf_fusion_ann",
+    "hybrid_fusion_recall",
 ]
 
 

@@ -59,6 +59,7 @@ ARROW_EVAL_OK = {
     "maxsim_topk",  # the shared Arrow normalize; dots are JVM folds
     "maxsim_shortlist_recall",  # same shared Arrow normalize
     "hybrid_rrf_fusion",  # cosine leg's Arrow normalize; dots are JVM folds
+    "hybrid_rrf_fusion_ann",  # the IVFADC leg's exact re-rank dot (serving path)
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -249,6 +250,8 @@ EXCHANGE_CEILING = {
     "zone_map_skip_audit": 1,  # one map-combining month-stats aggregate
     # round 9
     "zone_map_zorder_audit": 8,  # 4 single-row summary aggs over 2 checkpointed stats tables
+    "hybrid_rrf_fusion_ann": 7,  # ivfpq leg (2) + checkpointed-index posting join + 2 leg windows + fuse
+    "hybrid_fusion_recall": 5,  # checkpointed fx/fa top-5s + bounded overlap joins
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
@@ -418,3 +421,30 @@ def test_exchange_ceilings(plan_props):
         f"exchange count above pinned ceiling (measured, ceiling): {over} — "
         "a new shuffle appeared; if deliberate, update EXCHANGE_CEILING"
     )
+
+
+def test_hybrid_ann_fusion_has_no_brute_force_leg(spark):
+    """Round-8 verdict ask #1 plan pin: `hybrid_rrf_fusion_ann` is the
+    PRODUCTION composition — its plan must contain no brute-force
+    corpus x queries leg and no nested-loop join at all (the sparse
+    impact index is materialized at build, so even its 1-row idf
+    scalar never reaches the serve plan); the dense leg must be the
+    IVFADC candidate path (broadcast equi-joins + ADC), never the
+    broadcast-queries-times-corpus scan the exact audit fusion
+    (`hybrid_rrf_fusion`) deliberately runs."""
+    df = QUERIES["hybrid_rrf_fusion_ann"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
+    assert "CartesianProduct" not in plan
+    # the audit fusion, by contrast, carries its two brute legs
+    audit = QUERIES["hybrid_rrf_fusion"](spark, SF_DIR)
+    audit_plan = audit._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", audit_plan)) >= 2
