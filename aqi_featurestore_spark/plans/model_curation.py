@@ -1277,3 +1277,114 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_disagree").cast("double") / F.col("n").cast("double"), 6
         ).alias("disagree_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: fused retrieval re-ranked by the registry model (end-to-end serve)
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_rerank_sql() -> str:
+    from aqi_featurestore_spark.plans import approx_oracles
+    from aqi_featurestore_spark.plans.llm_text import (
+        _rrf_fused_top_cte,
+        _sparse_leg_ctes,
+    )
+
+    fold = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> v[i] * w.wl[i]), (a, c) -> a + c)"
+    )
+    m = f"w.b * {MICRO} + {fold}"
+    return f"""
+WITH {approx_oracles.similarity_topk_ivfpq_ctes(coarse="kmeans", coarse_iters=3)},
+da_tk AS (SELECT q_id, n_id, CAST(rk AS INT) AS rk_dense FROM ivfpq_tk),
+{_sparse_leg_ctes()},
+{_rrf_fused_top_cte("f", "da_tk", "sl_tk", "rk_dense", "rk_lex")},
+{_fit_ctes()},
+rr_cand AS (
+  SELECT f.q_id, f.n_id, f.rrf_mass, v.v
+  FROM ftop f JOIN vcl v ON v.vec_id = f.n_id),
+rr_sc AS (
+  SELECT q_id, n_id, rrf_mass, ({m}) AS m,
+         least(greatest({MICRO // 2} + {floordiv_sql(f"({m})", SIG_DEN)},
+                        0), {MICRO}) AS s
+  FROM rr_cand, w{_ITERS} w)
+SELECT q_id, n_id, rrf_mass, CAST(m AS BIGINT) AS margin_p12,
+       CAST(s AS BIGINT) AS quality_micro,
+       CAST(2 AS BIGINT) AS model_version,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY m DESC, rrf_mass DESC, n_id ASC)
+         AS INT) AS rk
+FROM rr_sc"""
+
+
+@_q("hybrid_rerank_serve", _hybrid_rerank_sql())
+def q_hybrid_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full serving stack in ONE hash-verified query: hybrid
+    retrieval over the production legs (`hybrid_rrf_fusion_ann`'s
+    IVFADC + sparse-lexical fusion) -> quality RE-RANK by the model
+    read back from the PERSISTED registry (`model_registry_serve`'s
+    zero-training-jobs discipline) -> final per-query order by (model
+    margin, RRF mass, doc id), every row stamped with the serving
+    ``model_version`` for provenance. This is the retrieve -> fuse ->
+    score -> audit loop a production curation/search pipeline runs per
+    request, composed end to end; the oracle re-derives BOTH halves
+    from scratch (the unrolled IVFADC/Lloyd chain and all six GD
+    rounds) and hash-matches, so retrieval, fusion, registry
+    round-trip, scoring, and ordering are each pinned in composition,
+    not just in isolation.
+
+    Determinism: every upstream piece is already exact-integer; the
+    rerank key (margin int64, rrf int64, id) adds no floats at all.
+
+    100 TB shape: the fused candidate set is <= 5 rows per query, so
+    the rerank is a broadcast of candidates into ONE pass over the
+    vector table (fetch + score map-side, a per-query-bounded window);
+    weights are dim+1 literals from the registry read. The expensive
+    halves keep their own audited shapes (no brute-force legs, ADC
+    candidate scan, df-banded posting join)."""
+    from aqi_featurestore_spark.operators.similarity import cosine_topk_ivfpq
+    from aqi_featurestore_spark.plans.llm_text import (
+        _RRF_LEG_K,
+        _serving_fits,
+        _sparse_query_topk,
+        rrf_fuse,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    cents, books = _serving_fits(spark, sf_dir)
+    lega = cosine_topk_ivfpq(
+        q, e, k=_RRF_LEG_K, n_lists=16, n_probe=4,
+        coarse="kmeans", coarse_iters=3, books=books, coarse_cents=cents,
+    ).select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dense"))
+    legb = _sparse_query_topk(spark, sf_dir)
+    fused = rrf_fuse(lega, legb, "rk_dense", "rk_lex").select(
+        "q_id", "n_id", "rrf_mass"
+    )
+    path = _model_store_path(spark, sf_dir)
+    w, b, version = read_model(spark, path)
+    vc = e.select("vec_id", micro_vec("embedding").alias("_v"))
+    cand = (
+        F.broadcast(fused)
+        .join(vc, fused["n_id"] == vc["vec_id"])
+        .select(
+            "q_id",
+            "n_id",
+            "rrf_mass",
+            margin_col(F.col("_v"), w, b).alias("_m"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("_m").desc(), F.col("rrf_mass").desc(), F.col("n_id").asc()
+    )
+    return cand.select(
+        "q_id",
+        "n_id",
+        "rrf_mass",
+        F.col("_m").cast("long").alias("margin_p12"),
+        hard_sigmoid_micro(F.col("_m")).cast("long").alias("quality_micro"),
+        F.lit(int(version)).cast("long").alias("model_version"),
+        F.row_number().over(wk).cast("int").alias("rk"),
+    )

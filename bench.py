@@ -296,6 +296,7 @@ EXTENDED_QUERIES = [
     "zone_map_zorder_audit",
     "hybrid_rrf_fusion_ann",
     "hybrid_fusion_recall",
+    "hybrid_rerank_serve",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

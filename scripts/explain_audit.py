@@ -191,6 +191,7 @@ AUDIT = [
     "zone_map_zorder_audit",
     "hybrid_rrf_fusion_ann",
     "hybrid_fusion_recall",
+    "hybrid_rerank_serve",
 ]
 
 

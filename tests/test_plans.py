@@ -60,6 +60,7 @@ ARROW_EVAL_OK = {
     "maxsim_shortlist_recall",  # same shared Arrow normalize
     "hybrid_rrf_fusion",  # cosine leg's Arrow normalize; dots are JVM folds
     "hybrid_rrf_fusion_ann",  # the IVFADC leg's exact re-rank dot (serving path)
+    "hybrid_rerank_serve",  # same IVFADC leg inside the end-to-end serve
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -252,6 +253,7 @@ EXCHANGE_CEILING = {
     "zone_map_zorder_audit": 8,  # 4 single-row summary aggs over 2 checkpointed stats tables
     "hybrid_rrf_fusion_ann": 7,  # ivfpq leg (2) + checkpointed-index posting join + 2 leg windows + fuse
     "hybrid_fusion_recall": 5,  # checkpointed fx/fa top-5s + bounded overlap joins
+    "hybrid_rerank_serve": 8,  # the fusion's 7 + the candidate-broadcast rerank window
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
