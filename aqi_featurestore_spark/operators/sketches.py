@@ -283,6 +283,78 @@ def _swap_in(spark: SparkSession, path: str, merge_fn) -> dict:
     return {"files_before": len(snapshot), "files_after": files_after}
 
 
+# -- Zone-stats partials (MIN/MAX merge: idempotent, like HLL) --------------
+
+
+def zone_minmax(
+    df: DataFrame, zone_cols: list[str], stat_cols: list[str]
+) -> DataFrame:
+    """Per-zone min/max statistics over a batch — the parquet-footer
+    zone map AS A MAINTAINED TABLE (what plans/quality_tpch.py
+    `zone_map_skip_audit` promises: "in production the stats table
+    persists at write time"). Output: (zone..., min_<c>, max_<c> per
+    stat column). MIN and MAX are associative, commutative and
+    IDEMPOTENT, so this store runs the bookkeeping-free HLL/KMV
+    contract: replays are absorbed, partials merge in any order, and
+    yesterday's stats never recompute. Deliberately NO row count —
+    counts merge by SUM, which would silently break the idempotent
+    contract (a counted zone store belongs to the CMS epoch-versioned
+    discipline instead)."""
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(*zone_cols).agg(*aggs)
+
+
+def read_merged_zone(
+    spark: SparkSession, path: str, zone_cols: list[str], stat_cols: list[str]
+) -> DataFrame:
+    """Merge persisted zone partials: min-of-mins / max-of-maxes —
+    equal to one direct pass over the union of every batch's rows."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    return df.groupBy(*zone_cols).agg(*aggs)
+
+
+def zone_skip_decisions(
+    merged: DataFrame, preds: dict[str, tuple[str, object]]
+) -> DataFrame:
+    """Evaluate scan-planner skip decisions against the merged stats:
+    ``preds`` maps a label to (stat_col, ">= cut" threshold); a zone
+    skips when its max falls below the cut — exactly the one-sided
+    zone-map rule the audit queries verify against row data. Output:
+    (zone..., skip_<label> per predicate)."""
+    cols = [
+        F.when(F.col(f"max_{c}") < F.lit(cut), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias(f"skip_{label}")
+        for label, (c, cut) in preds.items()
+    ]
+    return merged.select("*", *cols)
+
+
+def compact_zone_store(
+    spark: SparkSession, path: str, zone_cols: list[str], stat_cols: list[str]
+) -> dict:
+    """Fold the zone partial log (lossless: merge-of-merged == merged);
+    :func:`_swap_in`'s snapshot protocol makes it concurrent-append and
+    crash safe."""
+
+    def _merge(df: DataFrame) -> DataFrame:
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+            aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        return df.groupBy(*zone_cols).agg(*aggs)
+
+    return _swap_in(spark, path, _merge)
+
+
 # -- CMS partials (SUM-merge: the versioned/epoch-dedup contract) -----------
 #
 # The third sketch draws the line the first two blur: HLL registers and

@@ -760,3 +760,47 @@ def run_sketch_refresh_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_zone_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    zone_cols: list[str],
+    stat_cols: list[str],
+):
+    """Streaming zone-map maintenance: per micro-batch, append the
+    batch's per-zone min/max partial (operators/sketches.py
+    zone_minmax) to the stats store. MIN/MAX merge is idempotent, so
+    this runs the bookkeeping-free HLL/KMV replay contract — a retried
+    epoch or a whole fresh-checkpoint re-run changes nothing — and a
+    scan planner reads current skip decisions by merging the log
+    (never re-scanning ingested rows). Per batch the partial is at
+    most n_zones x (2 x n_stat_cols) values; compaction
+    (compact_zone_store) folds the log whenever read amplification
+    matters."""
+    from aqi_featurestore_spark.operators.sketches import (
+        write_sketch_partial,
+        zone_minmax,
+    )
+
+    def refresh(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_sketch_partial(
+            zone_minmax(batch, zone_cols, stat_cols), store_path
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -245,6 +245,104 @@ def test_kmv_estimate_within_envelope(spark, docs, tmp_path):
         assert abs(e - exact[src_name]) / exact[src_name] < 0.3, src_name
 
 
+# -- Zone-stats store: MIN/MAX merge (idempotent, the third such sketch) ----
+
+from aqi_featurestore_spark.operators.sketches import (  # noqa: E402
+    compact_zone_store,
+    read_merged_zone,
+    zone_minmax,
+    zone_skip_decisions,
+)
+from aqi_featurestore_spark.streaming.jobs import run_zone_stats_stream  # noqa: E402
+
+LI_SCHEMA = "month timestamp, l_shipdate timestamp, l_extendedprice double"
+STATS = ["l_shipdate", "l_extendedprice"]
+
+
+@pytest.fixture(scope="module")
+def li_months(spark):
+    return (
+        read_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            "l_shipdate",
+            "l_extendedprice",
+        )
+        .cache()
+    )
+
+
+def _zone_map(df):
+    return {tuple(r)[0]: tuple(r)[1:] for r in df.collect()}
+
+
+def test_zone_store_stream_equals_direct_and_replay_absorbed(
+    spark, li_months, tmp_path
+):
+    src = str(tmp_path / "li_stream")
+    li_months.repartition(4).write.parquet(src)
+    store = str(tmp_path / "zone_store")
+    run_zone_stats_stream(
+        spark, src, LI_SCHEMA, store, str(tmp_path / "c1"),
+        zone_cols=["month"], stat_cols=STATS,
+    )
+    merged = read_merged_zone(spark, store, ["month"], STATS)
+    direct = zone_minmax(li_months, ["month"], STATS)
+    assert _zone_map(merged) == _zone_map(direct)
+    # fresh-checkpoint full replay: MIN/MAX idempotence absorbs it
+    run_zone_stats_stream(
+        spark, src, LI_SCHEMA, store, str(tmp_path / "c2"),
+        zone_cols=["month"], stat_cols=STATS,
+    )
+    assert _zone_map(
+        read_merged_zone(spark, store, ["month"], STATS)
+    ) == _zone_map(direct)
+    stats = compact_zone_store(spark, store, ["month"], STATS)
+    assert stats["files_after"] < stats["files_before"]
+    assert _zone_map(
+        read_merged_zone(spark, store, ["month"], STATS)
+    ) == _zone_map(direct)
+
+
+def test_zone_store_skip_decisions_match_the_audit_query(
+    spark, li_months, tmp_path
+):
+    """Store-served skip decisions == the skip_time/skip_price columns
+    of the oracle-verified `zone_map_skip_audit` — the stats TABLE
+    answers exactly what the row-scan audit answers, which is the point
+    of persisting it."""
+    import datetime
+
+    store = str(tmp_path / "zone_store")
+    from aqi_featurestore_spark.operators.sketches import write_sketch_partial
+
+    for i in range(3):
+        write_sketch_partial(
+            zone_minmax(
+                li_months.where(F.crc32(F.col("l_shipdate").cast("string")) % 3 == i),
+                ["month"],
+                STATS,
+            ),
+            store,
+        )
+    merged = read_merged_zone(spark, store, ["month"], STATS)
+    dec = zone_skip_decisions(
+        merged,
+        {
+            "time": ("l_shipdate", datetime.datetime(2000, 1, 1)),
+            "price": ("l_extendedprice", 100000.0),
+        },
+    )
+    got = {
+        r["month"]: (r["skip_time"], r["skip_price"]) for r in dec.collect()
+    }
+    want = {
+        r["month"]: (r["skip_time"], r["skip_price"])
+        for r in QUERIES["zone_map_skip_audit"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 # -- CMS store: the versioned/epoch-dedup contract (SUM is not idempotent) --
 
 from aqi_featurestore_spark.operators.sketches import (  # noqa: E402
