@@ -142,6 +142,7 @@ def run_dedup_ingest_stream(
     checkpoint_dir: str,
     *,
     threshold: float = 0.5,
+    signature_index_path: str | None = None,
 ) -> None:
     """Document-ingestion pipeline with a near-dup admission gate: each
     micro-batch is (1) deduped against itself (MinHash-LSH candidates +
@@ -151,13 +152,24 @@ def run_dedup_ingest_stream(
     novel docs append to the corpus store.
 
     Trigger.AvailableNow + checkpoint make re-runs incremental: files
-    already processed are never re-admitted. At 100 TB the corpus side
-    of step 2 reads a stored, bucket-partitioned signature index rather
-    than re-sketching the corpus per batch (see
-    ``near_dedup.minhash_incremental_pairs``)."""
+    already processed are never re-admitted.
+
+    ``signature_index_path`` switches step 2 to the 100 TB shape: the
+    accepted corpus's band buckets persist in a stored,
+    band-partitioned signature index (appended once per admitted batch,
+    `near_dedup.write_signature_index`), candidates come from the new
+    batch's buckets equi-joined against that index (the corpus is never
+    re-shingled), and exact-Jaccard verification reads ONLY the
+    candidate corpus docs (an id semi-join, candidate-bounded). Without
+    it, the corpus side re-sketches per batch — correct, but per-batch
+    cost grows with the corpus. Admission results are pinned identical
+    in tests/test_ingest_stateful.py."""
     from aqi_featurestore_spark.operators.near_dedup import (
+        exact_jaccard_for_pairs,
+        lsh_candidates_from_index,
         minhash_incremental_pairs,
         minhash_verified_pairs,
+        write_signature_index,
     )
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
@@ -170,7 +182,24 @@ def run_dedup_ingest_stream(
         )
         novel = batch.join(self_dups, "doc_id", "left_anti")
         # (2) against the accepted corpus
-        if fs.exists(ss, corpus_path):
+        if signature_index_path is not None and fs.list_data_files(
+            ss, signature_index_path
+        ):
+            cand = lsh_candidates_from_index(novel, signature_index_path)
+            cand_ids = cand.select(F.col("d2").alias("doc_id")).distinct()
+            corpus_cand = ss.read.parquet(corpus_path).join(
+                F.broadcast(cand_ids), "doc_id", "semi"
+            )
+            verified = exact_jaccard_for_pairs(
+                novel, cand, docs2=corpus_cand
+            )
+            hits = (
+                verified.where(F.col("jaccard") >= threshold)
+                .select(F.col("d1").alias("doc_id"))
+                .distinct()
+            )
+            novel = novel.join(hits, "doc_id", "left_anti")
+        elif signature_index_path is None and fs.exists(ss, corpus_path):
             corpus = ss.read.parquet(corpus_path)
             hits = (
                 minhash_incremental_pairs(novel, corpus, threshold=threshold)
@@ -178,8 +207,11 @@ def run_dedup_ingest_stream(
                 .distinct()
             )
             novel = novel.join(hits, "doc_id", "left_anti")
-        # (3) admit
+        # (3) admit, and index what was admitted
+        novel = novel.localCheckpoint()  # one computation feeds both writes
         novel.write.mode("append").parquet(corpus_path)
+        if signature_index_path is not None:
+            write_signature_index(novel, signature_index_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -195,6 +195,73 @@ def test_dedup_ingest_stream(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11]
 
 
+def test_dedup_ingest_stream_with_signature_index(spark, tmp_path):
+    """The 100 TB gate shape: the corpus side of the admission check is
+    the STORED band-bucket index (appended per admitted batch), never a
+    re-sketch of the corpus. Admissions must be identical to the
+    re-sketch path; the index must equal a direct banding of the
+    accepted corpus (consistency); a replayed append must be absorbed
+    (bucket membership is a set — union is idempotent)."""
+    from aqi_featurestore_spark.operators.near_dedup import (
+        _band_buckets,
+        minhash_signatures,
+        write_signature_index,
+    )
+    from aqi_featurestore_spark.streaming.jobs import run_dedup_ingest_stream
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing outside")
+    other = ("completely different text about mountain rivers carving "
+             "their slow canyons through limestone over millions of years")
+    novel = ("a third subject entirely concerning the migration patterns "
+             "of arctic terns across two polar summers every single year")
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    index = str(tmp_path / "sig_index")
+
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, other)], schema
+    ).write.mode("append").parquet(str(src))
+    run_dedup_ingest_stream(
+        spark, str(src), spark.createDataFrame([], schema).schema,
+        corpus, ckpt, threshold=0.5, signature_index_path=index,
+    )
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3]
+
+    # second batch: 10 duplicates corpus doc 1 -> rejected VIA THE INDEX;
+    # 11 is novel -> admitted and indexed
+    spark.createDataFrame(
+        [(10, base), (11, novel)], schema
+    ).write.mode("append").parquet(str(src))
+    run_dedup_ingest_stream(
+        spark, str(src), spark.createDataFrame([], schema).schema,
+        corpus, ckpt, threshold=0.5, signature_index_path=index,
+    )
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert admitted == [1, 3, 11]  # same admissions as the re-sketch path
+
+    # index consistency: stored buckets == direct banding of the corpus
+    def bucket_set(df):
+        return {(r["doc_id"], r["band"], r["bucket"]) for r in df.collect()}
+
+    stored = bucket_set(spark.read.parquet(index).distinct())
+    direct = bucket_set(
+        _band_buckets(
+            minhash_signatures(spark.read.parquet(corpus)),
+            id_col="doc_id", bands=16, rows_per_band=4, scheme="md5",
+        ).select("doc_id", "band", "bucket")
+    )
+    assert stored == direct
+
+    # replayed append: identical rows, absorbed by the reader's distinct
+    write_signature_index(
+        spark.read.parquet(corpus).where(F.col("doc_id") == 11), index
+    )
+    assert bucket_set(spark.read.parquet(index).distinct()) == direct
+
+
 def test_attribution_stream_stream_join(spark, tmp_path):
     """Stream-stream join with watermarks + time-range condition: the
     streaming result equals the batch join on the same inputs."""
