@@ -494,15 +494,29 @@ def cms_point_estimate(
         F.col(token_col).alias("token"),
         F.explode(pcells).alias("e"),
     ).select(*group_cols, "token", "e.j", "e.col")
+    # LEFT join + coalesce(c, 0): the merged sketch is SPARSE (only
+    # touched cells have rows), but an absent cell's true count is 0 —
+    # an inner join would drop it from the min, inflating the estimate
+    # for unseen tokens (and a token with all d cells absent would
+    # vanish from the output instead of returning est=0). Round-9
+    # ADVICE fix; one-sidedness (est >= true count) still holds, and a
+    # token that DID occur c>0 times has all d cells present with
+    # counts >= c, so present-token estimates are unchanged.
     return (
-        pr.join(F.broadcast(cells), [*group_cols, "j", "col"])
+        pr.join(F.broadcast(cells), [*group_cols, "j", "col"], "left")
         .groupBy(*group_cols, "token")
-        .agg(F.min("c").alias("est"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est")
+        )
     )
 
 
 def compact_cms_store(
-    spark: SparkSession, path: str, group_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    *,
+    _pre_fold_hook=None,
 ) -> dict:
     """Fold partial epochs into a new base snapshot whose ``fold_epoch``
     watermark records what was folded — append-then-delete like
@@ -512,11 +526,26 @@ def compact_cms_store(
     a folded epoch is likewise dropped instead of double-counted —
     the versioned contract surviving its own retention operation.
     No-op (returns unchanged watermark) when nothing new arrived, so
-    re-running compaction never doubles the base."""
+    re-running compaction never doubles the base.
+
+    The fold input is the SNAPSHOTTED epoch set, never a re-listing
+    (round-9 ADVICE): re-reading the partials dir after computing
+    ``new_wm`` would fold a partial appended by the concurrent stream
+    in between into a base stamped ``fold_epoch < its own epoch``,
+    while the reader's ``epoch > watermark`` filter still keeps its
+    undeleted file — summed TWICE, the exact double-count the epoch
+    contract exists to prevent. Streaming epoch ids are monotone, so a
+    partial appended after the snapshot has ``epoch > new_wm``: it is
+    neither folded nor deleted here, reads correctly alongside the new
+    base, and folds on the next compaction (mirrors ``_swap_in``'s
+    file-snapshot discipline, in epoch space).
+
+    ``_pre_fold_hook``: test-only fault/interleave injection point,
+    called between the epoch snapshot and the fold write."""
     from aqi_featurestore_spark.sources import fs
 
     ppath = f"{path.rstrip('/')}/partials"
-    _base, wm = _cms_base(spark, path)
+    base, wm = _cms_base(spark, path)
     if not fs.list_data_files(spark, ppath):
         return {"folded_through": wm, "files_after": len(fs.list_data_files(spark, path))}
     parts = spark.read.parquet(ppath)
@@ -529,7 +558,21 @@ def compact_cms_store(
         return {"folded_through": wm, "files_after": len(fs.list_data_files(spark, path))}
     new_wm = epochs[-1]
     files_before = len(fs.list_data_files(spark, path))
-    merged = read_merged_cms(spark, path, group_cols)
+    if _pre_fold_hook is not None:
+        _pre_fold_hook()
+    snap = (
+        spark.read.parquet(ppath)
+        .where(F.col("epoch").isin(epochs))
+        .distinct()
+        .drop("epoch")
+    )
+    frames = [snap] if base is None else [base, snap]
+    merged = frames[0]
+    for f_ in frames[1:]:
+        merged = merged.unionByName(f_)
+    merged = merged.groupBy(*group_cols, "j", "col").agg(
+        F.sum("c").cast("long").alias("c")
+    )
     (
         merged.withColumn("fold_epoch", F.lit(new_wm))
         .repartition(1)

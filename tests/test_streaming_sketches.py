@@ -472,6 +472,76 @@ def test_cms_store_estimates_match_the_oracle_verified_query(
         assert got[token] == est, token
 
 
+def test_cms_compaction_snapshots_the_epoch_set(spark, docs, tmp_path):
+    """The round-9 ADVICE hazard, exercised in-protocol: an epoch
+    appended by the concurrent stream BETWEEN compaction's watermark
+    snapshot and its fold must be neither folded (its epoch would
+    exceed the recorded fold_epoch — the reader would sum it again) nor
+    deleted. After the interleaved compaction every cell must count
+    exactly once, and the racing epoch's partial must still exist."""
+    from aqi_featurestore_spark.sources import fs
+
+    store = str(tmp_path / "cms_store")
+    thirds = [
+        docs.where(F.crc32(F.col("text")) % 3 == i) for i in range(3)
+    ]
+    write_cms_partial(_direct_cms(thirds[0]), store, 0)
+    write_cms_partial(_direct_cms(thirds[1]), store, 1)
+
+    def racing_append():
+        # the streaming appender delivers epoch 2 mid-compaction
+        write_cms_partial(_direct_cms(thirds[2]), store, 2)
+
+    stats = compact_cms_store(
+        spark, store, ["source"], _pre_fold_hook=racing_append
+    )
+    assert stats["folded_through"] == 1  # epoch 2 NOT folded
+    assert fs.list_data_files(spark, f"{store}/partials/epoch=2")
+    merged = read_merged_cms(spark, store, ["source"])
+    assert _cell_map(merged) == _cell_map(_direct_cms(docs))
+    # next compaction folds the racing epoch; still exact
+    stats2 = compact_cms_store(spark, store, ["source"])
+    assert stats2["folded_through"] == 2
+    assert _cell_map(
+        read_merged_cms(spark, store, ["source"])
+    ) == _cell_map(_direct_cms(docs))
+
+
+def test_cms_point_estimate_absent_token_returns_zero(spark, docs, tmp_path):
+    """Probing a token that never occurred must return est=0 (all its
+    cells are absent from the sparse sketch — their true counts are 0),
+    and a token with only SOME cells absent must take 0 into its min,
+    not an inflated collision count (round-9 ADVICE: the inner join
+    dropped absent cells from the min entirely)."""
+    store = str(tmp_path / "cms_store")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    write_cms_partial(cms_cells(tok, [], "token"), store, 0)
+    merged = read_merged_cms(spark, store, [])
+    probe = spark.createDataFrame(
+        [("__never_seen_token_xyzzy__",)], "token string"
+    )
+    got = cms_point_estimate(merged, probe, [], "token").collect()
+    assert len(got) == 1  # the probe row is not dropped
+    assert got[0]["est"] == 0
+    # a present token keeps its (>= true count) estimate
+    true_counts = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    some = next(iter(true_counts))
+    est = cms_point_estimate(
+        merged, spark.createDataFrame([(some,)], "token string"), [], "token"
+    ).collect()[0]["est"]
+    assert est >= true_counts[some]
+
+
 # -- compaction safety: concurrent appends and raw-log estimation ----------
 
 
