@@ -62,6 +62,29 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file via tmp + rename so a reader (or a crash)
+    never observes a torn/truncated file — the round-9 ADVICE fix for
+    manifest/floor writes, where a half-written JSON made every
+    subsequent ``retention_floor()``/``read(as_of)`` raise
+    ``JSONDecodeError``. Rename is atomic on HDFS/POSIX; on object
+    stores it is copy+delete, so the failure window is a briefly
+    MISSING destination (callers fall back to their read-with-default),
+    never a torn one. Overwrites delete-then-rename; concurrent writers
+    of the SAME path are a single-writer contract (see
+    SnapshotManifests)."""
+    import uuid
+
+    fs, jpath = _fs_and_path(spark, path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    write_text(spark, tmp, text)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"write_text_atomic: rename {tmp} -> {path} failed")
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, jpath = _fs_and_path(spark, path)
     stream = fs.open(jpath)
