@@ -917,6 +917,100 @@ def write_signature_index(
     )
 
 
+def _sig_index_swap(
+    spark, path: str, transform, *, tag_prefix: str
+) -> dict:
+    """Snapshot → transform → rename-in → delete for the band-partitioned
+    signature index — `operators/sketches._swap_in`'s protocol adapted
+    to a PARTITIONED store (merged files must land back inside their
+    ``band=N`` directories; files renamed into the root would collide
+    with partition discovery). Safe under a concurrent appender and a
+    crash at any step for the same reason as the sketch stores: between
+    rename-in and delete the store holds both the transformed rows and
+    the originals, and bucket membership reads through ``distinct`` —
+    set union is idempotent, so the overlap is absorbed; files appended
+    after the snapshot are never deleted. Returns
+    {'files_before', 'files_after', 'rows'}."""
+    import uuid
+
+    from aqi_featurestore_spark.sources import fs
+
+    snapshot = [p for p, _s in fs.list_data_files(spark, path)]
+    if not snapshot:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    # basePath keeps the band partition column on a file-list read
+    snap_df = (
+        spark.read.option("basePath", path).parquet(*snapshot).distinct()
+    )
+    out = transform(snap_df)
+    tmp = f"{path.rstrip('/')}.swap-{uuid.uuid4().hex[:8]}"
+    fs.delete(spark, tmp)
+    (
+        out.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    tag = uuid.uuid4().hex[:8]
+    for i, (f_, _s) in enumerate(fs.list_data_files(spark, tmp)):
+        # .../tmp/band=N/part-*.parquet -> .../path/band=N/compact-...
+        band_dir = f_.rsplit("/", 2)[1]
+        fs.rename(
+            spark,
+            f_,
+            f"{path.rstrip('/')}/{band_dir}/{tag_prefix}-{tag}-{i}.parquet",
+        )
+    fs.delete(spark, tmp)
+    for f_ in snapshot:
+        fs.delete(spark, f_)
+    rows = spark.read.parquet(path).count()
+    return {
+        "files_before": len(snapshot),
+        "files_after": len(fs.list_data_files(spark, path)),
+        "rows": rows,
+    }
+
+
+def compact_signature_index(spark, path: str) -> dict:
+    """Fold the signature index's append log (one small file set per
+    admitted batch, forever) into one distinct row set per band —
+    round-9 verdict ask #5's retention half. Bucket membership is a
+    SET, so the fold is lossless by construction: candidates, and
+    therefore admissions, are bit-identical before and after
+    (pytest-pinned), and the swap is concurrent-append/crash safe (see
+    :func:`_sig_index_swap`). Run it whenever probe-side read
+    amplification matters — the same cadence discipline as the
+    HLL/zone/CMS store compactions."""
+    return _sig_index_swap(
+        spark, path, lambda df: df, tag_prefix="compact"
+    )
+
+
+def retire_from_signature_index(
+    spark, path: str, retired_ids, *, id_col: str = "doc_id"
+) -> dict:
+    """Drop every bucket row of ``retired_ids`` (a 1-column DataFrame of
+    retired/vacuumed corpus doc ids) from the stored index — the
+    lifecycle complement the round-9 verdict asked for: without it,
+    docs removed from the corpus keep surfacing as ghost candidates
+    forever. Ghosts are CORRECTNESS-harmless (the exact-verify
+    semi-join finds no corpus row), but each one costs a candidate
+    probe + a verify join row per colliding batch — retirement is what
+    keeps probe cost proportional to the LIVE corpus.
+
+    Shape: one anti-join rewrite through the snapshot/rename-in swap
+    (crash/concurrent-append safe; a retired doc's rows appended after
+    the snapshot would survive, so retire AFTER the corpus retirement
+    is visible). Retired ids broadcast — retirement batches are small
+    relative to the index."""
+    ids = retired_ids.select(F.col(id_col)).distinct()
+
+    def _drop(df):
+        return df.join(F.broadcast(ids), id_col, "left_anti")
+
+    return _sig_index_swap(spark, path, _drop, tag_prefix="retire")
+
+
 def lsh_candidates_from_index(
     new_docs: DataFrame,
     index_path: str,

@@ -262,6 +262,161 @@ def test_dedup_ingest_stream_with_signature_index(spark, tmp_path):
     assert bucket_set(spark.read.parquet(index).distinct()) == direct
 
 
+_BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+         "watches from the warm windowsill and the birds sing outside")
+_OTHER = ("completely different text about mountain rivers carving "
+          "their slow canyons through limestone over millions of years")
+_NOVEL = ("a third subject entirely concerning the migration patterns "
+          "of arctic terns across two polar summers every single year")
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_dedup_ingest_crash_between_index_and_corpus_writes(spark, tmp_path):
+    """The round-9 crash window, injected: the gate dies AFTER the
+    signature-index append and BEFORE the corpus append. The replay
+    must admit the batch exactly once (ghost index rows are harmless:
+    their docs are not in the corpus, so exact-verify finds nothing),
+    and a LATER near-dup of those docs must still be rejected — the
+    never-re-admitted guarantee surviving the crash. With the old
+    corpus-first order the replay re-admitted the whole batch as
+    permanent duplicates."""
+    import pytest
+
+    from aqi_featurestore_spark.streaming import jobs
+    from aqi_featurestore_spark.streaming.jobs import run_dedup_ingest_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    index = str(tmp_path / "sig_index")
+    schema = spark.createDataFrame([], _DOC_SCHEMA).schema
+
+    spark.createDataFrame(
+        [(1, _BASE), (2, _BASE + " extra"), (3, _OTHER)], _DOC_SCHEMA
+    ).write.mode("append").parquet(str(src))
+    jobs._INGEST_FAULTS["crash_between_index_and_corpus"] = True
+    with pytest.raises(Exception):
+        run_dedup_ingest_stream(
+            spark, str(src), schema, corpus, ckpt,
+            threshold=0.5, signature_index_path=index,
+        )
+    assert not jobs._INGEST_FAULTS["crash_between_index_and_corpus"]
+    # index has the batch's buckets; corpus has nothing — the window
+    from aqi_featurestore_spark.sources import fs
+
+    assert fs.list_data_files(spark, index)
+    assert not fs.list_data_files(spark, corpus)
+    # replay (same checkpoint): admitted exactly once, no duplicates
+    run_dedup_ingest_stream(
+        spark, str(src), schema, corpus, ckpt,
+        threshold=0.5, signature_index_path=index,
+    )
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert admitted == [1, 3]
+    # the gate still rejects near-dups of the crash-window batch
+    spark.createDataFrame([(10, _BASE), (11, _NOVEL)], _DOC_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_dedup_ingest_stream(
+        spark, str(src), schema, corpus, ckpt,
+        threshold=0.5, signature_index_path=index,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 11]
+
+
+def test_dedup_ingest_bootstraps_index_over_preexisting_corpus(
+    spark, tmp_path
+):
+    """Round-9 ADVICE #2: enabling signature_index_path over a corpus
+    that predates the index must NOT silently disable corpus dedup —
+    the gate bootstraps the index from the existing corpus once, then
+    rejects near-dups of pre-existing docs via the index."""
+    from aqi_featurestore_spark.operators.near_dedup import (
+        _band_buckets,
+        minhash_signatures,
+    )
+    from aqi_featurestore_spark.streaming.jobs import run_dedup_ingest_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    index = str(tmp_path / "sig_index")
+    schema = spark.createDataFrame([], _DOC_SCHEMA).schema
+
+    # a corpus accepted BEFORE the index existed
+    spark.createDataFrame(
+        [(1, _BASE), (3, _OTHER)], _DOC_SCHEMA
+    ).write.mode("append").parquet(corpus)
+
+    # first gated batch: 10 near-dups corpus doc 1 (must be rejected —
+    # the silent-skip bug admitted it), 11 is novel
+    spark.createDataFrame([(10, _BASE), (11, _NOVEL)], _DOC_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_dedup_ingest_stream(
+        spark, str(src), schema, corpus, ckpt,
+        threshold=0.5, signature_index_path=index,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 11]
+    # the bootstrapped index covers the WHOLE corpus (old docs + batch)
+    stored = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index).distinct().collect()
+    }
+    direct = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in _band_buckets(
+            minhash_signatures(spark.read.parquet(corpus)),
+            id_col="doc_id", bands=16, rows_per_band=4, scheme="md5",
+        ).select("doc_id", "band", "bucket").collect()
+    }
+    assert stored == direct
+
+
+def test_dedup_ingest_corpus_is_snapshot_versioned(spark, tmp_path):
+    """Round-9 verdict ask #4: each admitted batch records a corpus
+    version; `corpus as of batch N` replays bit-identically after later
+    admissions — the training-data reproducibility anchor."""
+    from aqi_featurestore_spark.sources.manifests import SnapshotManifests
+    from aqi_featurestore_spark.streaming.jobs import run_dedup_ingest_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    schema = spark.createDataFrame([], _DOC_SCHEMA).schema
+
+    spark.createDataFrame(
+        [(1, _BASE), (3, _OTHER)], _DOC_SCHEMA
+    ).write.mode("append").parquet(str(src))
+    run_dedup_ingest_stream(spark, str(src), schema, corpus, ckpt, threshold=0.5)
+    man = SnapshotManifests(spark, corpus)
+    v1 = man.version()
+    assert v1 == 1
+    want_v1 = sorted(
+        tuple(r) for r in spark.read.parquet(corpus).collect()
+    )
+
+    spark.createDataFrame([(11, _NOVEL)], _DOC_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_dedup_ingest_stream(spark, str(src), schema, corpus, ckpt, threshold=0.5)
+    assert man.version() == 2
+    # current corpus moved on; version 1 replays exactly
+    assert spark.read.parquet(corpus).count() == 3
+    got_v1 = sorted(tuple(r) for r in man.read_as_of(v1).collect())
+    assert got_v1 == want_v1
+    # below-floor pins raise once a floor advances (the E199 contract)
+    man.set_floor(2)
+    import pytest
+
+    with pytest.raises(ValueError, match="retention floor"):
+        man.read_as_of(1)
+
+
 def test_attribution_stream_stream_join(spark, tmp_path):
     """Stream-stream join with watermarks + time-range condition: the
     streaming result equals the batch join on the same inputs."""
