@@ -297,6 +297,9 @@ EXTENDED_QUERIES = [
     "hybrid_rrf_fusion_ann",
     "hybrid_fusion_recall",
     "hybrid_rerank_serve",
+    # round 10
+    "sparse_topk_serve",
+    "hybrid_fusion_sweep",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -365,6 +368,7 @@ ITERATIVE_CONSTRUCTION = {
     "bloom_semijoin_reduce",  # <=m-row set-bit collect folded into plan literals
     "bloom_prefiltered_revenue",  # same <=m-row set-bit collect at build time
     "maxsim_shortlist_recall",  # token-max/doc-score localCheckpoints at build time
+    "hybrid_fusion_sweep",  # index build + sparse-leg/exact-fusion localCheckpoints at build time
 }
 
 

@@ -192,6 +192,9 @@ AUDIT = [
     "hybrid_rrf_fusion_ann",
     "hybrid_fusion_recall",
     "hybrid_rerank_serve",
+    # round 10
+    "sparse_topk_serve",
+    "hybrid_fusion_sweep",
 ]
 
 

@@ -61,6 +61,7 @@ ARROW_EVAL_OK = {
     "hybrid_rrf_fusion",  # cosine leg's Arrow normalize; dots are JVM folds
     "hybrid_rrf_fusion_ann",  # the IVFADC leg's exact re-rank dot (serving path)
     "hybrid_rerank_serve",  # same IVFADC leg inside the end-to-end serve
+    "hybrid_fusion_sweep",  # brute ground-truth leg + per-probe serve-path dots
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -119,6 +120,7 @@ BNLJ_OK = {
     "maxsim_topk",           # bounded query-token broadcast vs streamed corpus tokens
     "maxsim_shortlist_recall",  # same bounded query-token broadcast
     "hybrid_rrf_fusion",     # brute cosine + quantized-dot query broadcasts (audit legs)
+    "hybrid_fusion_sweep",   # brute ground-truth leg (audit cost, the ann_probe_sweep shape)
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -254,6 +256,9 @@ EXCHANGE_CEILING = {
     "hybrid_rrf_fusion_ann": 7,  # ivfpq leg (2) + checkpointed-index posting join + 2 leg windows + fuse
     "hybrid_fusion_recall": 5,  # checkpointed fx/fa top-5s + bounded overlap joins
     "hybrid_rerank_serve": 8,  # the fusion's 7 + the candidate-broadcast rerank window
+    # round 10
+    "sparse_topk_serve": 2,  # weights-store scan -> posting join agg + rank window; ZERO build jobs
+    "hybrid_fusion_sweep": 33,  # exact leg + 4 probe lookups vs ONE checkpointed index + 5 fusions
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.

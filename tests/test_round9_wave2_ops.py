@@ -258,3 +258,174 @@ def test_signature_index_admissions_identical_after_compaction(
         return sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
 
     assert run("raw", False) == run("compacted", True) == [1, 3, 11]
+
+
+# -- persisted sparse impact index (round-9 verdict ask #1) ------------------
+
+
+@pytest.fixture(scope="module")
+def idx_docs(spark):
+    from aqi_featurestore_spark.sources.testdata import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "documents").cache()
+
+
+def _direct_weights(docs, df_cap=100):
+    """The from-scratch TF-IDF weight build (the formula every sparse
+    query pins via its oracle), for store-parity assertions."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        tf.join(dfq, "token")
+        .where(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+
+
+def _wset(df):
+    return {(r["doc_id"], r["token"], r["w"]) for r in df.collect()}
+
+
+def test_impact_index_roundtrip_equals_direct_build(spark, idx_docs, tmp_path):
+    """write -> refresh -> read must reproduce the from-scratch weight
+    table bit-for-bit (longs round-trip parquet losslessly)."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        read_impact_weights,
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    store = str(tmp_path / "impact")
+    write_impact_partial(idx_docs, store, epoch=1)
+    stats = refresh_impact_weights(spark, store)
+    assert stats["fold_epoch"] == 1 and stats["n_docs"] == idx_docs.count()
+    got, wm = read_impact_weights(spark, store)
+    assert wm == 1
+    assert _wset(got) == _wset(_direct_weights(idx_docs))
+
+
+def test_impact_index_incremental_epochs_equal_union_build(
+    spark, idx_docs, tmp_path
+):
+    """Appending the corpus in two epochs then refreshing must equal
+    ONE direct build over the union — df sums across epochs, the idf
+    scalar sees the full N (the SUM-merge semantics the epoch contract
+    protects)."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        read_impact_weights,
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    store = str(tmp_path / "impact")
+    half1 = idx_docs.where(F.col("doc_id") % 2 == 0)
+    half2 = idx_docs.where(F.col("doc_id") % 2 == 1)
+    write_impact_partial(half1, store, epoch=1)
+    refresh_impact_weights(spark, store)
+    w1, _ = read_impact_weights(spark, store)
+    assert _wset(w1) == _wset(_direct_weights(half1))  # snapshot of era 1
+    write_impact_partial(half2, store, epoch=2)
+    # serving still reads the FROZEN era-1 snapshot until refresh
+    from aqi_featurestore_spark.operators.impact_index import pending_epochs
+
+    assert pending_epochs(spark, store) == [2]
+    w_stale, wm_stale = read_impact_weights(spark, store)
+    assert wm_stale == 1 and _wset(w_stale) == _wset(_direct_weights(half1))
+    stats = refresh_impact_weights(spark, store)
+    assert stats["fold_epoch"] == 2
+    got, wm = read_impact_weights(spark, store)
+    assert wm == 2
+    assert _wset(got) == _wset(_direct_weights(idx_docs))
+    assert pending_epochs(spark, store) == []
+
+
+def test_impact_index_replayed_epoch_is_absorbed(spark, idx_docs, tmp_path):
+    """The CMS epoch-versioned contract: a foreachBatch retry
+    re-delivers the SAME epoch — postings dedup, the meta doc-count is
+    NOT double-summed, weights match the single-delivery build."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        read_impact_weights,
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    store = str(tmp_path / "impact")
+    half1 = idx_docs.where(F.col("doc_id") % 2 == 0)
+    half2 = idx_docs.where(F.col("doc_id") % 2 == 1)
+    write_impact_partial(half1, store, epoch=1)
+    write_impact_partial(half1, store, epoch=1)  # the retry
+    write_impact_partial(half2, store, epoch=2)
+    refresh_impact_weights(spark, store)
+    got, _ = read_impact_weights(spark, store)
+    assert _wset(got) == _wset(_direct_weights(idx_docs))
+    # a re-run refresh with nothing pending is a no-op
+    stats = refresh_impact_weights(spark, store)
+    assert stats["fold_epoch"] == 2
+    got2, _ = read_impact_weights(spark, store)
+    assert _wset(got2) == _wset(_direct_weights(idx_docs))
+
+
+def test_impact_index_refresh_races_and_raise_paths(spark, idx_docs, tmp_path):
+    """An epoch appended mid-refresh folds NEXT time (snapshotted epoch
+    set); reading an unpublished store raises instead of serving an
+    uncapped/idf-less table."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        read_impact_weights,
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    store = str(tmp_path / "impact")
+    with pytest.raises(ValueError, match="no published snapshot"):
+        write_impact_partial(
+            idx_docs.where(F.col("doc_id") % 2 == 0), store, epoch=1
+        )
+        read_impact_weights(spark, store)
+    refresh_impact_weights(spark, store)
+    # era-2 postings arrive after the era-2 refresh started: simulate by
+    # appending AFTER the refresh (the fold reads a snapshotted epoch
+    # list, so the ordering below is what a mid-refresh append leaves)
+    write_impact_partial(
+        idx_docs.where(F.col("doc_id") % 2 == 1), store, epoch=2
+    )
+    stats = refresh_impact_weights(spark, store)
+    assert stats["fold_epoch"] == 2
+    got, _ = read_impact_weights(spark, store)
+    assert _wset(got) == _wset(_direct_weights(idx_docs))
+
+
+def test_sparse_serve_plan_reads_the_store_not_the_corpus(spark):
+    """The round-9 economics fix, pinned in the plan: the sparse serve
+    plan must scan the impact store's parquet and contain ZERO
+    tokenization (no explode/split of document text) and ZERO document
+    scans — and build it twice, the second call reusing the session
+    store (no rebuild)."""
+    from aqi_featurestore_spark.plans import QUERIES
+
+    df = QUERIES["sparse_topk_serve"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "impact-index-" in plan  # scans the persisted store
+    assert "documents" not in plan  # never re-reads corpus text
+    assert "explode" not in plan.lower()  # never re-tokenizes
+    # second build: same session store serves again (cache hit)
+    df2 = QUERIES["sparse_topk_serve"](spark, "/root/testdata/sf0.001")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "impact-index-" in plan2 and "documents" not in plan2
