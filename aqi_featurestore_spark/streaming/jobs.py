@@ -852,6 +852,67 @@ def run_sketch_refresh_stream(
     q.awaitTermination()
 
 
+def run_impact_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    refresh_after: bool = False,
+):
+    """Streaming maintenance of the sparse impact index
+    (operators/impact_index.py — the E193 refresh contract applied to
+    the sparse-retrieval store, completing the maintainer set: every
+    versioned store here has a streaming upkeep job). Per micro-batch
+    (``foreachBatch``): tokenize the batch once and APPEND its postings
+    + doc-count partial under ``epoch_id`` — document frequency and the
+    corpus total N merge by SUM, so this store runs the CMS
+    epoch-versioned replay contract (a retried epoch re-appends
+    byte-identical rows the reader's epoch-keyed distinct absorbs;
+    a FRESH checkpoint restarts epoch numbering and is NOT absorbed —
+    same checkpoint across runs required, pytest-pinned).
+
+    Serving stays on the last PUBLISHED weights snapshot; partials are
+    invisible until ``refresh_impact_weights`` folds them — the weights
+    fold is a full recompute (idf is global), so it runs on a
+    maintenance cadence, not per trigger. ``refresh_after=True``
+    publishes once after the availableNow run drains (the batch-job
+    convenience); a long-lived deployment calls refresh on its own
+    schedule and reads staleness from ``pending_epochs``.
+
+    100 TB shape: per trigger one map-side-combining tf aggregate over
+    the batch (rows ~ batch tokens, never corpus) + a 1-row count; the
+    corpus text is tokenized exactly once, at arrival — the ANN-encode
+    discipline for the lexical half."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    def refresh(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_impact_partial(
+            batch, store_path, int(epoch_id), id_col=id_col, text_col=text_col
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if refresh_after:
+        refresh_impact_weights(spark, store_path)
+
+
 def run_zone_stats_stream(
     spark: SparkSession,
     source_dir: str,

@@ -412,6 +412,40 @@ def test_impact_index_refresh_races_and_raise_paths(spark, idx_docs, tmp_path):
     assert _wset(got) == _wset(_direct_weights(idx_docs))
 
 
+def test_impact_index_stream_equals_direct_build(spark, idx_docs, tmp_path):
+    """Streaming maintenance == one direct build: docs arriving as two
+    micro-batches (maxFilesPerTrigger=1) append two epochs whose
+    refreshed weights equal the from-scratch table; a same-checkpoint
+    re-run adds nothing; serving stays on the published snapshot until
+    refresh."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        pending_epochs,
+        read_impact_weights,
+    )
+    from aqi_featurestore_spark.streaming.jobs import run_impact_index_stream
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "impact")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = idx_docs.where(F.col("doc_id") % 2 == 0)
+    half2 = idx_docs.where(F.col("doc_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    run_impact_index_stream(
+        spark, src, schema, store, ckpt, refresh_after=True
+    )
+    got, wm = read_impact_weights(spark, store)
+    assert _wset(got) == _wset(_direct_weights(idx_docs))
+    assert pending_epochs(spark, store) == []
+    # same-checkpoint re-run: no new files, nothing appended or changed
+    run_impact_index_stream(spark, src, schema, store, ckpt)
+    got2, wm2 = read_impact_weights(spark, store)
+    assert wm2 == wm and _wset(got2) == _wset(_direct_weights(idx_docs))
+
+
 def test_sparse_serve_plan_reads_the_store_not_the_corpus(spark):
     """The round-9 economics fix, pinned in the plan: the sparse serve
     plan must scan the impact store's parquet and contain ZERO
