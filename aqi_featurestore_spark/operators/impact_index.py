@@ -166,15 +166,37 @@ def refresh_impact_weights(
     from aqi_featurestore_spark.sources import fs
 
     ppath = f"{path.rstrip('/')}/postings"
+    mpath = f"{path.rstrip('/')}/meta"
     cur_wm, _w = _weights_fold(spark, path)
     if not fs.list_data_files(spark, ppath):
         raise ValueError(f"refresh_impact_weights: no postings at {path}")
-    # snapshot the FULL epoch set (weights need every epoch's postings,
-    # unlike the CMS fold which folds into a running base)
-    all_epochs = sorted(
+    # snapshot the COMPLETE epoch set: an epoch is foldable only when
+    # BOTH its postings and its meta partial landed — a crash between
+    # write_impact_partial's two appends leaves a torn epoch whose
+    # postings would otherwise fold while its doc count is missing from
+    # N (idf silently wrong, and fold_epoch would advance past it so it
+    # never refolds). Torn epochs stay pending; the streaming retry
+    # re-delivers the epoch (dedup absorbs the re-appended half) and
+    # the next refresh folds it whole. Weights need EVERY complete
+    # epoch's postings (unlike the CMS fold into a running base).
+    p_epochs = {
         int(r["epoch"])
         for r in spark.read.parquet(ppath).select("epoch").distinct().collect()
+    }
+    m_epochs = (
+        {
+            int(r["epoch"])
+            for r in spark.read.parquet(mpath).select("epoch").distinct().collect()
+        }
+        if fs.list_data_files(spark, mpath)
+        else set()
     )
+    all_epochs = sorted(p_epochs & m_epochs)
+    if not all_epochs:
+        raise ValueError(
+            f"refresh_impact_weights: no complete epoch at {path} (torn "
+            f"partial write — await the streaming retry)"
+        )
     new_wm = all_epochs[-1]
     if cur_wm is not None and new_wm <= cur_wm:
         _wm, w_cur = _weights_fold(spark, path)
@@ -228,8 +250,12 @@ def refresh_impact_weights(
         f"{path.rstrip('/')}/weights.fold.json",
         json.dumps({"fold_epoch": new_wm}),
     )
-    if cur_wm is not None:
-        fs.delete(spark, f"{wdir}/fold_epoch={cur_wm}")
+    # drop every non-current fold, not just cur_wm: a crash between a
+    # past marker write and its delete leaves an orphan fold dir that a
+    # cur_wm-only delete would never reclaim
+    for name in fs.child_names(spark, wdir):
+        if name.startswith("fold_epoch=") and name != f"fold_epoch={new_wm}":
+            fs.delete(spark, f"{wdir}/{name}")
     n_docs = int(n.collect()[0]["n"])
     fold_dir = f"{wdir}/fold_epoch={new_wm}"
     n_weights = (

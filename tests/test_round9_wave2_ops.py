@@ -412,6 +412,43 @@ def test_impact_index_refresh_races_and_raise_paths(spark, idx_docs, tmp_path):
     assert _wset(got) == _wset(_direct_weights(idx_docs))
 
 
+def test_impact_index_torn_epoch_is_not_folded(spark, idx_docs, tmp_path):
+    """A crash between write_impact_partial's two appends leaves an
+    epoch with postings but no doc-count partial. The refresh must NOT
+    fold it (its docs would be missing from the idf scalar and the
+    advancing watermark would orphan it forever); after the streaming
+    retry completes the epoch, the next refresh folds it whole."""
+    from aqi_featurestore_spark.operators.impact_index import (
+        impact_postings,
+        read_impact_weights,
+        refresh_impact_weights,
+        write_impact_partial,
+    )
+
+    store = str(tmp_path / "impact")
+    half1 = idx_docs.where(F.col("doc_id") % 2 == 0)
+    half2 = idx_docs.where(F.col("doc_id") % 2 == 1)
+    write_impact_partial(half1, store, epoch=1)
+    # simulate the crash window: epoch 2's postings land, its meta never does
+    (
+        impact_postings(half2)
+        .withColumn("epoch", F.lit(2))
+        .write.mode("append")
+        .partitionBy("epoch")
+        .parquet(f"{store}/postings")
+    )
+    stats = refresh_impact_weights(spark, store)
+    assert stats["fold_epoch"] == 1  # the torn epoch stays pending
+    got, wm = read_impact_weights(spark, store)
+    assert wm == 1 and _wset(got) == _wset(_direct_weights(half1))
+    # the streaming retry re-delivers epoch 2 whole (postings dedup)
+    write_impact_partial(half2, store, epoch=2)
+    stats2 = refresh_impact_weights(spark, store)
+    assert stats2["fold_epoch"] == 2
+    got2, _ = read_impact_weights(spark, store)
+    assert _wset(got2) == _wset(_direct_weights(idx_docs))
+
+
 def test_impact_index_stream_equals_direct_build(spark, idx_docs, tmp_path):
     """Streaming maintenance == one direct build: docs arriving as two
     micro-batches (maxFilesPerTrigger=1) append two epochs whose
