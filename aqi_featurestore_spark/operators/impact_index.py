@@ -6,9 +6,13 @@ until now re-tokenized the corpus on every hybrid serve call).
 
 Store layout::
 
-    {path}/postings/epoch=E/      (doc_id, token, tf)   doc-local rows
+    {path}/postings/epoch=E/      (doc_id, token, tf)   partial log
     {path}/meta/epoch=E/          (n_docs)              1 row per epoch
-    {path}/weights/fold_epoch=W/  (doc_id, token, w)    published snapshot
+    {path}/postings_base/fold-*/  (doc_id, token, tf)   compacted base
+    {path}/postings_base.fold.json  base marker {fold_epoch, n_docs, dir}
+    {path}/weights/fold-*/        (doc_id, token, w)    published snapshot
+    {path}/weights.fold.json      marker {fold_epoch, n_docs, dir}
+    {path}/retired.json           {n_retired}  cumulative N correction
 
 Which merge contract? The round-9 store taxonomy answers per table:
 
@@ -39,21 +43,52 @@ encode. Serving reads the snapshot only (new epochs are invisible
 until the next refresh — the frozen-snapshot serving contract every
 versioned store here runs); ``pending_epochs`` is the staleness audit.
 
-Crash safety: the snapshot write is append-then-delete on
-``fold_epoch`` (readers take the HIGHEST fold — two snapshots read
-correctly, an interrupted delete leaves a stale lower fold that the
-max filter ignores), and the fold input is the snapshotted epoch set
-(the ``compact_cms_store`` discipline), so an epoch appended
-mid-refresh is neither folded below its own number nor lost.
+Publish protocol (shared by the weights snapshot and the compacted
+postings base — the round-10 ADVICE #1 fix generalized): each publish
+writes its rows into a FRESH uniquely-named directory, then atomically
+writes the marker JSON naming that directory (and recording
+``fold_epoch`` + the folded ``n_docs``), then deletes every
+unreferenced sibling. Data-then-marker means a crash mid-publish
+leaves the old marker serving the old fold and the orphaned new
+directory invisible; a RETRY writes another fresh directory — it can
+never append a second copy into a committed one, so retries are
+idempotent by construction (the defect the round-10 ADVICE found in
+the append-into-``fold_epoch=N`` layout). The marker lives in the fold
+watermark, not the data files, because a legitimate snapshot can be
+EMPTY (every token over the df cap) and empty parquet dirs carry no
+schema to infer.
+
+Lifecycle (round-10 verdict ask #1 — the E227 signature-index
+discipline applied here):
+
+- :func:`compact_impact_store` folds partial epochs at or below the
+  published weights watermark into the postings base (their meta
+  partials sum into the base marker's ``n_docs``), so refresh input
+  stops being an ever-growing epoch-dir log. Readers take base +
+  partials ABOVE the base watermark, so a replay of a folded epoch is
+  dropped instead of double-counted (the ``compact_cms_store``
+  contract). Torn epochs bound the fold: the base watermark stays
+  below the lowest torn epoch so the awaited streaming retry is not
+  filtered out as "already folded".
+- :func:`retire_from_impact_index` anti-joins vacuumed doc ids out of
+  the base and the partial posting log, records the N correction in
+  ``retired.json`` (df corrects itself — it is COUNTed from retained
+  postings at every refresh), and force-republishes the weights
+  snapshot so ``sparse_topk_serve`` stops returning ids the corpus no
+  longer contains.
 
 100 TB shape: postings append is one map-side-combining aggregate per
 batch (rows ~ batch tokens, never corpus); the fold is one postings
-scan + a token-keyed join against the df table; weights partition-
-prune nothing today but serve through token-keyed posting joins whose
-fanout the df cap bounds (`plans/llm_text._sparse_query_topk`).
+scan + a token-keyed join against the df table; compaction bounds that
+scan's file count at O(1) dirs + epochs-since-last-refresh; weights
+partition-prune nothing today but serve through token-keyed posting
+joins whose fanout the df cap bounds
+(`plans/llm_text._sparse_query_topk`).
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -66,6 +101,9 @@ DF_CAP = 100
 #: weights are integer micro-units (round(tf * idf * 1e6)) summed as
 #: int64 at serve time — cross-engine exact, no float accumulation.
 W_MICRO = 1e6
+
+_POSTINGS_SCHEMA = "doc_id long, token string, tf long"
+_WEIGHTS_SCHEMA = "doc_id long, token string, w long"
 
 
 def impact_postings(
@@ -115,113 +153,188 @@ def write_impact_partial(
     )
 
 
-_WEIGHTS_SCHEMA = "doc_id long, token string, w long"
+# -- the fresh-dir + marker publish protocol ---------------------------------
 
 
-def _weights_fold(spark: SparkSession, path: str):
-    """(published fold_epoch, weights frame) or (None, None). The fold
-    watermark lives in an atomically-written marker, not in the data
-    files, because a legitimate snapshot can be EMPTY (a corpus whose
-    every token exceeds the df cap publishes zero weight rows — sparse
-    retrieval correctly returns nothing there) and empty parquet dirs
-    carry no schema to infer. Publish order is data-then-marker, so a
-    crash mid-refresh leaves the old marker serving the old fold and
-    the orphaned higher-fold files invisible until their marker lands."""
-    import json
+def _read_marker(spark: SparkSession, path: str, name: str) -> dict | None:
+    from aqi_featurestore_spark.sources import fs
+
+    marker = f"{path.rstrip('/')}/{name}"
+    if not fs.exists(spark, marker):
+        return None
+    return json.loads(fs.read_text(spark, marker))
+
+
+def _publish(
+    spark: SparkSession,
+    path: str,
+    family: str,
+    marker_name: str,
+    df: DataFrame,
+    payload: dict,
+) -> str:
+    """Publish ``df`` as the current fold of ``{path}/{family}``: write
+    into a fresh directory, atomically point the marker at it, then
+    garbage-collect every unreferenced sibling (previous folds AND
+    orphans of crashed attempts). See the module docstring for why this
+    makes both crashes and retries safe."""
+    import uuid
 
     from aqi_featurestore_spark.sources import fs
 
-    marker = f"{path.rstrip('/')}/weights.fold.json"
-    if not fs.exists(spark, marker):
-        return None, None
-    wm = int(json.loads(fs.read_text(spark, marker))["fold_epoch"])
-    fold_dir = f"{path.rstrip('/')}/weights/fold_epoch={wm}"
+    root = path.rstrip("/")
+    rel = f"{family}/fold-{payload['fold_epoch']}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(f"{root}/{rel}")
+    fs.write_text_atomic(
+        spark, f"{root}/{marker_name}", json.dumps({**payload, "dir": rel})
+    )
+    keep = rel.split("/", 1)[1]
+    for name in fs.child_names(spark, f"{root}/{family}"):
+        if name != keep:
+            fs.delete(spark, f"{root}/{family}/{name}")
+    return rel
+
+
+def _marker_frame(
+    spark: SparkSession, path: str, marker: dict, family: str, schema: str
+):
+    """The data frame a marker publishes (empty-schema frame when the
+    fold is legitimately empty). Pre-round-11 markers carry no ``dir``
+    — they point at the old ``{family}/fold_epoch=W`` layout."""
+    from aqi_featurestore_spark.sources import fs
+
+    rel = marker.get("dir", f"{family}/fold_epoch={marker['fold_epoch']}")
+    fold_dir = f"{path.rstrip('/')}/{rel}"
     if fs.list_data_files(spark, fold_dir):
-        return wm, spark.read.parquet(fold_dir)
-    return wm, spark.createDataFrame([], _WEIGHTS_SCHEMA)
+        return spark.read.parquet(fold_dir)
+    return None
+
+
+def _weights_fold(spark: SparkSession, path: str):
+    """(published fold_epoch, weights frame) or (None, None)."""
+    m = _read_marker(spark, path, "weights.fold.json")
+    if m is None:
+        return None, None
+    w = _marker_frame(spark, path, m, "weights", _WEIGHTS_SCHEMA)
+    if w is None:
+        w = spark.createDataFrame([], _WEIGHTS_SCHEMA)
+    return int(m["fold_epoch"]), w
+
+
+def _base_fold(spark: SparkSession, path: str):
+    """(base postings frame or None, base watermark or None, base
+    n_docs) of the compacted postings base."""
+    m = _read_marker(spark, path, "postings_base.fold.json")
+    if m is None:
+        return None, None, 0
+    b = _marker_frame(spark, path, m, "postings_base", _POSTINGS_SCHEMA)
+    if b is None:
+        b = spark.createDataFrame([], _POSTINGS_SCHEMA)
+    return b, int(m["fold_epoch"]), int(m["n_docs"])
+
+
+def _retired_total(spark: SparkSession, path: str) -> int:
+    m = _read_marker(spark, path, "retired.json")
+    return 0 if m is None else int(m["n_retired"])
+
+
+def _partial_epochs(spark: SparkSession, path: str, table: str, above):
+    """Distinct epoch set of a partial log strictly above ``above``."""
+    from aqi_featurestore_spark.sources import fs
+
+    tpath = f"{path.rstrip('/')}/{table}"
+    if not fs.list_data_files(spark, tpath):
+        return set()
+    parts = spark.read.parquet(tpath).select("epoch").distinct()
+    if above is not None:
+        parts = parts.where(F.col("epoch") > above)
+    return {int(r["epoch"]) for r in parts.collect()}
 
 
 def pending_epochs(spark: SparkSession, path: str) -> list[int]:
     """Epochs appended since the published snapshot — the staleness
     audit an operator reads to decide when to refresh."""
-    from aqi_featurestore_spark.sources import fs
-
-    ppath = f"{path.rstrip('/')}/postings"
-    if not fs.list_data_files(spark, ppath):
-        return []
     wm, _w = _weights_fold(spark, path)
-    parts = spark.read.parquet(ppath).select("epoch").distinct()
-    if wm is not None:
-        parts = parts.where(F.col("epoch") > wm)
-    return sorted(int(r["epoch"]) for r in parts.collect())
+    return sorted(_partial_epochs(spark, path, "postings", wm))
+
+
+def _fold_inputs(spark: SparkSession, path: str):
+    """Everything a weights fold needs: (postings frame over base +
+    COMPLETE partial epochs, total n_docs net of retirement, fold
+    watermark). An epoch is foldable only when BOTH its postings and
+    its meta partial landed — a crash between write_impact_partial's
+    two appends leaves a torn epoch whose postings would otherwise fold
+    while its doc count is missing from N (idf silently wrong, and the
+    watermark would advance past it so it never refolds). Torn epochs
+    stay pending; the streaming retry re-delivers the epoch (dedup
+    absorbs the re-appended half) and the next refresh folds it whole.
+    Weights need EVERY complete epoch's postings (unlike the CMS fold
+    into a running base), which is what the compacted base preserves."""
+    base, base_wm, base_n = _base_fold(spark, path)
+    p_epochs = _partial_epochs(spark, path, "postings", base_wm)
+    m_epochs = _partial_epochs(spark, path, "meta", base_wm)
+    complete = sorted(p_epochs & m_epochs)
+    if base is None and not complete:
+        return None, None, None
+    frames = [] if base is None else [base]
+    n = base_n
+    if complete:
+        frames.append(
+            spark.read.parquet(f"{path.rstrip('/')}/postings")
+            .where(F.col("epoch").isin(complete))  # snapshotted epoch set
+            .distinct()  # epoch-keyed dedup: replayed epochs collapse
+            .drop("epoch")
+        )
+        meta = (
+            spark.read.parquet(f"{path.rstrip('/')}/meta")
+            .where(F.col("epoch").isin(complete))
+            .distinct()
+        )
+        n += int(
+            meta.agg(F.sum("n_docs").cast("long").alias("n")).collect()[0]["n"]
+        )
+    post = frames[0]
+    for f_ in frames[1:]:
+        post = post.unionByName(f_)
+    wm = max([*complete, *( [base_wm] if base_wm is not None else [] )])
+    return post, n - _retired_total(spark, path), wm
 
 
 def refresh_impact_weights(
-    spark: SparkSession, path: str, *, df_cap: int = DF_CAP
+    spark: SparkSession, path: str, *, df_cap: int = DF_CAP, force: bool = False
 ) -> dict:
     """Publish the weights snapshot folded through the highest pending
-    epoch (no-op if nothing pending). See the module docstring for why
-    this is a full weight recompute over an incremental postings log.
-    Returns {'fold_epoch', 'n_docs', 'n_weights'}."""
-    from aqi_featurestore_spark.sources import fs
-
-    ppath = f"{path.rstrip('/')}/postings"
-    mpath = f"{path.rstrip('/')}/meta"
-    cur_wm, _w = _weights_fold(spark, path)
-    if not fs.list_data_files(spark, ppath):
-        raise ValueError(f"refresh_impact_weights: no postings at {path}")
-    # snapshot the COMPLETE epoch set: an epoch is foldable only when
-    # BOTH its postings and its meta partial landed — a crash between
-    # write_impact_partial's two appends leaves a torn epoch whose
-    # postings would otherwise fold while its doc count is missing from
-    # N (idf silently wrong, and fold_epoch would advance past it so it
-    # never refolds). Torn epochs stay pending; the streaming retry
-    # re-delivers the epoch (dedup absorbs the re-appended half) and
-    # the next refresh folds it whole. Weights need EVERY complete
-    # epoch's postings (unlike the CMS fold into a running base).
-    p_epochs = {
-        int(r["epoch"])
-        for r in spark.read.parquet(ppath).select("epoch").distinct().collect()
-    }
-    m_epochs = (
-        {
-            int(r["epoch"])
-            for r in spark.read.parquet(mpath).select("epoch").distinct().collect()
-        }
-        if fs.list_data_files(spark, mpath)
-        else set()
-    )
-    all_epochs = sorted(p_epochs & m_epochs)
-    if not all_epochs:
+    epoch (no-op if nothing pending, unless ``force`` — the
+    republish-after-retirement path). See the module docstring for why
+    this is a full weight recompute over an incremental postings log,
+    and for the crash/retry-safe publish protocol. Returns
+    {'fold_epoch', 'n_docs', 'n_weights'} — the no-op path reports the
+    published snapshot's recorded doc count (round-10 verdict nit)."""
+    cur = _read_marker(spark, path, "weights.fold.json")
+    cur_wm = None if cur is None else int(cur["fold_epoch"])
+    post, n, new_wm = _fold_inputs(spark, path)
+    if post is None:
         raise ValueError(
-            f"refresh_impact_weights: no complete epoch at {path} (torn "
-            f"partial write — await the streaming retry)"
+            f"refresh_impact_weights: no complete epoch at {path} (either "
+            f"no postings were written, or a torn partial write — await "
+            f"the streaming retry)"
         )
-    new_wm = all_epochs[-1]
-    if cur_wm is not None and new_wm <= cur_wm:
+    if not force and cur_wm is not None and new_wm <= cur_wm:
         _wm, w_cur = _weights_fold(spark, path)
+        n_docs = cur.get("n_docs")
+        if n_docs is None:  # pre-round-11 marker: derive from the fold
+            n_docs = n
         return {
             "fold_epoch": cur_wm,
-            "n_docs": None,
+            "n_docs": int(n_docs),
             "n_weights": w_cur.count(),
         }
-    post = (
-        spark.read.parquet(ppath)
-        .where(F.col("epoch").isin(all_epochs))  # snapshotted epoch set
-        .distinct()  # epoch-keyed dedup: replayed epochs collapse
-        .drop("epoch")
-    )
-    meta = (
-        spark.read.parquet(f"{path.rstrip('/')}/meta")
-        .where(F.col("epoch").isin(all_epochs))
-        .distinct()
-    )
-    n = meta.agg(F.sum("n_docs").cast("long").alias("n"))
+    nf = spark.createDataFrame([(n,)], "n long")
     dft = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     w = (
         post.join(dft, "token")
         .where(F.col("df") <= df_cap)
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nf))
         .select(
             "doc_id",
             "token",
@@ -235,35 +348,20 @@ def refresh_impact_weights(
             .alias("w"),
         )
     )
-    wdir = f"{path.rstrip('/')}/weights"
-    (
-        w.withColumn("fold_epoch", F.lit(new_wm))
-        .write.mode("append")
-        .partitionBy("fold_epoch")
-        .parquet(wdir)
-    )
-    # data first, marker second (see _weights_fold), old fold last
-    import json
-
-    fs.write_text_atomic(
+    _publish(
         spark,
-        f"{path.rstrip('/')}/weights.fold.json",
-        json.dumps({"fold_epoch": new_wm}),
+        path,
+        "weights",
+        "weights.fold.json",
+        w,
+        {"fold_epoch": int(new_wm), "n_docs": int(n)},
     )
-    # drop every non-current fold, not just cur_wm: a crash between a
-    # past marker write and its delete leaves an orphan fold dir that a
-    # cur_wm-only delete would never reclaim
-    for name in fs.child_names(spark, wdir):
-        if name.startswith("fold_epoch=") and name != f"fold_epoch={new_wm}":
-            fs.delete(spark, f"{wdir}/{name}")
-    n_docs = int(n.collect()[0]["n"])
-    fold_dir = f"{wdir}/fold_epoch={new_wm}"
-    n_weights = (
-        spark.read.parquet(fold_dir).count()
-        if fs.list_data_files(spark, fold_dir)
-        else 0
-    )
-    return {"fold_epoch": new_wm, "n_docs": n_docs, "n_weights": n_weights}
+    _wm, w_pub = _weights_fold(spark, path)
+    return {
+        "fold_epoch": int(new_wm),
+        "n_docs": int(n),
+        "n_weights": w_pub.count(),
+    }
 
 
 def read_impact_weights(
@@ -280,6 +378,227 @@ def read_impact_weights(
             f"refresh_impact_weights after the first write_impact_partial"
         )
     return w, wm
+
+
+# -- lifecycle (round-10 verdict ask #1) -------------------------------------
+
+
+def compact_impact_store(spark: SparkSession, path: str) -> dict:
+    """Fold partial posting/meta epochs at or below the published
+    weights watermark into the postings base — the E227
+    signature-index retention discipline applied here, so the refresh
+    input stops being an ever-growing epoch-dir log. Safe by
+    construction post-refresh: the fold input is exactly the epoch set
+    the published snapshot already folded.
+
+    Correctness points:
+
+    - the fold stops BELOW the lowest torn epoch (postings landed, meta
+      did not): folding past it would let the base watermark's
+      ``epoch > W`` replay filter drop the streaming retry the torn
+      epoch is still waiting for — its documents would be lost instead
+      of late;
+    - after the fold, a REPLAY of a folded epoch re-appends its rows
+      under ``epoch <= W`` and every reader filters them out — the
+      `compact_cms_store` property, same reasoning;
+    - the base publish runs the fresh-dir + marker protocol (crash at
+      any step leaves the old base serving; a retry cannot double-fold
+      because it re-reads current state);
+    - folded partial dirs are deleted only AFTER the marker commit, so
+      an interrupted delete leaves rows that the watermark filter
+      already ignores.
+
+    Returns {'fold_epoch', 'n_epochs_folded', 'files_before',
+    'files_after'} (watermark None and zero folds when nothing is
+    published or pending)."""
+    from aqi_featurestore_spark.sources import fs
+
+    root = path.rstrip("/")
+    wm, _w = _weights_fold(spark, path)
+    files_before = len(fs.list_data_files(spark, root))
+    out = {
+        "fold_epoch": None,
+        "n_epochs_folded": 0,
+        "files_before": files_before,
+        "files_after": files_before,
+    }
+    if wm is None:
+        return out
+    base, base_wm, base_n = _base_fold(spark, path)
+    p_epochs = _partial_epochs(spark, path, "postings", base_wm)
+    m_epochs = _partial_epochs(spark, path, "meta", base_wm)
+    torn = (p_epochs | m_epochs) - (p_epochs & m_epochs)
+    bound = min([wm, *[t - 1 for t in torn if t <= wm]])
+    fold = sorted(e for e in (p_epochs & m_epochs) if e <= bound)
+    if not fold:
+        out["fold_epoch"] = base_wm
+        return out
+    new_wm = fold[-1]
+    posts = (
+        spark.read.parquet(f"{root}/postings")
+        .where(F.col("epoch").isin(fold))
+        .distinct()
+        .drop("epoch")
+    )
+    if base is not None:
+        posts = base.unionByName(posts)
+    meta = (
+        spark.read.parquet(f"{root}/meta")
+        .where(F.col("epoch").isin(fold))
+        .distinct()
+    )
+    n_new = base_n + int(
+        meta.agg(F.sum("n_docs").cast("long").alias("n")).collect()[0]["n"]
+    )
+    _publish(
+        spark,
+        path,
+        "postings_base",
+        "postings_base.fold.json",
+        posts,
+        {"fold_epoch": int(new_wm), "n_docs": int(n_new)},
+    )
+    for e in fold:
+        fs.delete(spark, f"{root}/postings/epoch={e}")
+        fs.delete(spark, f"{root}/meta/epoch={e}")
+    return {
+        "fold_epoch": int(new_wm),
+        "n_epochs_folded": len(fold),
+        "files_before": files_before,
+        "files_after": len(fs.list_data_files(spark, root)),
+    }
+
+
+def retire_from_impact_index(
+    spark: SparkSession, path: str, retired_ids: DataFrame,
+    *, id_col: str = "doc_id", df_cap: int = DF_CAP,
+) -> dict:
+    """Drop every posting AND every published weight of
+    ``retired_ids`` (a 1-column frame of vacuumed corpus doc ids) —
+    the lifecycle complement the round-10 verdict asked for: without
+    it, ``sparse_topk_serve`` keeps RETURNING doc ids the corpus no
+    longer contains (worse than the signature index's ghost
+    candidates, which were correctness-harmless probes).
+
+    Shape: one anti-join rewrite of the postings base (fresh-dir +
+    marker republish) and of the partial posting log (snapshot/
+    rename-in swap preserving the epoch partitioning), the N
+    correction recorded in ``retired.json`` (counted as the retired
+    ids actually PRESENT in stored postings), then a FORCED weights
+    refresh so serving reflects the retained corpus immediately — df
+    re-COUNTs from retained postings, so it self-corrects.
+
+    Honest staleness note: a retired document that produced no
+    postings (empty text) cannot be detected here and stays inside N
+    until a full rebuild — its only effect is the idf denominator
+    over-counting by the number of such docs. And like the signature
+    index, retire AFTER the corpus retirement is visible and after the
+    epochs holding the retired docs are checkpoint-committed: a
+    streaming replay of a rewritten partial epoch would re-append the
+    retired doc's original rows (the epoch-dedup distinct cannot
+    absorb rows the rewrite removed).
+
+    Returns {'n_retired', 'fold_epoch', 'n_weights'}."""
+    from aqi_featurestore_spark.sources import fs
+
+    root = path.rstrip("/")
+    ids = retired_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    base, base_wm, base_n = _base_fold(spark, path)
+    have_partials = bool(fs.list_data_files(spark, f"{root}/postings"))
+    frames = []
+    if base is not None:
+        frames.append(base.select("doc_id"))
+    if have_partials:
+        frames.append(
+            spark.read.parquet(f"{root}/postings").select("doc_id")
+        )
+    n_hit = 0
+    if frames:
+        present = frames[0]
+        for f_ in frames[1:]:
+            present = present.unionByName(f_)
+        n_hit = (
+            present.join(F.broadcast(ids), "doc_id", "semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+    if n_hit == 0:
+        wm, w = _weights_fold(spark, path)
+        return {
+            "n_retired": 0,
+            "fold_epoch": wm,
+            "n_weights": None if wm is None else w.count(),
+        }
+    if base is not None:
+        _publish(
+            spark,
+            path,
+            "postings_base",
+            "postings_base.fold.json",
+            base.join(F.broadcast(ids), "doc_id", "left_anti"),
+            {"fold_epoch": int(base_wm), "n_docs": int(base_n)},
+        )
+    if have_partials:
+        _epoch_swap(
+            spark,
+            f"{root}/postings",
+            lambda df: df.join(F.broadcast(ids), "doc_id", "left_anti"),
+        )
+    fs.write_text_atomic(
+        spark,
+        f"{root}/retired.json",
+        json.dumps({"n_retired": _retired_total(spark, path) + n_hit}),
+    )
+    wm, _w = _weights_fold(spark, path)
+    if wm is None:
+        return {"n_retired": n_hit, "fold_epoch": None, "n_weights": None}
+    stats = refresh_impact_weights(spark, path, df_cap=df_cap, force=True)
+    return {
+        "n_retired": n_hit,
+        "fold_epoch": stats["fold_epoch"],
+        "n_weights": stats["n_weights"],
+    }
+
+
+def _epoch_swap(spark: SparkSession, ppath: str, transform) -> None:
+    """Snapshot -> transform -> rename-in -> delete for the
+    epoch-partitioned posting log — `near_dedup._sig_index_swap`'s
+    protocol with ``epoch`` as the partition column: merged files must
+    land back inside their ``epoch=E`` directories, files appended
+    after the snapshot are never deleted, and between rename-in and
+    delete the log holds both row sets (absorbed by the readers'
+    per-epoch distinct — posting rows are unique per (doc_id, token,
+    epoch), so the overlap collapses exactly like the signature
+    index's set-union buckets)."""
+    import uuid
+
+    from aqi_featurestore_spark.sources import fs
+
+    snapshot = [p for p, _s in fs.list_data_files(spark, ppath)]
+    if not snapshot:
+        return
+    snap_df = (
+        spark.read.option("basePath", ppath).parquet(*snapshot).distinct()
+    )
+    out = transform(snap_df)
+    tmp = f"{ppath.rstrip('/')}.swap-{uuid.uuid4().hex[:8]}"
+    fs.delete(spark, tmp)
+    (
+        out.repartition("epoch")
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(tmp)
+    )
+    tag = uuid.uuid4().hex[:8]
+    for i, (f_, _s) in enumerate(fs.list_data_files(spark, tmp)):
+        part_dir = f_.rsplit("/", 2)[1]
+        dst = f"{ppath.rstrip('/')}/{part_dir}/retire-{tag}-{i}.parquet"
+        if not fs.rename(spark, f_, dst):
+            raise IOError(f"_epoch_swap: rename {f_} -> {dst} failed")
+    fs.delete(spark, tmp)
+    for f_ in snapshot:
+        fs.delete(spark, f_)
 
 
 def sparse_topk(

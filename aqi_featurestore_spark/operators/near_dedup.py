@@ -955,15 +955,25 @@ def _sig_index_swap(
     for i, (f_, _s) in enumerate(fs.list_data_files(spark, tmp)):
         # .../tmp/band=N/part-*.parquet -> .../path/band=N/compact-...
         band_dir = f_.rsplit("/", 2)[1]
-        fs.rename(
-            spark,
-            f_,
-            f"{path.rstrip('/')}/{band_dir}/{tag_prefix}-{tag}-{i}.parquet",
-        )
+        dst = f"{path.rstrip('/')}/{band_dir}/{tag_prefix}-{tag}-{i}.parquet"
+        if not fs.rename(spark, f_, dst):
+            # a silently failed rename here + the deletes below would
+            # LOSE the transformed rows (round-10 ADVICE) — abort with
+            # the snapshot intact; tmp is left for the re-run to clear
+            raise IOError(f"_sig_index_swap: rename {f_} -> {dst} failed")
     fs.delete(spark, tmp)
     for f_ in snapshot:
         fs.delete(spark, f_)
-    rows = spark.read.parquet(path).count()
+    # a transform may legitimately empty the store (e.g. retiring every
+    # indexed doc): the partitioned write emits no data files, all
+    # snapshot files were deleted, and a parquet read of the bare store
+    # would raise "unable to infer schema" (round-10 ADVICE) — report
+    # rows=0 from the listing instead of reading
+    rows = (
+        spark.read.parquet(path).count()
+        if fs.list_data_files(spark, path)
+        else 0
+    )
     return {
         "files_before": len(snapshot),
         "files_after": len(fs.list_data_files(spark, path)),

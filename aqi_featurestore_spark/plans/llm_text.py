@@ -2329,7 +2329,14 @@ def _impact_store(spark: SparkSession, sf_dir: str) -> str:
         corpus_fingerprint(spark, sf_dir),
     )
     if key not in _IMPACT_STORES:
+        import atexit
+        import shutil
+
         root = tempfile.mkdtemp(prefix="impact-index-")
+        # round-10 verdict nit: session temp stores must not accrete
+        # across a long-lived interpreter — reclaim at exit (best-effort;
+        # the store is a rebuildable cache, never the source of truth)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         docs = _read(spark, sf_dir, "documents")
         write_impact_partial(docs, root, epoch=1)
         refresh_impact_weights(spark, root, df_cap=_SL_DF_CAP)

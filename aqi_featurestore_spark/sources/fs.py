@@ -67,18 +67,50 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     never observes a torn/truncated file — the round-9 ADVICE fix for
     manifest/floor writes, where a half-written JSON made every
     subsequent ``retention_floor()``/``read(as_of)`` raise
-    ``JSONDecodeError``. Rename is atomic on HDFS/POSIX; on object
-    stores it is copy+delete, so the failure window is a briefly
-    MISSING destination (callers fall back to their read-with-default),
-    never a torn one. Overwrites delete-then-rename; concurrent writers
-    of the SAME path are a single-writer contract (see
-    SnapshotManifests)."""
+    ``JSONDecodeError``.
+
+    Overwrites rename OVER the existing destination through
+    ``FileContext`` with ``Options.Rename.OVERWRITE`` (POSIX/HDFS
+    semantics: the destination atomically flips old→new, a concurrent
+    reader never observes it MISSING — the round-10 ADVICE fix for the
+    delete-then-rename window, where a ``retention_floor()`` read
+    racing a floor rewrite transiently defaulted to 0 and could admit
+    an as-of pin below the real floor). Where ``FileContext`` is
+    unsupported (some object-store connectors expose only the
+    ``FileSystem`` API) the fallback is delete-then-rename — on those
+    stores rename is copy+delete anyway, so no atomicity is lost that
+    the store could have provided; the failure window is a briefly
+    missing destination, never a torn one (callers read-with-default,
+    and SnapshotManifests.retention_floor retries when it can see a
+    rewrite in flight). Concurrent writers of the SAME path remain a
+    single-writer contract (see SnapshotManifests)."""
     import uuid
 
     fs, jpath = _fs_and_path(spark, path)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_text(spark, tmp, text)
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jvm = spark._jvm
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        arr = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        arr[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(jtmp, jpath, arr)  # void: throws on failure
+        return
+    except Exception:
+        # UnsupportedFileSystemException (no AbstractFileSystem for the
+        # scheme) or any FileContext failure: fall through to the
+        # FileSystem-API path rather than leave the tmp stranded.
+        if not fs.exists(jtmp):
+            # rename is all-or-nothing: tmp gone + dst present means the
+            # rename took effect before the exception surfaced
+            if fs.exists(jpath):
+                return
+            raise
     if fs.exists(jpath):
         fs.delete(jpath, False)
     if not fs.rename(jtmp, jpath):

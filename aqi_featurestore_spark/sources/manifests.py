@@ -69,11 +69,30 @@ class SnapshotManifests:
         return max(vs, default=0)
 
     def retention_floor(self) -> int:
-        """Lowest replayable version; as-of pins below it raise."""
+        """Lowest replayable version; as-of pins below it raise.
+
+        A missing marker normally means "no compact/retire ever ran" —
+        floor 0. On stores whose overwrites cannot rename-over-existing
+        (see ``fs.write_text_atomic``'s fallback) a floor REWRITE has a
+        brief missing-destination window; defaulting to 0 inside it
+        would transiently admit an as-of pin below the real floor
+        (round-10 ADVICE). The retry triggers only when a
+        ``floor.json.tmp-*`` sibling is visible — evidence of a rewrite
+        in flight — so the common never-compacted store pays one
+        directory listing, no sleep."""
+        import time
+
         marker = f"{self.meta}/floor.json"
-        if not fs.exists(self.spark, marker):
-            return 0
-        return int(json.loads(fs.read_text(self.spark, marker))["floor"])
+        for _ in range(5):
+            if fs.exists(self.spark, marker):
+                return int(json.loads(fs.read_text(self.spark, marker))["floor"])
+            if not any(
+                n.startswith("floor.json.tmp-")
+                for n in fs.child_names(self.spark, self.meta)
+            ):
+                return 0
+            time.sleep(0.05)
+        return 0
 
     def record(
         self,

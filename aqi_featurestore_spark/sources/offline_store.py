@@ -74,6 +74,8 @@ class OfflineStore:
         *,
         as_of: int | None = None,
         where_ge: tuple[str, object] | None = None,
+        where_le: tuple[str, object] | None = None,
+        where_between: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Full-history read; ``since`` applies a partition-pruned date
         predicate (the reference's manual folder regex, done by Catalyst).
@@ -98,21 +100,35 @@ class OfflineStore:
         zone-map rule (E222 ``zone_skip_decisions``: one-sided, a file
         skips only when its max proves no row can match) running inside
         the store's own read path instead of as an external audit.
-        Files without recorded stats (pre-discipline versions, columns
-        outside ``stat_cols``) are never skipped, and the residual
-        predicate still applies to every surviving row — identical
-        results to an unpruned filter, pytest-pinned with a files-read
-        assertion. Composes with ``as_of`` (each version's manifest
-        carries the stats for exactly its files).
+        ``where_le=(col, cut)`` is the mirror (skip when the recorded
+        ``min(col) > cut``), ``where_between=(col, lo, hi)`` the range
+        (skip when ``max < lo`` or ``min > hi``), and the three
+        parameters CONJOIN — a multi-column predicate skips a file the
+        moment ANY conjunct proves it empty (round-10 verdict ask #5;
+        the min side of the stats was already recorded, this is the
+        missing prune arithmetic). Files without recorded stats
+        (pre-discipline versions, columns outside ``stat_cols``) are
+        never skipped, and the residual predicates still apply to every
+        surviving row — identical results to an unpruned filter,
+        pytest-pinned with a files-read assertion per predicate shape.
+        Composes with ``as_of`` (each version's manifest carries the
+        stats for exactly its files). A current-version pruned read
+        additionally unions data files present on disk but absent from
+        the latest manifest (a crash between the parquet append and the
+        version record, or an out-of-band append): they carry no stats,
+        so like any stat-less file they are never skipped — a pruned
+        read and a plain ``read()`` agree on store contents (round-10
+        ADVICE).
 
         100 TB shape: a manifest is a driver-side file listing (one
         metadata RPC stream at write, O(files) JSON); the as-of scan
         reads the same bytes a current read of that era would have —
         no copy, no rewrite, versioning is free until compaction; the
-        where_ge prune is O(files) driver-side arithmetic that can
-        remove arbitrarily large fractions of the scan."""
-        if where_ge is not None:
-            df = self._read_pruned(where_ge, as_of)
+        predicate prune is O(files x conjuncts) driver-side arithmetic
+        that can remove arbitrarily large fractions of the scan."""
+        preds = self._norm_preds(where_ge, where_le, where_between)
+        if preds:
+            df = self._read_pruned(preds, as_of)
         elif as_of is not None:
             df = self._read_version(as_of)
         else:
@@ -196,46 +212,103 @@ class OfflineStore:
     def _read_version(self, as_of: int) -> DataFrame:
         return self.manifests.read_as_of(as_of)
 
+    @staticmethod
+    def _norm_preds(
+        where_ge: tuple[str, object] | None,
+        where_le: tuple[str, object] | None,
+        where_between: tuple[str, object, object] | None,
+    ) -> list[tuple[str, str, object]]:
+        """Flatten the read() predicate params into ``(col, op, cut)``
+        conjuncts (op in {'>=', '<='}); ``between`` decomposes into its
+        two one-sided halves, so the prune loop needs exactly two skip
+        rules."""
+        preds: list[tuple[str, str, object]] = []
+        if where_ge is not None:
+            preds.append((where_ge[0], ">=", where_ge[1]))
+        if where_le is not None:
+            preds.append((where_le[0], "<=", where_le[1]))
+        if where_between is not None:
+            col, lo, hi = where_between
+            preds.append((col, ">=", lo))
+            preds.append((col, "<=", hi))
+        return preds
+
     def prune_plan(
-        self, col: str, cut, *, as_of: int | None = None
+        self, col_or_preds, cut=None, *, as_of: int | None = None
     ) -> tuple[list[str], list[str]]:
         """The file-skip decision, exposed for audits/tests: partition
-        the version's file list into (kept, skipped) for the predicate
-        ``col >= cut`` using the manifest's per-file stats. One-sided
-        (skip only when ``max(col) < cut`` PROVES emptiness); stat-less
-        files are kept — exactly ``zone_skip_decisions``'s rule with
-        the file as the zone."""
+        the version's file list into (kept, skipped) for a predicate
+        conjunction using the manifest's per-file stats. Accepts either
+        the legacy ``(col, cut)`` pair (meaning ``col >= cut``) or a
+        list of ``(col, op, cut)`` conjuncts with op in {'>=', '<='}.
+        One-sided per conjunct (skip only when the recorded ``max <
+        cut`` / ``min > cut`` PROVES emptiness — a file skips the
+        moment any conjunct proves it); stat-less files are kept —
+        exactly ``zone_skip_decisions``'s rule with the file as the
+        zone."""
+        preds = (
+            [(col_or_preds, ">=", cut)]
+            if cut is not None
+            else list(col_or_preds)
+        )
         manifest = self.manifests.manifest(
             as_of if as_of is not None else self.version()
         )
         stats = manifest.get("file_stats", {})
         kept, skipped = [], []
         for p, _sz in manifest["files"]:
-            st = stats.get(self._norm_path(p), {}).get(col)
-            if st is not None and st[1] is not None and st[1] < cut:
-                skipped.append(p)
-            else:
-                kept.append(p)
+            fstats = stats.get(self._norm_path(p), {})
+            skip = False
+            for col, op, c in preds:
+                st = fstats.get(col)
+                if st is None:
+                    continue
+                if op == ">=" and st[1] is not None and st[1] < c:
+                    skip = True
+                elif op == "<=" and st[0] is not None and st[0] > c:
+                    skip = True
+                if skip:
+                    break
+            (skipped if skip else kept).append(p)
         return kept, skipped
 
     def _read_pruned(
-        self, where_ge: tuple[str, object], as_of: int | None
+        self, preds: list[tuple[str, str, object]], as_of: int | None
     ) -> DataFrame:
-        col, cut = where_ge
+        def _residual(df: DataFrame) -> DataFrame:
+            for col, op, c in preds:
+                df = df.where(
+                    F.col(col) >= F.lit(c) if op == ">=" else F.col(col) <= F.lit(c)
+                )
+            return df
+
         v = as_of if as_of is not None else self.version()
         if v == 0:
             # no manifests (pre-discipline store): no stats, no pruning
-            return self.spark.read.parquet(self.path).where(F.col(col) >= F.lit(cut))
-        kept, _skipped = self.prune_plan(col, cut, as_of=v)
+            return _residual(self.spark.read.parquet(self.path))
+        kept, _skipped = self.prune_plan(preds, as_of=v)
+        if as_of is None:
+            # round-10 ADVICE: a CURRENT read must also see data files
+            # the latest manifest does not record (crash between the
+            # parquet append and the version record, out-of-band
+            # appends) — stat-less, so never skipped; without this a
+            # pruned read and a plain read() disagree on store contents
+            recorded = {
+                self._norm_path(p)
+                for p, _sz in self.manifests.manifest(v)["files"]
+            }
+            kept += [
+                p
+                for p, _sz in fs.list_data_files(self.spark, self.path)
+                if self._norm_path(p) not in recorded
+            ]
         if not kept:
             # every file provably empty under the predicate: schema-only
-            return (
-                self.spark.read.parquet(self.path)
-                .where(F.lit(False))
-                .where(F.col(col) >= F.lit(cut))
+            return _residual(
+                self.spark.read.parquet(self.path).where(F.lit(False))
             )
         df = self.spark.read.option("basePath", self.path).parquet(*kept)
-        return df.where(F.col(col) >= F.lit(cut))
+        return _residual(df)
 
     # -- write --------------------------------------------------------------
 
