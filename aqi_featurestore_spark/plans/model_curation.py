@@ -1285,8 +1285,8 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rerank_sql() -> str:
-    from aqi_featurestore_spark.plans import approx_oracles
     from aqi_featurestore_spark.plans.llm_text import (
+        _hy_ivfpq_ctes,
         _rrf_fused_top_cte,
         _sparse_leg_ctes,
     )
@@ -1297,7 +1297,7 @@ def _hybrid_rerank_sql() -> str:
     )
     m = f"w.b * {MICRO} + {fold}"
     return f"""
-WITH {approx_oracles.similarity_topk_ivfpq_ctes(coarse="kmeans", coarse_iters=3)},
+WITH {_hy_ivfpq_ctes()},
 da_tk AS (SELECT q_id, n_id, CAST(rk AS INT) AS rk_dense FROM ivfpq_tk),
 {_sparse_leg_ctes()},
 {_rrf_fused_top_cte("f", "da_tk", "sl_tk", "rk_dense", "rk_lex")},
@@ -1344,21 +1344,14 @@ def q_hybrid_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights are dim+1 literals from the registry read. The expensive
     halves keep their own audited shapes (no brute-force legs, ADC
     candidate scan, df-banded posting join)."""
-    from aqi_featurestore_spark.operators.similarity import cosine_topk_ivfpq
     from aqi_featurestore_spark.plans.llm_text import (
-        _RRF_LEG_K,
-        _serving_fits,
+        _hy_dense_leg,
         _sparse_query_topk,
         rrf_fuse,
     )
 
     e = _read(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 50 == 0)
-    cents, books = _serving_fits(spark, sf_dir)
-    lega = cosine_topk_ivfpq(
-        q, e, k=_RRF_LEG_K, n_lists=16, n_probe=4,
-        coarse="kmeans", coarse_iters=3, books=books, coarse_cents=cents,
-    ).select("q_id", "n_id", F.col("rk").cast("int").alias("rk_dense"))
+    lega = _hy_dense_leg(spark, sf_dir)
     legb = _sparse_query_topk(spark, sf_dir)
     fused = rrf_fuse(lega, legb, "rk_dense", "rk_lex").select(
         "q_id", "n_id", "rrf_mass"

@@ -300,6 +300,8 @@ EXTENDED_QUERIES = [
     # round 10
     "sparse_topk_serve",
     "hybrid_fusion_sweep",
+    # round 11
+    "hybrid_codebook_sweep",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family
@@ -369,6 +371,7 @@ ITERATIVE_CONSTRUCTION = {
     "bloom_prefiltered_revenue",  # same <=m-row set-bit collect at build time
     "maxsim_shortlist_recall",  # token-max/doc-score localCheckpoints at build time
     "hybrid_fusion_sweep",  # index build + sparse-leg/exact-fusion localCheckpoints at build time
+    "hybrid_codebook_sweep",  # two index builds + sparse-leg/exact-fusion localCheckpoints at build time
 }
 
 

@@ -195,6 +195,8 @@ AUDIT = [
     # round 10
     "sparse_topk_serve",
     "hybrid_fusion_sweep",
+    # round 11
+    "hybrid_codebook_sweep",
 ]
 
 

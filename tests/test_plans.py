@@ -62,6 +62,7 @@ ARROW_EVAL_OK = {
     "hybrid_rrf_fusion_ann",  # the IVFADC leg's exact re-rank dot (serving path)
     "hybrid_rerank_serve",  # same IVFADC leg inside the end-to-end serve
     "hybrid_fusion_sweep",  # brute ground-truth leg + per-probe serve-path dots
+    "hybrid_codebook_sweep",  # brute ground-truth leg + per-config serve-path dots
 }
 MAP_IN_PANDAS_OK = {
     "multimodal_features", "frame_sample", "image_phash_dedup",
@@ -121,6 +122,7 @@ BNLJ_OK = {
     "maxsim_shortlist_recall",  # same bounded query-token broadcast
     "hybrid_rrf_fusion",     # brute cosine + quantized-dot query broadcasts (audit legs)
     "hybrid_fusion_sweep",   # brute ground-truth leg (audit cost, the ann_probe_sweep shape)
+    "hybrid_codebook_sweep",  # brute ground-truth leg (same audit shape)
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -259,6 +261,8 @@ EXCHANGE_CEILING = {
     # round 10
     "sparse_topk_serve": 2,  # weights-store scan -> posting join agg + rank window; ZERO build jobs
     "hybrid_fusion_sweep": 33,  # exact leg + 4 probe lookups vs ONE checkpointed index + 5 fusions
+    # round 11
+    "hybrid_codebook_sweep": 49,  # exact leg + 6 config lookups vs TWO checkpointed indexes + 7 fusions
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
