@@ -26,6 +26,14 @@ TABLES = (
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle engine: the multi-leg sweep oracles nest several
+    # full IVFADC chains whose MATERIALIZED CTEs DuckDB builds
+    # concurrently per thread — at default settings (32 threads, 80% of
+    # RAM) the sf1 probe of a 6-leg sweep exhausts memory mid-pipeline.
+    # 8 threads + an explicit ceiling keeps peak memory proportional to
+    # one leg; sub-second oracles at gate scale are unaffected.
+    con.sql("SET threads = 8")
+    con.sql("SET memory_limit = '48GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
