@@ -2932,3 +2932,153 @@ def q_hybrid_codebook_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
         ).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 wave 2: bigram-LM quality filter (the CCNet/Gopher-style
+# perplexity gate, built from corpus statistics — no neural model)
+# ---------------------------------------------------------------------------
+
+#: keep the best-scoring fraction of scoreable docs (CCNet's "head"
+#: bucket boundary, expressed on the rank domain so it is exact)
+_LM_KEEP_FRAC = 0.5
+
+
+def _lm_bigram_sql() -> str:
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+uni AS (
+  SELECT t.w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+    SELECT doc_id, unnest(list_slice(a, 1, len(a) - 1)) AS w1
+    FROM tokarr WHERE len(a) >= 2) t
+  GROUP BY t.w1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+    SELECT unnest(a) AS w FROM tokarr) t),
+big AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT doc_id,
+           unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+           unnest(list_slice(a, 2, len(a))) AS w2
+    FROM tokarr WHERE len(a) >= 2) t
+  GROUP BY doc_id, w1, w2),
+bigc AS (
+  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+         CAST(SUM(b.n) AS BIGINT) AS n_bigrams,
+         CAST(SUM(b.n * CAST(round(
+             ln((bc.c + 1.0) / (u.c1 + v.v)) * 1000000, 0) AS BIGINT))
+           AS BIGINT) AS logprob_micro
+  FROM big b JOIN bigc bc USING (w1, w2) JOIN uni u USING (w1)
+  CROSS JOIN vocab v
+  GROUP BY b.doc_id),
+withscore AS (
+  SELECT doc_id, n_bigrams, logprob_micro,
+         CAST(logprob_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS s
+  FROM scored),
+cut AS (SELECT quantile_cont(s, 0.5) AS cut_s FROM withscore)
+SELECT doc_id, n_bigrams, logprob_micro,
+       round(s, 6) AS score,
+       CAST(CASE WHEN s >= cut.cut_s THEN 1 ELSE 0 END AS INT) AS keep
+FROM withscore CROSS JOIN cut"""
+
+
+@_q("lm_bigram_quality", _lm_bigram_sql())
+def q_lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality gate — the CCNet/Gopher-class perplexity
+    filter for pretraining corpora, built entirely from the corpus's
+    own statistics (no neural model): train an add-one-smoothed bigram
+    model on the whole corpus, score each document by its mean
+    per-bigram log-probability, and keep every document at or above
+    the corpus median score (CCNet's head/tail bucket boundary,
+    expressed as a scalar cut — see the scale note). Output: (doc_id,
+    n_bigrams, logprob_micro, score, keep) for every document with at
+    least one bigram (sub-2-token docs are unscoreable — excluded,
+    documented).
+
+    Determinism: each bigram's logprob ln((c+1)/(c1+V)) is rounded to
+    integer MICRO-units BEFORE the per-doc sum, so the sum is an exact
+    int64 (order-free — a raw double sum of logs would be
+    reassociation-sensitive); the mean is one double (a single
+    division of two exact ints); the median cut is the exact
+    interpolated quantile (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit — the corpus_quantiles parity
+    pattern) and ties at the cut are kept by both engines (>=).
+
+    100 TB shape: three map-side-combining aggregates over exploded
+    bigrams (doc-level, corpus-level, unigram-level — rows ~ corpus
+    tokens, the tokenize-once cost every text query here pays), one
+    1-row vocab scalar broadcast onto the scoring join, and the
+    per-doc score join keyed by (w1, w2) against the corpus LM — the
+    LM table is vocabulary-sized, not corpus-sized. The keep decision is
+    the `dsir_select_threshold` billion-doc shape: a 1-row scalar cut
+    broadcast onto a row-local filter — NO global order over
+    documents anywhere in the plan; at 100 TB swap the exact
+    percentile for ``approx_percentile`` (mergeable t-digest) and the
+    filter plan is unchanged, with this exact form staying behind as
+    its oracle."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    arr = d.select("doc_id", toks.alias("a"))
+    pairs = (
+        arr.where(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.size("a") - 1).alias("w1"),
+                    F.slice("a", 2, F.size("a") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bigc = big.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c"))
+    uni = (
+        pairs.groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    vocab = (
+        arr.select(F.explode("a").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    lp = F.round(
+        F.log((F.col("c") + 1.0) / (F.col("c1") + F.col("v"))) * 1e6, 0
+    ).cast("long")
+    scored = (
+        big.join(bigc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * lp).cast("long").alias("logprob_micro"),
+        )
+    )
+    score = F.col("logprob_micro").cast("double") / F.col("n_bigrams").cast(
+        "double"
+    )
+    withscore = scored.withColumn("s", score)
+    cut = withscore.agg(
+        F.percentile(F.col("s"), F.lit(0.5)).alias("cut_s")
+    )
+    return (
+        withscore.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_micro",
+            F.round(F.col("s"), 6).alias("score"),
+            (F.col("s") >= F.col("cut_s")).cast("int").alias("keep"),
+        )
+    )

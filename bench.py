@@ -302,6 +302,7 @@ EXTENDED_QUERIES = [
     "hybrid_fusion_sweep",
     # round 11
     "hybrid_codebook_sweep",
+    "lm_bigram_quality",
 ]
 
 # FROZEN round-4 "extended-core" subset (30 queries, one-per-family

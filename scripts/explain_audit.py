@@ -197,6 +197,7 @@ AUDIT = [
     "hybrid_fusion_sweep",
     # round 11
     "hybrid_codebook_sweep",
+    "lm_bigram_quality",
 ]
 
 

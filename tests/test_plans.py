@@ -123,6 +123,7 @@ BNLJ_OK = {
     "hybrid_rrf_fusion",     # brute cosine + quantized-dot query broadcasts (audit legs)
     "hybrid_fusion_sweep",   # brute ground-truth leg (audit cost, the ann_probe_sweep shape)
     "hybrid_codebook_sweep",  # brute ground-truth leg (same audit shape)
+    "lm_bigram_quality",     # 1-row vocab + median-cut scalars onto doc-level rows
 }
 
 # Measured exchange (shuffle) counts per query at sf0.001. The ceiling
@@ -263,6 +264,7 @@ EXCHANGE_CEILING = {
     "hybrid_fusion_sweep": 33,  # exact leg + 4 probe lookups vs ONE checkpointed index + 5 fusions
     # round 11
     "hybrid_codebook_sweep": 49,  # exact leg + 6 config lookups vs TWO checkpointed indexes + 7 fusions
+    "lm_bigram_quality": 15,  # bigram/unigram/vocab/doc aggregates (distinct keys) + 1-row median cut
 }
 # Headroom for queries added after this table was measured: they still
 # get the global invariants; add an explicit ceiling when they land.
