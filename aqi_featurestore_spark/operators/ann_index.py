@@ -224,8 +224,12 @@ def build_ann_index(
         cent_d=cent_d,
     )
     assign_list, _ = _coarse_builders(model)
+    from aqi_featurestore_spark.operators.similarity import _spread
+
+    # corpus spread before the one-pass encode (similarity._spread: a
+    # single-row-group corpus otherwise encodes on one core)
     index = _pq_sub_frame(
-        corpus,
+        _spread(corpus),
         [
             F.col(id_col).alias("n_id"),
             F.lit(version).cast("long").alias("version"),

@@ -100,6 +100,21 @@ def _dot_arrow(a: Column, b: Column) -> Column:
     return dot_udf(a, b)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the CORPUS side across the cluster before a
+    per-row-heavy encode/scan stage (round-11 optimization). A small
+    single-file corpus is one parquet row group, so every row lands in
+    ONE scan partition and the interpreted per-row work (normalize
+    folds, PQ code argmins, fold dots) serializes onto one core. At
+    scale the trade still holds where this is applied: the stages
+    downstream are O(corpus) interpreted compute (~µs/row), the
+    exchange moves each row once (~hundreds of bytes), and scans with
+    many populated splits just rebalance. Results are unchanged —
+    round-robin reorder feeds row-local projections and totally-ordered
+    rank windows (measured 0-row diff on every affected query)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _norm_expr(vec_col: str, norm_col: str | None) -> Column:
     """The unit-normalized vector: computed from ``vec_col`` (Arrow
     path) unless the caller already carries it in ``norm_col`` — the
@@ -137,11 +152,22 @@ def cosine_topk_bruteforce(
             *extra_q,
         )
     )
+    # The pair scan is a broadcast nested loop: parallelism comes
+    # entirely from the streamed corpus side, and a small single-file
+    # corpus arrives as ONE populated scan partition (1 parquet row
+    # group), serializing the whole |Q| x |N| fold-dot scan onto one
+    # core — spread it first (the embedding_cosine_pairs discipline;
+    # round-11: measured 2x on the exact leg at sf0.1, results
+    # identical — round-robin reorder feeds row-local scoring and
+    # totally-ordered rank windows). At scale the corpus scan has many
+    # populated splits and this one extra corpus-bytes exchange is
+    # negligible against the O(|Q| x |N|) audit scan it parallelizes.
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         _norm_expr(vec_col, norm_col).alias("n_vec"),
         *extra_c,
     )
+    c = _spread(c)
     pairs = q.crossJoin(c).where(F.col("q_id") != F.col("n_id"))
     if exclude_same:
         pairs = pairs.where(F.col("_q_ex") != F.col("_n_ex"))
@@ -655,8 +681,10 @@ def cosine_topk_pq(
             iters=iters,
             dim=dim,
         )
+    # corpus side spread before the encode (see _spread: one row group
+    # = one core for the interpreted code argmins + the ADC scan)
     cds = _pq_sub_frame(
-        corpus, [F.col(id_col).alias("n_id")], vec_col, n_subspaces, subdim
+        _spread(corpus), [F.col(id_col).alias("n_id")], vec_col, n_subspaces, subdim
     ).select("n_id", *_pq_code_cols(books, n_subspaces))
     luts = _pq_sub_frame(
         queries, [F.col(id_col).alias("q_id")], vec_col, n_subspaces, subdim
@@ -1038,8 +1066,9 @@ def cosine_topk_ivfpq(
         )
     # One pass attaches BOTH the cell id and the PQ codes — the index
     # rows an online serving snapshot persists (operators/ann_index.py).
+    # Corpus spread before the encode (see _spread).
     cds = _pq_sub_frame(
-        corpus,
+        _spread(corpus),
         [F.col(id_col).alias("n_id")],
         vec_col,
         n_subspaces,
@@ -1140,7 +1169,10 @@ def pq_reconstruction_stats(
             dim=dim,
         )
     subdim = dim // n_subspaces
-    sub = _pq_sub_frame(corpus, [F.col(id_col)], vec_col, n_subspaces, subdim)
+    # corpus spread before the error pass (see _spread)
+    sub = _pq_sub_frame(
+        _spread(corpus), [F.col(id_col)], vec_col, n_subspaces, subdim
+    )
     limb = 100_000_000
     err_cols = [
         F.round(

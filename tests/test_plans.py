@@ -130,7 +130,14 @@ BNLJ_OK = {
 # IS the measured value: one more shuffle = one more full pass over the
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
-    "ab_test_zscore": 3, "ann_recall": 6,
+    "ab_test_zscore": 3,
+    # ann_recall/hard_negative_mining/knn_label_vote/similarity_topk_cosine:
+    # +1 round-11 — the brute-force pair scan's corpus side spreads via
+    # repartition(defaultParallelism) before the broadcast nested loop
+    # (single-row-group scans serialized the whole fold-dot scan onto one
+    # core; the embedding_cosine_pairs discipline, see
+    # operators/similarity.py cosine_topk_bruteforce)
+    "ann_recall": 7,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
     # bigram_familiarity: +2 static: spread exchange planned per bg
@@ -162,7 +169,7 @@ EXCHANGE_CEILING = {
     "pca_project": 0, "mixture_token_budget": 2,
     "incremental_agg_merge": 2, "incremental_dedup": 8,
     "inter_arrival_stats": 1, "inverted_index": 2,
-    "kmeans_assign": 0, "semantic_dedup": 2,
+    "kmeans_assign": 0, "semantic_dedup": 3,  # +1 round-11 pair-scan spread
     "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
     "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
     "exact_substring_spans": 3, "cluster_mixture_plan": 2,
@@ -171,7 +178,7 @@ EXCHANGE_CEILING = {
     "freshness_audit": 2, "store_consistency_audit": 3, "ks_drift": 3,
     "data_contract_audit": 2, "duplicate_text_share": 4, "curation_funnel": 10, "c4_line_clean": 0,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
-    "knn_label_vote": 1, "label_spreading": 21,
+    "knn_label_vote": 2, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
     "locf_gap_fill": 3, "lttb_downsample": 4,
@@ -193,9 +200,12 @@ EXCHANGE_CEILING = {
     "session_windows": 1, "shipmode_priority": 2,
     "shipping_priority": 1, "simhash_dedup": 3,
     "similarity_pagerank": 29,
-    "similarity_topk_cosine": 1, "similarity_topk_ivf": 1,
-    "similarity_topk_lsh": 2, "similarity_topk_pq": 2,
-    "similarity_topk_ivfpq": 2, "ann_index_serve": 2, "ann_filtered_topk": 2,
+    "similarity_topk_cosine": 2, "similarity_topk_ivf": 1,
+    # similarity_topk_pq/ivfpq, pq_reconstruction_error, ann_recall_methods:
+    # +1 per corpus encode round-11 — the PQ encode spreads the corpus side
+    # (similarity._spread) so the interpreted code argmins parallelize
+    "similarity_topk_lsh": 2, "similarity_topk_pq": 3,
+    "similarity_topk_ivfpq": 3, "ann_index_serve": 2, "ann_filtered_topk": 2,
     "ann_index_stats": 4,  # assign agg + totals scalar + rank window + final
     "serving_index_stats": 4,  # same shape over the trained quantizer
     "ann_probe_sweep": 22,  # 4 lookups vs ONE checkpointed index + exact leg
@@ -221,17 +231,17 @@ EXCHANGE_CEILING = {
     #   (+4 static: the pre-explode spread exchange is planned once per
     #   docs reference; runtime ReuseExchange collapses them)
     "embedding_drift": 2,  # dim x 2 cell agg + 64-row mean rollup
-    "hard_negative_mining": 1,  # top-k window after the broadcast scan
+    "hard_negative_mining": 2,  # top-k window after the broadcast scan (+1 spread)
     "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
     "span_corruption_plan": 1,  # doc-partitioned flag windows + per-doc agg
     "temperature_mixture": 3,  # source agg + totals scalar (both subtrees)
     "tokenizer_fertility": 1,  # one per-lang aggregate
     "k_anonymity_audit": 5,  # QI groups -> size histogram + totals scalar
-    "pq_reconstruction_error": 1,  # n_subspaces-row error aggregate (fit at build)
+    "pq_reconstruction_error": 2,  # n_subspaces-row error aggregate (+1 spread)
     "curation_funnel_v2": 12,  # gopher + lm + classifier stages, doc-keyed joins
     "label_noise_audit": 1,  # 10-class disagreement aggregate (fit at build)
     "epoch_shuffle_plan": 1,  # one (epoch, shard) window partitioning
-    "ann_recall_methods": 26,  # +5 for the ivfpq_km leg (round-7 coarse compare)
+    "ann_recall_methods": 28,  # +5 ivfpq_km leg; +2 round-11 spreads (brute + pq/ivfpq encodes)
     "similarity_triangles": 6,
     "skew_join_plain": 2, "skew_join_salted": 4, "skew_report": 6,
     "sliding_windows": 1, "small_quantity_revenue": 2,
