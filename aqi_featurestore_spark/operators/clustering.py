@@ -213,8 +213,9 @@ def kmeans_dist_structs(
     ``F.expr`` (1 py4j round-trip instead of ~k x dim ``F.lit`` calls —
     measured 0.96 s -> 0.04 s per 16 x 64 build), constant-fold into one
     array literal, and the plan carries ONE zip_with/aggregate lambda
-    instead of k copies (the formatted plan of the biggest sweep query
-    shrinks ~10x, with analyze/optimize time following). Per-row
+    instead of k copies per distance expression (the optimizer pass
+    over the biggest sweep queries measures 0.2-0.3 s after the change;
+    end-to-end construction of those queries fell 3-6x). Per-row
     execution is unchanged: the transform evaluates the same k folds in
     the same IEEE order; ``cid`` comes from the transform index exactly
     where the literal enumerate() put it before."""

@@ -356,9 +356,9 @@ ITERATIVE_CONSTRUCTION = {
     "bpe_tokenize_stats",  # same 6-round fit at build time, then the vocab transform
     "pca_project",  # Gram-matrix fit pass + dim^2-bounded collect at build time
     "similarity_topk_ivfpq",  # coarse seed collect + PQ codebook fits at build time
-    "ann_index_serve",  # index build (fits + encode + localCheckpoint) at build time
-    "ann_filtered_topk",  # same index build at build time
-    "ann_probe_sweep",  # shared PQ fit + exact-leg localCheckpoint at build time
+    "ann_index_serve",  # session ANN-store read (model-table collects) at build time
+    "ann_filtered_topk",  # same store read at build time
+    "ann_probe_sweep",  # store read + exact-leg localCheckpoint at build time
     "quality_classifier_train",  # 5 GD rounds (1-row gradient aggs) at build time
     "quality_classifier_select",  # full 6-round GD fit at build time
     "classifier_auc",  # same 6-round GD fit at build time
@@ -371,8 +371,8 @@ ITERATIVE_CONSTRUCTION = {
     "bloom_semijoin_reduce",  # <=m-row set-bit collect folded into plan literals
     "bloom_prefiltered_revenue",  # same <=m-row set-bit collect at build time
     "maxsim_shortlist_recall",  # token-max/doc-score localCheckpoints at build time
-    "hybrid_fusion_sweep",  # index build + sparse-leg/exact-fusion localCheckpoints at build time
-    "hybrid_codebook_sweep",  # two index builds + sparse-leg/exact-fusion localCheckpoints at build time
+    "hybrid_fusion_sweep",  # store read + sparse-leg/exact-fusion localCheckpoints at build time
+    "hybrid_codebook_sweep",  # two store reads + sparse-leg/exact-fusion localCheckpoints at build time
 }
 
 
