@@ -191,8 +191,21 @@ def _double_lit_sql(x: float) -> str:
     Python ``repr`` is the shortest round-trip decimal and both engines'
     string->double parse is correctly rounded, so the folded constant is
     the identical IEEE double — and the string form survives exponents
-    the bare-literal lexer would reject."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    the bare-literal lexer would reject.
+
+    Centroids are means of micro-quantized ints, so a non-finite value
+    here always means corrupt upstream vectors — fail loudly instead of
+    relying on the engines' 'nan'/'inf' string-cast quirks (round-11
+    ADVICE)."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"_double_lit_sql: non-finite centroid component {x!r} — "
+            "upstream vectors are corrupt (NaN/inf embedding?)"
+        )
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def kmeans_dist_structs(

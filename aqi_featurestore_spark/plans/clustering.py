@@ -278,14 +278,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_min_struct(F.col("v"), cents)["cid"].cast("int").alias("cluster_id"),
     )
     # The streamed side of the pair scan spreads first (round-11; the
-    # similarity._spread rationale): the 2000-row side gets broadcast at
-    # runtime, so pair generation + the fold dots otherwise run on the
-    # single populated scan partition of a one-row-group corpus.
-    # Measured 6.2 -> 2.5 s at sf0.1, identical rows out.
-    a = assigned.select(
-        F.col("vec_id").alias("i"), F.col("cluster_id").alias("cid"),
-        F.col("nv").alias("niv"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # similarity._spread rationale, now the shared helper — round-11
+    # ADVICE: one spread policy, one place): the 2000-row side gets
+    # broadcast at runtime, so pair generation + the fold dots otherwise
+    # run on the single populated scan partition of a one-row-group
+    # corpus. Measured 6.2 -> 2.5 s at sf0.1, identical rows out.
+    from aqi_featurestore_spark.operators.similarity import _spread
+
+    a = _spread(
+        assigned.select(
+            F.col("vec_id").alias("i"), F.col("cluster_id").alias("cid"),
+            F.col("nv").alias("niv"),
+        )
+    )
     b = assigned.select(
         F.col("vec_id").alias("j"), F.col("cluster_id").alias("cid"),
         F.col("nv").alias("njv"),

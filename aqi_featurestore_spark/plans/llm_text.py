@@ -2360,6 +2360,11 @@ sl_tk AS (
 #: fingerprint): a mid-session corpus rewrite misses the cache.
 _ANN_STORES: dict[tuple[str, str, str, str], str] = {}
 
+#: Build lock for the check-then-build above (round-11 ADVICE).
+import threading as _threading  # noqa: E402
+
+_ANN_STORES_LOCK = _threading.Lock()
+
 
 def _ann_store(spark: SparkSession, sf_dir: str, flavor: str) -> str:
     import os
@@ -2377,31 +2382,38 @@ def _ann_store(spark: SparkSession, sf_dir: str, flavor: str) -> str:
         corpus_fingerprint(spark, sf_dir),
         flavor,
     )
-    if key not in _ANN_STORES:
-        import atexit
-        import shutil
+    # Round-11 ADVICE: guard the check-then-build with a lock so two
+    # threads constructing serving queries concurrently cannot
+    # double-build (and leak a tempdir); one tempdir per (corpus
+    # fingerprint, flavor) still accumulates until process exit under
+    # repeated mid-session corpus rewrites — acceptable for a session
+    # cache whose dirs are atexit-reclaimed.
+    with _ANN_STORES_LOCK:
+        if key not in _ANN_STORES:
+            import atexit
+            import shutil
 
-        root = tempfile.mkdtemp(prefix=f"ann-index-{flavor}-")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        e = _read(spark, sf_dir, "embeddings")
-        if flavor == "serve4":
-            cents, books = _serving_fits(spark, sf_dir)
-            index, model = build_ann_index(
-                e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
-                attr_cols=("label",), coarse="kmeans", coarse_iters=3,
-                coarse_cents=cents, books=books,
-            )
-        elif flavor == "hy8":
-            cents, books8 = _serving_fits8(spark, sf_dir)
-            index, model = build_ann_index(
-                e, n_lists=16, n_probe=_HY_PROBE, n_subspaces=_HY_SUB,
-                n_codes=_HY_CODES, coarse="kmeans", coarse_iters=3,
-                coarse_cents=cents, books=books8,
-            )
-        else:
-            raise ValueError(f"unknown ANN store flavor {flavor!r}")
-        write_ann_index(index, model, root, mode="create")
-        _ANN_STORES[key] = root
+            root = tempfile.mkdtemp(prefix=f"ann-index-{flavor}-")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            e = _read(spark, sf_dir, "embeddings")
+            if flavor == "serve4":
+                cents, books = _serving_fits(spark, sf_dir)
+                index, model = build_ann_index(
+                    e, n_lists=16, n_probe=4, n_subspaces=4, n_codes=16,
+                    attr_cols=("label",), coarse="kmeans", coarse_iters=3,
+                    coarse_cents=cents, books=books,
+                )
+            elif flavor == "hy8":
+                cents, books8 = _serving_fits8(spark, sf_dir)
+                index, model = build_ann_index(
+                    e, n_lists=16, n_probe=_HY_PROBE, n_subspaces=_HY_SUB,
+                    n_codes=_HY_CODES, coarse="kmeans", coarse_iters=3,
+                    coarse_cents=cents, books=books8,
+                )
+            else:
+                raise ValueError(f"unknown ANN store flavor {flavor!r}")
+            write_ann_index(index, model, root, mode="create")
+            _ANN_STORES[key] = root
     return _ANN_STORES[key]
 
 

@@ -69,6 +69,28 @@ MAP_IN_PANDAS_OK = {
     "pca_project",  # exact int64 Gram partials per Arrow batch (fit pass)
 }
 
+# Round-12: the exact brute-force scans (all-pairs cosine + top-k ground
+# truth) run as ONE batched MapInArrow stage over packed (id, vec)
+# buckets — numpy does the cumsum normalize and the sequential fold dots
+# (bit-identical op order, oracle-gated), replacing the interpreted
+# per-pair Catalyst fold that dominated these queries (guide §4.2).
+# Rounding/threshold/rank decisions stay JVM-side. Only the queries whose
+# FINAL plan carries the scan appear here (CC/graph queries checkpoint
+# the pair list at construction, so their serve plans don't).
+MAP_IN_ARROW_OK = {
+    "embedding_cosine_dedup",   # exact all-pairs scan
+    "similarity_topk_cosine",   # brute top-k ground truth
+    "ann_recall",               # brute ground-truth leg
+    "ann_recall_methods",       # brute ground-truth leg
+    "ann_probe_sweep",          # brute ground-truth leg
+    "knn_label_vote",           # brute top-k baseline underneath
+    "hard_negative_mining",     # same scan with the exclude-same mask
+    "hybrid_rrf_fusion",        # exact cosine audit leg
+    "hybrid_fusion_recall",     # exact fused ground-truth leg
+    "hybrid_fusion_sweep",      # exact fused ground-truth leg
+    "hybrid_codebook_sweep",    # exact fused ground-truth leg
+}
+
 # BroadcastNestedLoopJoin allowlist: 1-row scalar crossJoins (totals /
 # breakpoint literals) or documented brute-force pair scans where the
 # broadcast side is bounded and the streamed side carries parallelism.
@@ -131,13 +153,16 @@ BNLJ_OK = {
 # stream at scale, so it should never appear by accident.
 EXCHANGE_CEILING = {
     "ab_test_zscore": 3,
-    # ann_recall/hard_negative_mining/knn_label_vote/similarity_topk_cosine:
-    # +1 round-11 — the brute-force pair scan's corpus side spreads via
-    # repartition(defaultParallelism) before the broadcast nested loop
-    # (single-row-group scans serialized the whole fold-dot scan onto one
-    # core; the embedding_cosine_pairs discipline, see
-    # operators/similarity.py cosine_topk_bruteforce)
-    "ann_recall": 7,
+    # ann_recall/hard_negative_mining/knn_label_vote/similarity_topk_cosine/
+    # embedding_cosine_dedup: +1 round-12 — the batched MapInArrow pair
+    # scan replaces the round-11 repartition spread with a pmod-of-id
+    # groupBy (same single corpus-bytes exchange) PLUS one global
+    # collect_list aggregate packing the bounded broadcast side (queries /
+    # the d2 corpus side that previously broadcast row-by-row): net +1
+    # single-partition exchange of the already-broadcast-bounded side, in
+    # exchange for removing the interpreted per-pair fold dots
+    # (operators/similarity.py "Batched exact pair scans").
+    "ann_recall": 8,
     "approx_distinct": 4, "approx_quantiles": 1, "attribution_join": 3,
     "benford_audit": 4,
     # bigram_familiarity: +2 static: spread exchange planned per bg
@@ -154,7 +179,7 @@ EXCHANGE_CEILING = {
     "doc_chunks": 0, "doc_fingerprint": 0, "doc_keywords": 6,
     "domain_mixture": 2,
     "drift_psi": 2, "edit_distance_pairs": 0, "ema_features": 1,
-    "embedding_cosine_dedup": 1, "embedding_cosine_dedup_lsh": 1,
+    "embedding_cosine_dedup": 2, "embedding_cosine_dedup_lsh": 1,
     "embedding_dedup_resolve": 0, "embedding_quantize": 0, "event_pivot": 2,
     "event_transitions": 3, "event_unpivot": 1,
     "excess_stock_suppliers": 2, "feature_derivation": 0,
@@ -178,7 +203,7 @@ EXCHANGE_CEILING = {
     "freshness_audit": 2, "store_consistency_audit": 3, "ks_drift": 3,
     "data_contract_audit": 2, "duplicate_text_share": 4, "curation_funnel": 10, "c4_line_clean": 0,
     "jaccard_prefix_filter": 12, "json_extract_stats": 1, "kfold_assign": 1,
-    "knn_label_vote": 2, "label_spreading": 21,
+    "knn_label_vote": 3, "label_spreading": 21,
     "lag_features": 1, "lang_id": 0,
     "large_orders": 1, "latest_per_key": 1, "local_time_features": 0,
     "locf_gap_fill": 3, "lttb_downsample": 4,
@@ -200,7 +225,7 @@ EXCHANGE_CEILING = {
     "session_windows": 1, "shipmode_priority": 2,
     "shipping_priority": 1, "simhash_dedup": 3,
     "similarity_pagerank": 29,
-    "similarity_topk_cosine": 2, "similarity_topk_ivf": 1,
+    "similarity_topk_cosine": 3, "similarity_topk_ivf": 1,
     # similarity_topk_pq/ivfpq, pq_reconstruction_error, ann_recall_methods:
     # +1 per corpus encode round-11 — the PQ encode spreads the corpus side
     # (similarity._spread) so the interpreted code argmins parallelize
@@ -231,7 +256,7 @@ EXCHANGE_CEILING = {
     #   (+4 static: the pre-explode spread exchange is planned once per
     #   docs reference; runtime ReuseExchange collapses them)
     "embedding_drift": 2,  # dim x 2 cell agg + 64-row mean rollup
-    "hard_negative_mining": 2,  # top-k window after the broadcast scan (+1 spread)
+    "hard_negative_mining": 3,  # top-k window + bucket/pack exchanges (round-12)
     "winnowing_fingerprints": 1,  # doc-partitioned sliding-min window
     "span_corruption_plan": 1,  # doc-partitioned flag windows + per-doc agg
     "temperature_mixture": 3,  # source agg + totals scalar (both subtrees)
@@ -303,7 +328,7 @@ def plan_props(spark):
             "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
             "python": set(
                 re.findall(
-                    r"(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                    r"(ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow|"
                     r"FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState)",
                     plan,
                 )
@@ -327,6 +352,7 @@ def test_arrow_boundaries_allowlisted(plan_props):
         n: p["python"]
         for n, p in plan_props.items()
         if ("ArrowEvalPython" in p["python"] and n not in ARROW_EVAL_OK)
+        or ("MapInArrow" in p["python"] and n not in MAP_IN_ARROW_OK)
         or (
             p["python"] & {"MapInPandas", "FlatMapGroupsInPandas",
                            "FlatMapGroupsInPandasWithState"}
