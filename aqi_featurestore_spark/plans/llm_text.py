@@ -658,16 +658,12 @@ def q_ann_recall_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is 4 rows."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
-    e_nv = e.select(
-        "vec_id", "embedding", normalized_arrow("embedding").alias("nv")
-    ).cache()
-    q_nv = e_nv.where(F.col("vec_id") % 50 == 0)
-    exact_tk = (
-        cosine_topk_bruteforce(q_nv, e_nv, k=10, norm_col="nv")
-        .select("q_id", "n_id")
-        .localCheckpoint()
-    )
-    e_nv.unpersist()
+    # round-12: the brute ground truth is the session-shared audit leg
+    # (also read by ann_probe_sweep) — the batched pair scan normalizes
+    # once inside its numpy stage, so the round-5 share-one-normalization
+    # cache (e_nv + norm_col hook) is no longer needed here; identical
+    # rows, oracle-gated.
+    exact_tk = _shared_exact10(spark, sf_dir)
     # ONE PQ books fit shared across the pq/ivfpq/ivfpq_km legs AND the
     # session (the serving-fit cache: identical params, identical fit).
     books = _serving_fits(spark, sf_dir)[1]
@@ -823,11 +819,10 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
-    exact_tk = (
-        cosine_topk_bruteforce(q, e, k=10)
-        .select("q_id", "n_id")
-        .localCheckpoint()
-    )
+    # round-12: the brute ground truth is the session-shared audit leg
+    # (also read by ann_recall_methods) instead of a per-construction
+    # localCheckpoint — identical rows, oracle-gated.
+    exact_tk = _shared_exact10(spark, sf_dir)
     # ONE session index (the `_ann_store` snapshot — round-11: the
     # corpus is encoded once per SESSION, not once per construction);
     # each leg is a pure lookup with its own n_probe (ann_index_topk is
@@ -2435,6 +2430,79 @@ def _ann_store_read(spark: SparkSession, sf_dir: str, flavor: str):
 #: in-session localCheckpoint stand-in.
 _IMPACT_STORES: dict[tuple[str, str, str], str] = {}
 
+#: Session-shared AUDIT legs (round-12, round-11 verdict asks #3/#6):
+#: the sweep/recall family's ground-truth inputs — the sparse lexical
+#: top-k, the exact fused top-5, and the brute-force exact top-10 — are
+#: bit-identical deterministic computations that hybrid_fusion_recall,
+#: hybrid_fusion_sweep, hybrid_codebook_sweep, ann_probe_sweep and
+#: ann_recall_methods each rebuilt into their own localCheckpoint on
+#: EVERY construction. They now materialize once per (app, corpus path,
+#: content fingerprint) — the `_serving_fits`/`_ann_store` session-cache
+#: discipline applied to the audit legs the verdict named. Results are
+#: unchanged (the oracles re-derive every leg from the raw corpus, so
+#: each hash MATCH proves shared == per-query); what changes is that a
+#: session stops paying the identical audit jobs once per construction.
+#: The PRODUCTION serve plans (hybrid_rrf_fusion_ann, sparse_topk_serve,
+#: hybrid_rerank_serve) deliberately do NOT read these — their plans
+#: stay the real store-served lookup paths, plan-pinned.
+_AUDIT_LEGS: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def _audit_leg(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    import os
+
+    from aqi_featurestore_spark.plans._base import corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(spark, sf_dir),
+        tag,
+    )
+    if key not in _AUDIT_LEGS:
+        _AUDIT_LEGS[key] = build().localCheckpoint()
+    return _AUDIT_LEGS[key]
+
+
+def _shared_sl5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse leg's (q_id, n_id, rk_lex) top-``_RRF_LEG_K``,
+    checkpointed once per session (it is already SERVED from the
+    persisted impact store; this dedups the per-construction
+    posting-join materialization)."""
+    return _audit_leg(
+        spark, sf_dir, "sl5", lambda: _sparse_query_topk(spark, sf_dir)
+    )
+
+
+def _shared_fx5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact fused top-5 (brute dense leg + sparse leg through
+    rrf_fuse) — the ground truth every fusion sweep/recall row compares
+    against, checkpointed once per session."""
+
+    def build():
+        e = _read(spark, sf_dir, "embeddings")
+        q = e.where(F.col("vec_id") % 50 == 0)
+        ex = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
+            "q_id", "n_id", F.col("rk").cast("int").alias("rk_dense")
+        )
+        return rrf_fuse(ex, _shared_sl5(spark, sf_dir), "rk_dense", "rk_lex").select(
+            "q_id", "n_id"
+        )
+
+    return _audit_leg(spark, sf_dir, "fx5", build)
+
+
+def _shared_exact10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force exact top-10 (q_id, n_id) ground truth shared by
+    ann_probe_sweep and ann_recall_methods."""
+
+    def build():
+        e = _read(spark, sf_dir, "embeddings")
+        q = e.where(F.col("vec_id") % 50 == 0)
+        return cosine_topk_bruteforce(q, e, k=10).select("q_id", "n_id")
+
+    return _audit_leg(spark, sf_dir, "exact10", build)
+
 
 def _impact_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the session's persisted sparse impact index
@@ -2666,16 +2734,13 @@ def q_hybrid_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and feeds BOTH fusions (never recomputed); the overlap joins
     move <= {_RRF_TOP} rows per query per side. Dense leg at the
     round-11 ADOPTED operating point (``_HY_*``)."""
-    e = _read(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 50 == 0)
+    # round-12: the sparse leg and the exact fused ground truth are the
+    # session-shared audit legs (also read by both sweeps) instead of
+    # per-construction localCheckpoints — identical rows, oracle-gated.
     da = _hy_dense_leg(spark, sf_dir)
-    ex = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
-        "q_id", "n_id", F.col("rk").cast("int").alias("rk_dense")
-    )
-    sl = _sparse_query_topk(spark, sf_dir).localCheckpoint()
-    fx = rrf_fuse(ex, sl, "rk_dense", "rk_lex").select("q_id", "n_id")
+    sl = _shared_sl5(spark, sf_dir)
+    fx = _shared_fx5(spark, sf_dir)  # feeds nx and the hit join
     fa = rrf_fuse(da, sl, "rk_dense", "rk_lex").select("q_id", "n_id")
-    fx = fx.localCheckpoint()  # feeds nx and the hit join
     fa = fa.localCheckpoint()  # feeds na and the hit join
     hit = (
         fa.join(
@@ -2799,15 +2864,10 @@ def q_hybrid_fusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0)
     index, model = _ann_store_read(spark, sf_dir, "serve4")
-    sl = _sparse_query_topk(spark, sf_dir).localCheckpoint()
-    ex = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
-        "q_id", "n_id", F.col("rk").cast("int").alias("rk_dense")
-    )
-    fx = (
-        rrf_fuse(ex, sl, "rk_dense", "rk_lex")
-        .select("q_id", "n_id")
-        .localCheckpoint()
-    )
+    # round-12: sparse leg + exact fused ground truth are the
+    # session-shared audit legs — identical rows, oracle-gated.
+    sl = _shared_sl5(spark, sf_dir)
+    fx = _shared_fx5(spark, sf_dir)
     fxr = fx.select(F.col("q_id").alias("_q"), F.col("n_id").alias("_n"))
     counted = []
     for p in _SWEEP_PROBES:
@@ -2965,15 +3025,10 @@ def q_hybrid_codebook_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, 16): _ann_store_read(spark, sf_dir, "serve4"),
         (8, 16): _ann_store_read(spark, sf_dir, "hy8"),
     }
-    sl = _sparse_query_topk(spark, sf_dir).localCheckpoint()
-    ex = cosine_topk_bruteforce(q, e, k=_RRF_LEG_K).select(
-        "q_id", "n_id", F.col("rk").cast("int").alias("rk_dense")
-    )
-    fx = (
-        rrf_fuse(ex, sl, "rk_dense", "rk_lex")
-        .select("q_id", "n_id")
-        .localCheckpoint()
-    )
+    # round-12: sparse leg + exact fused ground truth are the
+    # session-shared audit legs — identical rows, oracle-gated.
+    sl = _shared_sl5(spark, sf_dir)
+    fx = _shared_fx5(spark, sf_dir)
     fxr = fx.select(F.col("q_id").alias("_q"), F.col("n_id").alias("_n"))
     counted = []
     for s, c, p, r in _CB_SWEEP:
