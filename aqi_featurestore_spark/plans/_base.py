@@ -75,6 +75,40 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_table(spark, sf_dir, name)
 
 
+#: Session-shared connected-components labels over the exact n-gram
+#: Jaccard near-dup graph (k=3, threshold 0.2) — round-12: three registry
+#: queries (dedup_resolve_docs, dedup_cluster_sizes, dedup_keep_best)
+#: each re-ran the identical detector + label-propagation loop
+#: (~15-18 Spark jobs) on every construction; the labels are
+#: deterministic and every consumer's oracle re-derives them with a
+#: recursive CTE from the raw corpus, so sharing changes nothing but the
+#: job count (the `_serving_fits` session-cache discipline applied to
+#: the dedup-resolution family).
+_NGRAM_CC: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def ngram_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id) for every document in the k=3/0.2 n-gram
+    Jaccard near-dup graph — localCheckpoint-backed, built once per
+    (app, corpus path, content fingerprint)."""
+    import os
+
+    from aqi_featurestore_spark.operators.dedup_groups import (
+        connected_components,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(spark, sf_dir),
+    )
+    if key not in _NGRAM_CC:
+        d = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
+        _NGRAM_CC[key] = connected_components(pairs.select("d1", "d2"))
+    return _NGRAM_CC[key]
+
+
 def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
     """Cheap content snapshot of a corpus directory: md5 over the
     sorted (path, size, mtime) data-file listing — driver-side metadata

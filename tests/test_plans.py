@@ -89,6 +89,7 @@ MAP_IN_ARROW_OK = {
     "hybrid_fusion_recall",     # exact fused ground-truth leg
     "hybrid_fusion_sweep",      # exact fused ground-truth leg
     "hybrid_codebook_sweep",    # exact fused ground-truth leg
+    "semantic_dedup",           # within-cluster batched pair scan
 }
 
 # BroadcastNestedLoopJoin allowlist: 1-row scalar crossJoins (totals /
