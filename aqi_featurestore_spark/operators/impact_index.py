@@ -301,7 +301,12 @@ def _fold_inputs(spark: SparkSession, path: str):
 
 
 def refresh_impact_weights(
-    spark: SparkSession, path: str, *, df_cap: int = DF_CAP, force: bool = False
+    spark: SparkSession,
+    path: str,
+    *,
+    df_cap: int = DF_CAP,
+    force: bool = False,
+    count_weights: bool = True,
 ) -> dict:
     """Publish the weights snapshot folded through the highest pending
     epoch (no-op if nothing pending, unless ``force`` — the
@@ -309,7 +314,10 @@ def refresh_impact_weights(
     this is a full weight recompute over an incremental postings log,
     and for the crash/retry-safe publish protocol. Returns
     {'fold_epoch', 'n_docs', 'n_weights'} — the no-op path reports the
-    published snapshot's recorded doc count (round-10 verdict nit)."""
+    published snapshot's recorded doc count (round-10 verdict nit).
+    ``count_weights=False`` skips the read-back count of the published
+    snapshot (``n_weights`` is None): callers that only publish — the
+    session impact-store build — save that one audit job (round-12)."""
     cur = _read_marker(spark, path, "weights.fold.json")
     cur_wm = None if cur is None else int(cur["fold_epoch"])
     post, n, new_wm = _fold_inputs(spark, path)
@@ -320,14 +328,17 @@ def refresh_impact_weights(
             f"the streaming retry)"
         )
     if not force and cur_wm is not None and new_wm <= cur_wm:
-        _wm, w_cur = _weights_fold(spark, path)
         n_docs = cur.get("n_docs")
         if n_docs is None:  # pre-round-11 marker: derive from the fold
             n_docs = n
+        n_weights = None
+        if count_weights:
+            _wm, w_cur = _weights_fold(spark, path)
+            n_weights = w_cur.count()
         return {
             "fold_epoch": cur_wm,
             "n_docs": int(n_docs),
-            "n_weights": w_cur.count(),
+            "n_weights": n_weights,
         }
     nf = spark.createDataFrame([(n,)], "n long")
     dft = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
@@ -356,11 +367,14 @@ def refresh_impact_weights(
         w,
         {"fold_epoch": int(new_wm), "n_docs": int(n)},
     )
-    _wm, w_pub = _weights_fold(spark, path)
+    n_weights = None
+    if count_weights:
+        _wm, w_pub = _weights_fold(spark, path)
+        n_weights = w_pub.count()
     return {
         "fold_epoch": int(new_wm),
         "n_docs": int(n),
-        "n_weights": w_pub.count(),
+        "n_weights": n_weights,
     }
 
 
