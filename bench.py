@@ -343,8 +343,8 @@ ITERATIVE_CONSTRUCTION = {
     "kmeans_quality",  # same Lloyd fit at build time
     "kmeans_assign_fp",  # Lloyd fit + k-1 farthest-point passes at build time
     "embedding_dedup_resolve",
-    "dedup_cluster_sizes",
-    "dedup_resolve_docs",
+    "dedup_cluster_sizes",  # session-shared ngram CC labels (round-12): pass-1 absorbs the build
+    "dedup_resolve_docs",  # same session-shared CC labels
     "similarity_triangles",  # edge-list localCheckpoint at build time
     "dedup_keep_best",
     "embedding_quantize",  # corpus min/max aggregate + collect at build time
@@ -371,8 +371,8 @@ ITERATIVE_CONSTRUCTION = {
     "bloom_semijoin_reduce",  # <=m-row set-bit collect folded into plan literals
     "bloom_prefiltered_revenue",  # same <=m-row set-bit collect at build time
     "maxsim_shortlist_recall",  # token-max/doc-score localCheckpoints at build time
-    "hybrid_fusion_sweep",  # store read + sparse-leg/exact-fusion localCheckpoints at build time
-    "hybrid_codebook_sweep",  # two store reads + sparse-leg/exact-fusion localCheckpoints at build time
+    "hybrid_fusion_sweep",  # store read + session-shared sparse-leg/exact-fusion legs (round-12) at build time
+    "hybrid_codebook_sweep",  # two store reads + session-shared sparse-leg/exact-fusion legs at build time
 }
 
 

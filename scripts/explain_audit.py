@@ -220,7 +220,7 @@ def audit(spark, name: str, sf_dir: str) -> dict:
         ),
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "python": sorted(
-            set(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan))
+            set(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas)", plan))
         ),
         "pushed": sorted(
             {p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p}

@@ -198,7 +198,7 @@ EXCHANGE_CEILING = {
     "kmeans_assign": 0, "semantic_dedup": 3,  # +1 round-11 pair-scan spread
     "min_cost_supplier": 5, "product_profit": 2, "important_stock": 4,
     "url_canonical_dedup": 1, "domain_cap_sample": 1, "chunk_dedup_docs": 7,
-    "exact_substring_spans": 3, "cluster_mixture_plan": 2,
+    "exact_substring_spans": 3, "cluster_mixture_plan": 3,  # +1 round-12: total = agg over the k-row size table (replaces a full second assignment pass)
     "gopher_quality_filter": 0, "cluster_exemplars": 1, "kmeans_quality": 1,
     "kmeans_assign_fp": 0,
     "freshness_audit": 2, "store_consistency_audit": 3, "ks_drift": 3,
